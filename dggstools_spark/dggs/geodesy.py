@@ -1,0 +1,119 @@
+"""Geodesic helpers, vectorized numpy.
+
+Replaces the reference's pyproj.Geod calls (geodesic distance / polygon area /
+raster size estimate, /root/reference/dggstools/rhpx/utils/vectorutils.py:53-72
+and utils/rasterutils.py:175-194):
+
+- distance: Vincenty inverse on WGS84 (accuracy ~1e-6 m vs the reference's
+  Karney implementation; the meridian golden 20003931.458625447 m reproduces
+  to sub-mm).
+- polygon area: computed exactly on the authalic sphere (the authalic mapping
+  is area-preserving by construction), via signed spherical excess
+  (Van Oosterom & Strackee triple-product form).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .config import WGS84_A, WGS84_F, AUTHALIC_RADIUS
+from .projection import authalic_lat
+
+WGS84_B = WGS84_A * (1.0 - WGS84_F)
+
+
+def geodesic_distance(lon1, lat1, lon2, lat2, iterations: int = 200, tol: float = 1e-13):
+    """Vincenty inverse geodesic distance in meters (vectorized)."""
+    lon1 = np.radians(np.asarray(lon1, dtype=np.float64))
+    lat1 = np.radians(np.asarray(lat1, dtype=np.float64))
+    lon2 = np.radians(np.asarray(lon2, dtype=np.float64))
+    lat2 = np.radians(np.asarray(lat2, dtype=np.float64))
+
+    a, b, f = WGS84_A, WGS84_B, WGS84_F
+    U1 = np.arctan((1 - f) * np.tan(lat1))
+    U2 = np.arctan((1 - f) * np.tan(lat2))
+    L = lon2 - lon1
+    sinU1, cosU1 = np.sin(U1), np.cos(U1)
+    sinU2, cosU2 = np.sin(U2), np.cos(U2)
+
+    lam = L.copy()
+    for _ in range(iterations):
+        sin_lam, cos_lam = np.sin(lam), np.cos(lam)
+        sin_sigma = np.sqrt(
+            (cosU2 * sin_lam) ** 2 + (cosU1 * sinU2 - sinU1 * cosU2 * cos_lam) ** 2
+        )
+        cos_sigma = sinU1 * sinU2 + cosU1 * cosU2 * cos_lam
+        sigma = np.arctan2(sin_sigma, cos_sigma)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sin_alpha = np.where(sin_sigma != 0, cosU1 * cosU2 * sin_lam / np.where(sin_sigma == 0, 1, sin_sigma), 0.0)
+        cos2_alpha = 1.0 - sin_alpha**2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos_2sigma_m = np.where(
+                cos2_alpha != 0, cos_sigma - 2.0 * sinU1 * sinU2 / np.where(cos2_alpha == 0, 1, cos2_alpha), 0.0
+            )
+        C = f / 16.0 * cos2_alpha * (4.0 + f * (4.0 - 3.0 * cos2_alpha))
+        lam_new = L + (1.0 - C) * f * sin_alpha * (
+            sigma + C * sin_sigma * (cos_2sigma_m + C * cos_sigma * (-1.0 + 2.0 * cos_2sigma_m**2))
+        )
+        if np.all(np.abs(lam_new - lam) < tol):
+            lam = lam_new
+            break
+        lam = lam_new
+
+    sin_lam, cos_lam = np.sin(lam), np.cos(lam)
+    sin_sigma = np.sqrt((cosU2 * sin_lam) ** 2 + (cosU1 * sinU2 - sinU1 * cosU2 * cos_lam) ** 2)
+    cos_sigma = sinU1 * sinU2 + cosU1 * cosU2 * cos_lam
+    sigma = np.arctan2(sin_sigma, cos_sigma)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sin_alpha = np.where(sin_sigma != 0, cosU1 * cosU2 * sin_lam / np.where(sin_sigma == 0, 1, sin_sigma), 0.0)
+    cos2_alpha = 1.0 - sin_alpha**2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos_2sigma_m = np.where(
+            cos2_alpha != 0, cos_sigma - 2.0 * sinU1 * sinU2 / np.where(cos2_alpha == 0, 1, cos2_alpha), 0.0
+        )
+    u2 = cos2_alpha * (a**2 - b**2) / b**2
+    A = 1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2 * (320.0 - 175.0 * u2)))
+    B = u2 / 1024.0 * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2)))
+    delta_sigma = B * sin_sigma * (
+        cos_2sigma_m
+        + B / 4.0 * (
+            cos_sigma * (-1.0 + 2.0 * cos_2sigma_m**2)
+            - B / 6.0 * cos_2sigma_m * (-3.0 + 4.0 * sin_sigma**2) * (-3.0 + 4.0 * cos_2sigma_m**2)
+        )
+    )
+    dist = b * A * (sigma - delta_sigma)
+    return np.where(sin_sigma == 0, 0.0, dist)
+
+
+def geodesic_polygon_area(lons, lats) -> float:
+    """Absolute ellipsoidal area (m^2) of a lon/lat polygon ring.
+
+    Exact via the authalic sphere: convert latitudes to authalic, then signed
+    spherical excess summed over a triangle fan from the first vertex."""
+    lons = np.radians(np.asarray(lons, dtype=np.float64))
+    lats = np.asarray(lats, dtype=np.float64)
+    beta = authalic_lat(np.radians(lats))
+    cb = np.cos(beta)
+    v = np.stack([cb * np.cos(lons), cb * np.sin(lons), np.sin(beta)], axis=1)
+    if np.allclose(v[0], v[-1]):
+        v = v[:-1]
+    if len(v) < 3:
+        return 0.0
+    a = v[0]
+    total = 0.0
+    for i in range(1, len(v) - 1):
+        b_, c_ = v[i], v[i + 1]
+        num = np.dot(a, np.cross(b_, c_))
+        den = 1.0 + np.dot(a, b_) + np.dot(b_, c_) + np.dot(c_, a)
+        total += 2.0 * np.arctan2(num, den)
+    return abs(total) * AUTHALIC_RADIUS**2
+
+
+def geodesic_size_estimate(left, top, right, bottom, width, height):
+    """(diagonal meters, average cell res meters) for a geographic bbox —
+    the reference's get_geodesic_size_from_raster_profile
+    (utils/rasterutils.py:175-194)."""
+    diag = float(geodesic_distance(np.array([left]), np.array([top]),
+                                   np.array([right]), np.array([bottom]))[0])
+    res = (diag**2 / (width**2 + height**2)) ** 0.5
+    return diag, res
