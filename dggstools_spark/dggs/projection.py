@@ -121,6 +121,13 @@ def _apex_x(i: np.ndarray) -> np.ndarray:
     return -3.0 * PI / 4.0 + i * (PI / 2.0)
 
 
+def _rot90(dx: np.ndarray, dy: np.ndarray, j: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exact CCW rotation by j*90deg (j integer array in 0..3)."""
+    rx = np.select([j == 0, j == 1, j == 2], [dx, -dy, -dx], default=dy)
+    ry = np.select([j == 0, j == 1, j == 2], [dy, dx, -dy], default=-dx)
+    return rx, ry
+
+
 def combine_caps(x: np.ndarray, y: np.ndarray, north_square: int, south_square: int) -> tuple[np.ndarray, np.ndarray]:
     """HEALPix planar -> rHEALPix planar (unit-sphere radians)."""
     x = np.asarray(x, dtype=np.float64)
@@ -134,14 +141,14 @@ def combine_caps(x: np.ndarray, y: np.ndarray, north_square: int, south_square: 
             continue
         sq = north_square if north else south_square
         pole_y = PI / 2.0 if north else -PI / 2.0
-        i = np.clip(np.floor((x[mask] + PI) / (PI / 2.0)), 0, 3)
-        sign = 1.0 if north else -1.0
-        a = sign * (i - sq) * (PI / 2.0)
-        ca, sa = np.cos(a), np.sin(a)
-        dx = x[mask] - _apex_x(i)
+        i = np.clip(np.floor((x[mask] + PI) / (PI / 2.0)), 0, 3).astype(np.int64)
+        # CCW rotation count: north rotates +(i-sq)*90deg, south -(i-sq)*90deg
+        j = (i - sq) % 4 if north else (4 - ((i - sq) % 4)) % 4
+        dx = x[mask] - _apex_x(i.astype(np.float64))
         dy = y[mask] - pole_y
-        out_x[mask] = _apex_x(np.full_like(i, sq)) + dx * ca - dy * sa
-        out_y[mask] = pole_y + dx * sa + dy * ca
+        rx, ry = _rot90(dx, dy, j)
+        out_x[mask] = _apex_x(np.float64(sq)) + rx
+        out_y[mask] = pole_y + ry
     return out_x, out_y
 
 
@@ -171,11 +178,12 @@ def uncombine_caps(x: np.ndarray, y: np.ndarray, north_square: int, south_square
                      np.where(toward_eq <= -adx, 2, 3)))
         # north: j follows CCW (bottom,right,top,left); south: CW (top,right,bottom,left)
         i = (sq + j) % 4
-        sign = 1.0 if north else -1.0
-        a = -sign * (i - sq) * (PI / 2.0)  # rotate back
-        ca, sa = np.cos(a), np.sin(a)
-        out_x[mask] = _apex_x(i.astype(np.float64)) + dx * ca - dy * sa
-        out_y[mask] = pole_y + dx * sa + dy * ca
+        # invert the forward CCW rotation count
+        jf = j if north else (4 - j) % 4
+        jb = (4 - jf) % 4
+        rx, ry = _rot90(dx, dy, jb)
+        out_x[mask] = _apex_x(i.astype(np.float64)) + rx
+        out_y[mask] = pole_y + ry
     return out_x, out_y
 
 
