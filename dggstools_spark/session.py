@@ -34,6 +34,7 @@ def get_spark(app_name: str = "dggstools-spark", master: str | None = None,
         # left to spark.sql.files.maxPartitionBytes default (128m)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.host", "127.0.0.1")
     )
     spark = builder.getOrCreate()
