@@ -28,11 +28,13 @@ def materialize_docs(spark, n_docs: int) -> str:
     10^12-doc Iceberg table); reused across runs with the same size."""
     import os
 
-    marker = f"{BENCH_DOCS_PATH}/_n_{n_docs}"
+    marker = f"{BENCH_DOCS_PATH}/_n_{n_docs}_p128"
     if not os.path.exists(marker):
         from dggstools_spark.sources.synth import interleaved_docs
 
-        interleaved_docs(spark, n_docs).write.mode("overwrite").parquet(BENCH_DOCS_PATH)
+        # 128 input splits: several task waves at every parallelism level, so
+        # scheduling overhead amortizes and stragglers don't serialize a wave
+        interleaved_docs(spark, n_docs, partitions=128).write.mode("overwrite").parquet(BENCH_DOCS_PATH)
         open(marker, "w").write("ok")
     return BENCH_DOCS_PATH
 

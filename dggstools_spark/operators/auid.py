@@ -1,0 +1,102 @@
+"""Distributed AUID operators (SURVEY A7-A10).
+
+- ``auid_per_group``: grouped pandas UDF building the canonical AUID per
+  region (sorted cuids -> trie -> BP -> zlib -> blake2b, all stdlib inside
+  executors; reference auids/common.py:180-213).
+- ``optimize_cells``: the A9 compaction as a DISTRIBUTED FIXPOINT in pure
+  DataFrame ops — per level, collapse complete sibling sets (all n_side^2
+  children present and none a prefix of a surviving deeper cell) into their
+  parent.  <= max_res iterations, each a hash agg + anti-join; replaces the
+  reference's single-node networkx walk (auids/rhpx.py:108-181, ~350 s at
+  res 9) with shuffle-bound work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from ..dggs import auids as auids_core
+
+
+AUID_SCHEMA = StructType([
+    StructField("group_key", StringType()),
+    StructField("auid_b64", StringType()),
+    StructField("auid_hash", StringType()),
+])
+
+
+def auid_per_group(df: DataFrame, group_col: str, cellid_col: str = "cellid",
+                   optimize_n_side: int | None = None) -> DataFrame:
+    """(group, cellid) rows -> one (group_key, auid_b64, auid_hash) per group.
+
+    Order-insensitive and duplicate-insensitive by construction (the trie
+    sorts + dedups).  With ``optimize_n_side`` the cuid set is compacted
+    first, yielding the canonical AUID (reference RHEALPixAUIDGenerator)."""
+    import pandas as pd
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        cuids = pdf[cellid_col].dropna().tolist()
+        if optimize_n_side:
+            cuids = auids_core.optimize_cuids(cuids, optimize_n_side)
+        comp_b64, hash_b64 = auids_core.generate_auid_hash_b64(cuids)
+        return pd.DataFrame(
+            {"group_key": [str(pdf[group_col].iloc[0])],
+             "auid_b64": [comp_b64], "auid_hash": [hash_b64]}
+        )
+
+    return df.select(group_col, cellid_col).groupBy(group_col).applyInPandas(
+        build, AUID_SCHEMA)
+
+
+def optimize_cells(df: DataFrame, n_side: int, cellid_col: str = "cellid",
+                   group_col: str | None = None) -> DataFrame:
+    """A9 distributed compaction of a cellid set (optionally per group).
+
+    Semantics match dggs.auids.optimize_cuids (verified in tests): repeatedly
+    replace complete pure-leaf sibling sets by their parent; base cells never
+    collapse further."""
+    k = n_side * n_side
+    keys = ([group_col] if group_col else [])
+
+    cells = df.select(*keys, cellid_col).dropDuplicates(keys + [cellid_col])
+    max_len = cells.agg(F.max(F.length(cellid_col))).first()[0] or 0
+    # walk levels deepest-first; collapses at level L create parents at L-1,
+    # which the next iteration re-examines — cascades terminate at the base
+    for length in range(max_len, 1, -1):
+        children = cells.filter(F.length(cellid_col) == length)
+        deeper = cells.filter(F.length(cellid_col) > length).select(
+            *keys, F.substring(cellid_col, 1, length).alias(cellid_col))
+        pure = children.join(deeper, keys + [cellid_col], "left_anti")
+        # collapse iff ALL siblings exist (k of them) and ALL are pure leaves
+        # — sibling counting is digit-agnostic, like the reference trie walk
+        totals = (children.groupBy(*keys, F.substring(cellid_col, 1, length - 1).alias("_p"))
+                  .agg(F.count("*").alias("_nt")))
+        pures = (pure.groupBy(*keys, F.substring(cellid_col, 1, length - 1).alias("_p"))
+                 .agg(F.count("*").alias("_np")))
+        parents = (
+            totals.join(pures, keys + ["_p"])
+            .filter((F.col("_nt") == k) & (F.col("_np") == k))
+            .select(*keys, F.col("_p").alias(cellid_col))
+        )
+        doomed = (
+            children.withColumn("_p", F.substring(cellid_col, 1, length - 1))
+            .join(parents.withColumnRenamed(cellid_col, "_p"), keys + ["_p"], "left_semi")
+            .drop("_p")
+        )
+        cells = (
+            cells.join(doomed, keys + [cellid_col], "left_anti")
+            .unionByName(parents)
+            .dropDuplicates(keys + [cellid_col])
+        )
+        # truncate lineage: the loop otherwise builds a plan whose depth is
+        # O(max_res) x (join + agg), which chokes the optimizer at scale
+        cells = cells.localCheckpoint(eager=True)
+    return cells
+
+
+def is_optimal(df: DataFrame, n_side: int, cellid_col: str = "cellid") -> bool:
+    """A10: the set is optimal iff compaction is a no-op."""
+    before = df.select(cellid_col).dropDuplicates()
+    after = optimize_cells(before, n_side, cellid_col)
+    return after.count() == before.count()

@@ -1,0 +1,166 @@
+"""Deduplication operators for the training-data pipeline.
+
+- exact_dedup: hash-groupBy on a content fingerprint.
+- minhash_lsh: shingle -> per-seed MinHash (lexicographic min of md5, a
+  portable uniform permutation) -> banded signatures -> bucket-join candidate
+  pairs -> exact Jaccard verification.  Everything is explode/groupBy/join —
+  no Python in the hot path, and the same construction is expressible in the
+  DuckDB oracle.
+- simhash: 64-bit near-dup hash via numpy pandas UDF (bit-parallel; no
+  portable SQL form, verified by property tests instead).
+- ngram_jaccard_pairs: exact n-gram Jaccard for candidate pairs that share at
+  least one shingle (bounded self-join).
+"""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType
+
+N_MINHASHES = 8
+BAND_SIZE = 2  # 4 bands of 2 hashes each
+
+
+def tokens(df: DataFrame, text_col: str, out: str = "tok") -> DataFrame:
+    """Whitespace tokens, exploded (keeps all other columns)."""
+    return df.withColumn(out, F.explode(F.split(F.col(text_col), " ")))
+
+
+def shingles(df: DataFrame, text_col: str, n: int = 3, out: str = "shingle") -> DataFrame:
+    """Word n-gram shingles, exploded."""
+    return df.withColumn(
+        "_toks", F.split(F.col(text_col), " ")
+    ).withColumn(
+        out,
+        F.explode(F.expr(
+            f"transform(sequence(0, greatest(size(_toks) - {n}, 0)),"
+            f" i -> array_join(slice(_toks, i + 1, {n}), ' '))"
+        )),
+    ).drop("_toks")
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Groups of byte-identical (normalized) content; keeps min id as canonical."""
+    return (
+        df.withColumn("fp", F.md5(F.lower(F.trim(F.col(text_col)))))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("canonical_id"),
+             F.collect_list(id_col).alias("member_ids"))
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       n_hashes: int = N_MINHASHES, shingle_n: int = 3) -> DataFrame:
+    """(id, h0..h{n-1}) MinHash signature per doc: h_i = min over shingles of
+    md5('<i>:' || shingle).  One explode + one groupBy (map-side combine)."""
+    sh = shingles(df.select(id_col, text_col), text_col, shingle_n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
+                      n_hashes: int = N_MINHASHES, band_size: int = BAND_SIZE,
+                      shingle_n: int = 3) -> DataFrame:
+    """Candidate near-dup pairs (a_id < b_id) sharing at least one LSH band."""
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
+    n_bands = n_hashes // band_size
+    bands = sig.select(
+        id_col,
+        F.explode(F.array(*[
+            F.concat(F.lit(f"b{b}:"), *[F.col(f"h{b * band_size + j}") for j in range(band_size)])
+            for b in range(n_bands)
+        ])).alias("band_key"),
+    )
+    a = bands.select(F.col(id_col).alias("a_id"), "band_key")
+    b = bands.select(F.col(id_col).alias("b_id"), "band_key")
+    return (
+        a.join(b, "band_key")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                        shingle_n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard over word n-grams for pairs sharing >= 1 shingle.
+    Output: (a_id, b_id, jac_ppm)."""
+    sh = shingles(df.select(id_col, text_col), text_col, shingle_n) \
+        .select(id_col, "shingle").distinct()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("a_id"), "shingle")
+    b = sh.select(F.col(id_col).alias("b_id"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("n_b"))
+    jac = (
+        inter.join(sa, "a_id").join(sb, "b_id")
+        .withColumn("jac_ppm", F.round(
+            F.col("n_inter") * 1000000.0
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).cast("bigint"))
+        .filter(F.col("jac_ppm") >= int(threshold * 1e6))
+        .select("a_id", "b_id", "jac_ppm")
+    )
+    return jac
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, out: str = "simhash64") -> DataFrame:
+    """64-bit SimHash per doc via an Arrow pandas UDF (numpy bit-count over
+    token hash digests)."""
+    @F.pandas_udf(LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out_vals = np.zeros(len(texts), dtype=np.int64)
+        for i, txt in enumerate(texts):  # per-doc loop; token math vectorized
+            if not txt:
+                continue
+            toks = txt.split(" ")
+            h = pd.util.hash_array(np.asarray(toks, dtype=object)).astype(np.uint64)
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            val = np.uint64(0)
+            val = (votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+            out_vals[i] = np.bitwise_or.reduce(val).astype(np.int64)
+        return pd.Series(out_vals)
+
+    return df.withColumn(out, _simhash(F.col(text_col)))
+
+
+def embedding_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
+                           threshold: float = 0.95,
+                           n_planes: int = 8) -> DataFrame:
+    """Embedding near-dup: random-hyperplane LSH bucket join (deterministic
+    planes from a fixed seed) + exact cosine verification, returning pairs
+    with cos >= threshold as (a_id, b_id, cos_ppm)."""
+    dot = ("aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+           " 0.0D, (acc, v) -> acc + v)")
+    nrm = "sqrt(" + dot.format(a="{v}", b="{v}") + ")"
+    # deterministic pseudo-random planes: plane p component j = hash-based +-1
+    sig = df.select(
+        id_col, vec_col,
+        F.concat(*[
+            F.when(F.expr(
+                f"aggregate(zip_with({vec_col}, transform(sequence(0, size({vec_col}) - 1),"
+                f" j -> CAST(1 - 2 * pmod(hash({p}, j), 2) AS DOUBLE)),"
+                f" (x, w) -> CAST(x AS DOUBLE) * w), 0.0D, (acc, v) -> acc + v)"
+            ) > 0, F.lit("1")).otherwise(F.lit("0"))
+            for p in range(n_planes)
+        ]).alias("bucket"),
+    )
+    a = sig.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"), "bucket")
+    b = sig.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"), "bucket")
+    pairs = a.join(b, "bucket").filter(F.col("a_id") < F.col("b_id"))
+    cos = (dot.format(a="a_vec", b="b_vec") + " / (" + nrm.format(v="a_vec")
+           + " * " + nrm.format(v="b_vec") + ")")
+    return (
+        pairs.withColumn("cos_ppm", F.round(F.expr(cos) * 1e6).cast("bigint"))
+        .filter(F.col("cos_ppm") >= int(threshold * 1e6))
+        .select("a_id", "b_id", "cos_ppm")
+    )

@@ -1,0 +1,199 @@
+"""Raster <-> cell-table structural operators (SURVEY §2.7).
+
+The distributed raster model is long-form: (tile, row, col, band values...)
+— never a driver-side array.  A "tile" is a cell-prefix block, so tiles are
+also the partitioning unit.  Mirrors the reference's semantic contract:
+
+R4 tiles_to_cells  — raster decode: pixel -> cellid, nodata filter (F1)
+R6 cells_to_tiles  — encode: cell -> (row, col) scatter, grouped per tile
+R2 rescale         — parent-prefix rollup (downscale) / child explode (upscale)
+R7 grid            — all cells of a bbox at a resolution, distributed range
+R5 incremental update — idempotent MERGE-style upsert keyed by cellid
+(reference rhpx_gdf_helper.py:41-147, 189-258, 261-335, 337-366)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..dggs.config import RHEALPixConfig, DEFAULT_CONFIG
+from ..dggs.cells import HALF_SIDE
+from ..functions.encode_sql import rowcol_cellid_sql
+
+
+def tiles_to_cells(tiles: DataFrame, res: int, face_col: str = "face",
+                   row_col: str = "row", col_col: str = "col",
+                   value_cols: list[str] | None = None,
+                   nodata: float | None = None,
+                   store_nodata: bool = False,
+                   cfg: RHEALPixConfig = DEFAULT_CONFIG) -> DataFrame:
+    """R4: long-form raster (face, row, col, band values) -> cell table.
+
+    The nodata filter keeps a pixel iff ANY band differs from nodata, unless
+    store_nodata (reference rhpx_gdf_helper.py:88-91,232)."""
+    value_cols = value_cols or [c for c in tiles.columns
+                                if c.startswith("band")]
+    df = tiles.withColumn(
+        "cellid", F.expr(rowcol_cellid_sql(face_col, row_col, col_col, res, cfg)))
+    if nodata is not None and not store_nodata:
+        from functools import reduce
+        from operator import or_
+
+        keep = reduce(or_, [F.col(c) != F.lit(nodata) for c in value_cols])
+        df = df.filter(keep)
+    return df
+
+
+def cells_to_tiles(cells: DataFrame, cellid_col: str = "cellid",
+                   value_cols: list[str] | None = None,
+                   tile_prefix_len: int = 3,
+                   cfg: RHEALPixConfig = DEFAULT_CONFIG) -> DataFrame:
+    """R6: cell table -> long-form raster rows (tile, face, row, col, bands).
+
+    row/col are decoded from the cellid digits with string arithmetic (pure
+    expressions); the tile key is the cell prefix, so the output is already
+    grouped for per-tile array assembly (assemble_tile_arrays)."""
+    value_cols = value_cols or [c for c in cells.columns if c.startswith("band")]
+    sample = cells.select(F.length(cellid_col).alias("l")).first()
+    if sample is None:
+        return cells.sparkSession.createDataFrame([], "tile string, face string, row bigint, col bigint")
+    res = sample["l"] - 1
+    n = cfg.n_side
+    row_terms, col_terms = [], []
+    for k in range(1, res + 1):
+        p = n ** (res - k)
+        d = f"(ascii(substring({cellid_col}, {k + 1}, 1)) - 48)"
+        row_terms.append(f"CAST(floor({d} / {n}.0) AS BIGINT) * {p}")
+        col_terms.append(f"({d} % {n}) * {p}")
+    return cells.select(
+        F.substring(cellid_col, 1, tile_prefix_len).alias("tile"),
+        F.substring(cellid_col, 1, 1).alias("face"),
+        F.expr(" + ".join(row_terms)).alias("row"),
+        F.expr(" + ".join(col_terms)).alias("col"),
+        cellid_col,
+        *value_cols,
+    )
+
+
+def assemble_tile_arrays(tile_rows: DataFrame, res: int,
+                         value_col: str = "band1",
+                         tile_col: str = "tile",
+                         nodata: float = float("nan"),
+                         cfg: RHEALPixConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Grouped-map pandas UDF scattering each tile's pixels into a dense 2-D
+    array (array<array<double>>) — the distributed analogue of the
+    reference's np.full + scatter loop (rhpx_gdf_helper.py:308-316)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
+                                   StringType, StructField, StructType)
+
+    schema = StructType([
+        StructField("tile", StringType()),
+        StructField("height", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("data", ArrayType(ArrayType(DoubleType()))),
+    ])
+
+    n = cfg.n_side
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        tile = pdf[tile_col].iloc[0]
+        depth = res - (len(tile) - 1)
+        side = n ** depth
+        base_r = (pdf["row"].to_numpy() % side)
+        base_c = (pdf["col"].to_numpy() % side)
+        arr = np.full((side, side), nodata, dtype=np.float64)
+        arr[base_r, base_c] = pdf[value_col].to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "tile": [tile], "height": [side], "width": [side],
+            "data": [[list(r) for r in arr]],
+        })
+
+    return tile_rows.groupBy(tile_col).applyInPandas(build, schema)
+
+
+def rescale_to_parent(cells: DataFrame, levels: int, agg: str = "avg",
+                      cellid_col: str = "cellid",
+                      value_cols: list[str] | None = None) -> DataFrame:
+    """R2 downscale: roll cell values up ``levels`` resolutions.
+    agg in {avg, first, min, max, mode}; 'first' = lowest digit child
+    (nearest-neighbour analogue), 'mode' = majority class value."""
+    value_cols = value_cols or [c for c in cells.columns if c.startswith("band")]
+    parent = F.expr(f"substring({cellid_col}, 1, length({cellid_col}) - {levels})")
+    if agg == "mode":
+        counted = (cells.groupBy(parent.alias(cellid_col), *value_cols)
+                   .agg(F.count("*").alias("_n")))
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(cellid_col).orderBy(
+            F.col("_n").desc(), *[F.col(c) for c in value_cols])
+        return (counted.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") == 1).drop("_n", "_rk"))
+    fns = {"avg": F.avg, "min": F.min, "max": F.max, "first": F.min_by}
+    if agg == "first":
+        aggs = [F.min_by(c, F.col(cellid_col + "_child")).alias(c) for c in value_cols]
+        return (cells.withColumn(cellid_col + "_child", F.col(cellid_col))
+                .groupBy(parent.alias(cellid_col)).agg(*aggs))
+    aggs = [fns[agg](c).alias(c) for c in value_cols]
+    return cells.groupBy(parent.alias(cellid_col)).agg(*aggs)
+
+
+def explode_to_children(cells: DataFrame, levels: int, n_side: int,
+                        cellid_col: str = "cellid") -> DataFrame:
+    """R2 upscale: replicate each cell's values onto all descendants
+    ``levels`` resolutions finer (nearest-neighbour upsampling)."""
+    df = cells
+    k = n_side * n_side
+    for _ in range(levels):
+        df = df.withColumn(
+            cellid_col,
+            F.explode(F.expr(
+                f"transform(sequence(0, {k - 1}), d -> concat({cellid_col}, CAST(d AS STRING)))")),
+        )
+    return df
+
+
+def grid(spark: SparkSession, res: int, faces: str = "NOPQRS",
+         cfg: RHEALPixConfig = DEFAULT_CONFIG) -> DataFrame:
+    """R7: every cell of ``res`` on the chosen faces, fully distributed
+    (spark.range over the row-major index; no driver-side enumeration)."""
+    n_cells = cfg.n_side**res
+    per_face = n_cells * n_cells
+    dfs = []
+    for f in faces:
+        d = (
+            spark.range(0, per_face)
+            .select(
+                F.lit(f).alias("face"),
+                (F.col("id") / n_cells).cast("bigint").alias("row"),
+                (F.col("id") % n_cells).alias("col"),
+            )
+            .withColumn("cellid", F.expr(rowcol_cellid_sql("face", "row", "col", res, cfg)))
+        )
+        dfs.append(d)
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    # planar centroid by lattice arithmetic (expression-only)
+    w = HALF_SIDE / n_cells
+    from ..dggs.cells import _face_ul
+
+    uls = _face_ul(cfg)
+    face_idx = "CASE face WHEN 'N' THEN 0 WHEN 'O' THEN 1 WHEN 'P' THEN 2 WHEN 'Q' THEN 3 WHEN 'R' THEN 4 ELSE 5 END"
+    ulx = " ".join([f"WHEN {i} THEN {uls[i,0]!r}" for i in range(6)])
+    uly = " ".join([f"WHEN {i} THEN {uls[i,1]!r}" for i in range(6)])
+    return (
+        out.withColumn("x", F.expr(f"CASE ({face_idx}) {ulx} END + (col + 0.5) * {w!r}"))
+        .withColumn("y", F.expr(f"CASE ({face_idx}) {uly} END - (row + 0.5) * {w!r}"))
+    )
+
+
+def merge_cells(existing: DataFrame, updates: DataFrame,
+                cellid_col: str = "cellid") -> DataFrame:
+    """R5 incremental update: updates win on key collision (MERGE INTO
+    semantics without a table format; with Iceberg this is a true MERGE).
+    Both sides must share the schema."""
+    return updates.unionByName(
+        existing.join(updates.select(cellid_col), cellid_col, "left_anti")
+    )

@@ -1,0 +1,238 @@
+"""Spatial join operators (SURVEY §2.3).
+
+J1  assign_cells      — point -> cell equi-key (the index-then-hash-join core)
+J2  rasterize_polygons/pip_join — center-in-polygon burn + doc<->polygon join
+J5  knn_join          — cell-keyed kNN with prefix-block pruning + exact fallback
+
+Design: everything is DataFrame expressions; the only Python is the Arrow
+pandas-UDF cell encoder (J1).  Point-in-polygon is computed by the classic
+ray-casting parity test expressed RELATIONALLY: polygons explode to edges,
+candidates x edges join on poly_id, a crossing predicate filters, and a
+parity aggregation decides containment — no geometry library, no per-row
+Python, Catalyst-optimizable end to end.  Reference semantics: a cell belongs
+to a polygon iff its CENTER is inside (rasterio all_touched=False default,
+/root/reference/dggstools/rhpx/vector_to_rhpx.py:103-105,148-152).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..dggs.config import RHEALPixConfig, DEFAULT_CONFIG
+from ..dggs.cells import HALF_SIDE
+from ..functions.encode import cellid_from_lonlat_udf
+from ..functions import encode_sql
+
+
+def assign_cells(points: DataFrame, res: int, lon: str = "lon", lat: str = "lat",
+                 cfg: RHEALPixConfig = DEFAULT_CONFIG, out: str = "cellid",
+                 prefix_partitions: int | None = None,
+                 prefix_len: int = 3) -> DataFrame:
+    """J1: Arrow-batched point->cell assignment; optionally repartitions by
+    the cell prefix so downstream joins/aggs on cell keys are co-located
+    (the Iceberg-truncate-transform layout at cluster scale)."""
+    enc = cellid_from_lonlat_udf(res, cfg)
+    df = points.withColumn(out, enc(lon, lat))
+    if prefix_partitions:
+        df = df.repartition(prefix_partitions, F.substring(out, 1, prefix_len))
+    return df
+
+
+# --------------------------------------------------------------------------
+# J2: polygon rasterization + point-in-polygon join
+# --------------------------------------------------------------------------
+
+def polygon_edges(polygons: DataFrame, ring: str = "ring") -> DataFrame:
+    """Explode a polygon table (poly_id, ..., ring: array<struct<x,y>>) into
+    closed-ring edges (x1,y1,x2,y2).  The ring need not repeat its first
+    vertex; closure is added here."""
+    n = F.size(F.col(ring))
+    return (
+        polygons.withColumn("_i", F.explode(F.sequence(F.lit(0), n - 1)))
+        .select(
+            "*",
+            F.col(ring)[F.col("_i")]["x"].alias("x1"),
+            F.col(ring)[F.col("_i")]["y"].alias("y1"),
+            F.col(ring)[(F.col("_i") + 1) % n]["x"].alias("x2"),
+            F.col(ring)[(F.col("_i") + 1) % n]["y"].alias("y2"),
+        )
+        .drop("_i", ring)
+    )
+
+
+CROSSING = (
+    "((y1 > py) != (y2 > py)) AND (px < (x2 - x1) * (py - y1) / (y2 - y1) + x1)"
+)
+
+
+def points_in_polygons(points: DataFrame, polygons: DataFrame,
+                       px: str = "px", py: str = "py",
+                       poly_id: str = "poly_id", ring: str = "ring",
+                       broadcast_polys: bool = True) -> DataFrame:
+    """Ray-casting parity test, relationally: returns ``points`` columns +
+    ``poly_id`` for every (point, polygon) containment pair.
+
+    points x edges is pruned by a per-polygon bbox pre-filter before the
+    crossing predicate; the polygon side is broadcast when small (the usual
+    case: dimension-table-sized polygon sets against web-scale points)."""
+    edges = polygon_edges(polygons, ring)
+    bbox = edges.groupBy(poly_id).agg(
+        F.least(F.min("x1"), F.min("x2")).alias("_bxmin"),
+        F.greatest(F.max("x1"), F.max("x2")).alias("_bxmax"),
+        F.least(F.min("y1"), F.min("y2")).alias("_bymin"),
+        F.greatest(F.max("y1"), F.max("y2")).alias("_bymax"),
+    )
+    edges = edges.join(bbox, poly_id)
+    if broadcast_polys:
+        edges = F.broadcast(edges)
+    pts = points.withColumn("px", F.col(px)).withColumn("py", F.col(py)) \
+        if px != "px" or py != "py" else points
+    cand = pts.join(
+        edges,
+        (F.col("px") >= F.col("_bxmin")) & (F.col("px") <= F.col("_bxmax"))
+        & (F.col("py") >= F.col("_bymin")) & (F.col("py") <= F.col("_bymax")),
+    )
+    crossings = cand.filter(F.expr(CROSSING))
+    point_cols = [c for c in points.columns]
+    inside = (
+        crossings.groupBy(*point_cols, poly_id)
+        .agg(F.count("*").alias("_n_cross"))
+        .filter(F.col("_n_cross") % 2 == 1)
+        .drop("_n_cross")
+    )
+    return inside
+
+
+def rasterize_polygons(polygons: DataFrame, res: int,
+                       poly_id: str = "poly_id", ring: str = "ring",
+                       cfg: RHEALPixConfig = DEFAULT_CONFIG) -> DataFrame:
+    """J2 'burn': polygon table (planar-meter rings) -> cell table
+    (poly_id, cellid) of all cells at ``res`` whose CENTER lies inside.
+
+    Candidate generation: per-polygon planar bbox -> covering row/col range
+    at ``res`` -> explode -> centroid coords by pure arithmetic -> exact
+    parity test.  Cost is O(bbox cells x edges) per polygon, distributed."""
+    w = HALF_SIDE / cfg.n_side**res
+    edges = polygon_edges(polygons, ring)
+    bbox = edges.groupBy(poly_id).agg(
+        F.least(F.min("x1"), F.min("x2")).alias("xmin"),
+        F.greatest(F.max("x1"), F.max("x2")).alias("xmax"),
+        F.least(F.min("y1"), F.min("y2")).alias("ymin"),
+        F.greatest(F.max("y1"), F.max("y2")).alias("ymax"),
+    )
+    # snap bbox to the global cell lattice.  Anchor at the unfolded cube's
+    # top-left (-2s, 1.5s): every face origin is an integer number of cell
+    # widths from it, so lattice centers are exactly the cell centroids
+    # (centers are NOT at (k+0.5)w from the coordinate origin — with odd
+    # n_side the equatorial band boundary sits at half-pitch).
+    gx0 = -2.0 * HALF_SIDE
+    gy0 = 1.5 * HALF_SIDE
+    cand = bbox.select(
+        poly_id,
+        F.explode(
+            F.sequence(
+                F.floor((F.col("xmin") - gx0) / w).cast("bigint"),
+                F.floor((F.col("xmax") - gx0) / w).cast("bigint"),
+            )
+        ).alias("ci"),
+        F.col("ymin"), F.col("ymax"),
+    ).select(
+        poly_id, "ci",
+        F.explode(
+            F.sequence(
+                F.floor((gy0 - F.col("ymax")) / w).cast("bigint"),
+                F.floor((gy0 - F.col("ymin")) / w).cast("bigint"),
+            )
+        ).alias("ri"),
+    )
+    cand = cand.select(
+        poly_id,
+        (F.lit(gx0) + (F.col("ci") + 0.5) * w).alias("px"),
+        (F.lit(gy0) - (F.col("ri") + 0.5) * w).alias("py"),
+    )
+    # parity test against the candidate's OWN polygon only: equi-join on the
+    # polygon key (cheap; candidates were generated per polygon)
+    own_edges = F.broadcast(edges)
+    crossings = cand.join(own_edges, poly_id).filter(F.expr(CROSSING))
+    inside = (
+        crossings.groupBy(poly_id, "px", "py")
+        .agg(F.count("*").alias("_n_cross"))
+        .filter(F.col("_n_cross") % 2 == 1)
+    )
+    # centroid -> cellid via the planar pandas UDF (handles cap faces)
+    from ..functions.encode import cellid_from_planar_udf
+
+    enc = cellid_from_planar_udf(res, cfg)
+    return inside.select(poly_id, enc("px", "py").alias("cellid")).filter(
+        F.col("cellid").isNotNull())
+
+
+def pip_join(points: DataFrame, polygons: DataFrame, res: int,
+             lon: str = "lon", lat: str = "lat",
+             poly_id: str = "poly_id", ring: str = "ring",
+             cfg: RHEALPixConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Full J2: docs -> cellid at ``res``; polygons -> covering cells; inner
+    equi-join on cellid (the DGGS raison d'etre: PIP becomes a hash join)."""
+    cells = rasterize_polygons(polygons, res, poly_id, ring, cfg)
+    docs = assign_cells(points, res, lon, lat, cfg)
+    return docs.join(F.broadcast(cells), "cellid")
+
+
+# --------------------------------------------------------------------------
+# J5: cell-keyed kNN
+# --------------------------------------------------------------------------
+
+def knn_join_exact(points: DataFrame, queries: DataFrame, k: int,
+                   px: str = "px", py: str = "py",
+                   qid: str = "q_id", qx: str = "qx", qy: str = "qy") -> DataFrame:
+    """Exact kNN by broadcast of the (small) query side + per-query top-k.
+    Output: (q_id, point columns..., dist_m, rank)."""
+    from pyspark.sql.window import Window
+
+    pairs = points.crossJoin(F.broadcast(queries))
+    pairs = pairs.withColumn(
+        "dist_m",
+        F.sqrt((F.col(px) - F.col(qx)) ** 2 + (F.col(py) - F.col(qy)) ** 2),
+    )
+    w = Window.partitionBy(qid).orderBy("dist_m", px, py)
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def knn_join_pruned(points: DataFrame, queries: DataFrame, k: int, res: int,
+                    block_res: int,
+                    px: str = "px", py: str = "py",
+                    qid: str = "q_id", qx: str = "qx", qy: str = "qy",
+                    cfg: RHEALPixConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Cell-keyed kNN: candidates come from the query's 3x3 block
+    neighborhood at ``block_res`` (same-face planar neighbors), then exact
+    top-k; queries with under-filled neighborhoods fall back to the exact
+    broadcast path.  At cluster scale the block join is partition-local when
+    points are laid out by cell prefix."""
+    from pyspark.sql.window import Window
+
+    w_m = HALF_SIDE / cfg.n_side**block_res
+    enc_q = encode_sql  # noqa: F841  (documentational: block keys are lattice indices)
+    pts = points.withColumn("_bci", F.floor(F.col(px) / w_m).cast("bigint")) \
+                .withColumn("_bri", F.floor(F.col(py) / w_m).cast("bigint"))
+    qs = queries.withColumn("_qci", F.floor(F.col(qx) / w_m).cast("bigint")) \
+                .withColumn("_qri", F.floor(F.col(qy) / w_m).cast("bigint"))
+    neigh = qs.withColumn("_dc", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)]))) \
+              .withColumn("_dr", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)]))) \
+              .select(F.col(qid), qx, qy,
+                      (F.col("_qci") + F.col("_dc")).alias("_bci"),
+                      (F.col("_qri") + F.col("_dr")).alias("_bri"))
+    cand = pts.join(F.broadcast(neigh), ["_bci", "_bri"])
+    cand = cand.withColumn(
+        "dist_m",
+        F.sqrt((F.col(px) - F.col(qx)) ** 2 + (F.col(py) - F.col(qy)) ** 2),
+    )
+    wdw = Window.partitionBy(qid).orderBy("dist_m", px, py)
+    topk = cand.withColumn("rank", F.row_number().over(wdw)).filter(F.col("rank") <= k)
+    # guarantee: the k-th neighbor must lie within one block width, else the
+    # 3x3 neighborhood may not contain the true top-k -> exact fallback
+    per_q = topk.groupBy(qid).agg(F.count("*").alias("_n"), F.max("dist_m").alias("_dmax"))
+    ok_q = per_q.filter((F.col("_n") >= k) & (F.col("_dmax") <= w_m)).select(qid)
+    good = topk.join(F.broadcast(ok_q), qid, "inner")
+    bad_q = queries.join(F.broadcast(ok_q), qid, "left_anti")
+    fallback = knn_join_exact(points, bad_q, k, px, py, qid, qx, qy)
+    return good.drop("_bci", "_bri").unionByName(fallback, allowMissingColumns=True)

@@ -32,7 +32,10 @@ def get_spark(app_name: str = "dggstools-spark", master: str | None = None,
         .config("spark.sql.session.timeZone", "UTC")
         # keep parquet scans chunky enough for local[32]; on a cluster this is
         # left to spark.sql.files.maxPartitionBytes default (128m)
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: the driver JVM hosts all executor threads — size the
+        # heap for cpus concurrent hash-agg/shuffle tasks (measured: 8g
+        # chokes local[32] into GC at ~16M-row aggregations)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.host", "127.0.0.1")

@@ -1,0 +1,275 @@
+"""Operator-level tests: spatial joins, AUID compaction, dedup, raster ops."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dggstools_spark.dggs import auids as auids_core
+from dggstools_spark.dggs.cells import HALF_SIDE
+from dggstools_spark.operators import auid as auid_ops
+from dggstools_spark.operators import dedup, raster, spatial_join
+
+
+# --------------------------------------------------------------------------
+# J2 point-in-polygon
+# --------------------------------------------------------------------------
+
+def _square_poly(spark, poly_id, x0, y0, side):
+    ring = [{"x": x0, "y": y0}, {"x": x0 + side, "y": y0},
+            {"x": x0 + side, "y": y0 + side}, {"x": x0, "y": y0 + side}]
+    return spark.createDataFrame(
+        [(poly_id, ring)], "poly_id int, ring array<struct<x double, y double>>")
+
+
+def test_points_in_polygons_square(spark):
+    polys = _square_poly(spark, 1, 0.0, 0.0, 10.0)
+    pts = spark.createDataFrame(
+        [(1, 5.0, 5.0), (2, 9.99, 0.01), (3, 10.01, 5.0), (4, -0.01, 5.0), (5, 5.0, 11.0)],
+        "pid int, px double, py double")
+    got = spatial_join.points_in_polygons(pts, polys)
+    inside = {r.pid for r in got.collect()}
+    assert inside == {1, 2}
+
+
+def test_points_in_polygons_lshape(spark):
+    # L-shape: unit square minus its top-right quadrant
+    ring = [{"x": 0.0, "y": 0.0}, {"x": 2.0, "y": 0.0}, {"x": 2.0, "y": 1.0},
+            {"x": 1.0, "y": 1.0}, {"x": 1.0, "y": 2.0}, {"x": 0.0, "y": 2.0}]
+    polys = spark.createDataFrame([(7, ring)], "poly_id int, ring array<struct<x double, y double>>")
+    pts = spark.createDataFrame(
+        [(1, 0.5, 0.5), (2, 1.5, 0.5), (3, 0.5, 1.5), (4, 1.5, 1.5)],
+        "pid int, px double, py double")
+    got = {r.pid for r in spatial_join.points_in_polygons(pts, polys).collect()}
+    assert got == {1, 2, 3}
+
+
+def test_rasterize_polygons_center_burn(spark):
+    # square covering exactly a 3x3 block of res-2 cells on face Q:
+    # Q face ul = (0, s/2); pick cells rows 2..4, cols 1..3 at res 2 (w = s/9)
+    w = HALF_SIDE / 9
+    x0, x1 = 1 * w, 4 * w
+    y1, y0 = HALF_SIDE / 2 - 2 * w, HALF_SIDE / 2 - 5 * w
+    ring = [{"x": x0, "y": y0}, {"x": x1, "y": y0}, {"x": x1, "y": y1}, {"x": x0, "y": y1}]
+    polys = spark.createDataFrame([(1, ring)], "poly_id int, ring array<struct<x double, y double>>")
+    cells = spatial_join.rasterize_polygons(polys, 2)
+    got = sorted(r.cellid for r in cells.collect())
+    assert len(got) == 9
+    assert all(c.startswith("Q") for c in got)
+    # verify against the kernel: all cell centers must be inside the box
+    from dggstools_spark.dggs.cells import cellid_to_planar_centroid
+
+    cx, cy = cellid_to_planar_centroid(got)
+    assert ((cx > x0) & (cx < x1) & (cy > y0) & (cy < y1)).all()
+
+
+def test_pip_join_assigns_docs(spark):
+    from dggstools_spark.sources.synth import interleaved_docs
+    from dggstools_spark.functions.encode import planar_from_lonlat_udf
+
+    docs = interleaved_docs(spark, 400, 4)
+    # polygon = big square over part of the equatorial band (planar meters)
+    s = HALF_SIDE
+    ring = [{"x": -s, "y": -0.4 * s}, {"x": 0.0, "y": -0.4 * s},
+            {"x": 0.0, "y": 0.4 * s}, {"x": -s, "y": 0.4 * s}]
+    polys = spark.createDataFrame([(1, ring)], "poly_id int, ring array<struct<x double, y double>>")
+    joined = spatial_join.pip_join(docs, polys, res=3)
+    # every joined doc's planar position must be in the polygon's cell cover;
+    # sanity: all assigned docs' planar coords are within the box extended by
+    # one cell width (center-burn boundary effect)
+    fwd = planar_from_lonlat_udf()
+    got = joined.withColumn("p", fwd("lon", "lat")).select("doc_id", "p.x", "p.y").collect()
+    assert len(got) > 0
+    wcell = HALF_SIDE / 27
+    for r in got:
+        assert -s - wcell <= r.x <= 0 + wcell
+        assert -0.4 * s - wcell <= r.y <= 0.4 * s + wcell
+
+
+# --------------------------------------------------------------------------
+# J5 kNN
+# --------------------------------------------------------------------------
+
+def test_knn_pruned_matches_exact(spark):
+    rng = np.random.default_rng(3)
+    pts = spark.createDataFrame(
+        [(int(i), float(x), float(y)) for i, (x, y) in
+         enumerate(zip(rng.uniform(0, 1e6, 2000), rng.uniform(0, 1e6, 2000)))],
+        "pid long, px double, py double")
+    qs = spark.createDataFrame(
+        [(int(i), float(x), float(y)) for i, (x, y) in
+         enumerate(zip(rng.uniform(2e5, 8e5, 10), rng.uniform(2e5, 8e5, 10)))],
+        "q_id long, qx double, qy double")
+    exact = spatial_join.knn_join_exact(pts, qs, 5).select("q_id", "pid", "rank")
+    pruned = spatial_join.knn_join_pruned(pts, qs, 5, res=8, block_res=4) \
+        .select("q_id", "pid", "rank")
+    e = {(r.q_id, r.pid, r.rank) for r in exact.collect()}
+    p = {(r.q_id, r.pid, r.rank) for r in pruned.collect()}
+    assert e == p
+
+
+# --------------------------------------------------------------------------
+# A9 distributed compaction
+# --------------------------------------------------------------------------
+
+GOLDEN_SETS = [
+    (["N11", "N11", "N12", "N21", "N22", "N23", "N24"], 2),
+    (["N11", "N12", "N2", "N31", "N32", "N33", "N341", "N342", "N343"], 2),
+    (["R11", "R12", "R13", "R141", "R142", "R143", "R144"], 2),
+    (["N1", "N2", "N3", "N4", "S", "O", "Q"], 2),
+    (["R11", "R12", "R13", "R14", "R15", "R16", "R17", "R18", "R19"], 3),
+]
+
+
+def test_optimize_cells_matches_kernel(spark):
+    for cuids, n_side in GOLDEN_SETS:
+        df = spark.createDataFrame([(c,) for c in cuids], "cellid string")
+        got = sorted(r.cellid for r in auid_ops.optimize_cells(df, n_side).collect())
+        want = auids_core.optimize_cuids(cuids, n_side)
+        assert got == want, (cuids, got, want)
+
+
+def test_optimize_cells_random_equivalence(spark):
+    rng = np.random.default_rng(5)
+    for n_side in (2, 3):
+        k = n_side * n_side
+        cuids = []
+        for _ in range(300):
+            depth = rng.integers(1, 4)
+            cid = "NOPQRS"[rng.integers(0, 6)] + "".join(
+                str(rng.integers(0, k)) for _ in range(depth))
+            cuids.append(cid)
+        df = spark.createDataFrame([(c,) for c in cuids], "cellid string")
+        got = sorted(r.cellid for r in auid_ops.optimize_cells(df, n_side).collect())
+        want = auids_core.optimize_cuids(cuids, n_side)
+        assert got == want
+
+
+def test_auid_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", "N11"), ("a", "N12"), ("a", "N2"), ("b", "S1"), ("b", "S1")],
+        "g string, cellid string")
+    out = {r.group_key: r.auid_b64 for r in
+           auid_ops.auid_per_group(df, "g").collect()}
+    assert out["a"] == auids_core.generate_auid_hash_b64(["N11", "N12", "N2"])[0]
+    assert out["b"] == auids_core.generate_auid_hash_b64(["S1"])[0]
+
+
+# --------------------------------------------------------------------------
+# dedup
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def dup_corpus(spark):
+    rows = []
+    for i in range(40):
+        base = f"alpha beta gamma delta epsilon zeta eta theta doc{i // 2}"
+        rows.append((i, base))  # pairs 0/1, 2/3, ... share text
+    rows.append((100, "totally different content with no overlap whatsoever xyzzy"))
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def test_exact_dedup(dup_corpus):
+    groups = dedup.exact_dedup(dup_corpus, "text", "id")
+    sizes = sorted(r.n_docs for r in groups.collect())
+    assert sizes == [1] + [2] * 20
+
+
+def test_minhash_lsh_finds_dups(dup_corpus):
+    pairs = {(r.a_id, r.b_id) for r in
+             dedup.minhash_lsh_pairs(dup_corpus, "text", "id").collect()}
+    for i in range(0, 40, 2):
+        assert (i, i + 1) in pairs  # identical docs always collide
+    assert not any(100 in p for p in pairs)
+
+
+def test_ngram_jaccard(dup_corpus):
+    pairs = dedup.ngram_jaccard_pairs(dup_corpus, "text", "id", threshold=0.99)
+    got = {(r.a_id, r.b_id) for r in pairs.collect()}
+    assert got == {(i, i + 1) for i in range(0, 40, 2)}
+
+
+def test_simhash_identical_docs_equal(dup_corpus):
+    sh = dedup.simhash(dup_corpus, "text", "id")
+    vals = {r.id: r.simhash64 for r in sh.collect()}
+    for i in range(0, 40, 2):
+        assert vals[i] == vals[i + 1]
+
+
+def test_embedding_cosine_pairs(spark):
+    rng = np.random.default_rng(8)
+    base = rng.normal(size=16)
+    rows = []
+    for i in range(10):
+        v = base + rng.normal(scale=0.01, size=16)  # near-dups of base
+        rows.append((i, [float(x) for x in v]))
+    for i in range(10, 20):
+        rows.append((i, [float(x) for x in rng.normal(size=16)]))
+    df = spark.createDataFrame(rows, "id long, vec array<float>")
+    pairs = dedup.embedding_cosine_pairs(df, "vec", "id", threshold=0.99)
+    got = {(r.a_id, r.b_id) for r in pairs.collect()}
+    # all near-dup pairs found, no false positives among randoms
+    assert all(a < 10 and b < 10 for a, b in got)
+    assert len(got) >= 30  # most of the 45 near-dup pairs collide in >=1 bucket
+
+
+# --------------------------------------------------------------------------
+# raster ops
+# --------------------------------------------------------------------------
+
+def test_tiles_cells_roundtrip(spark):
+    rows = [("Q", r, c, float(r * 100 + c)) for r in range(9) for c in range(9)]
+    tiles = spark.createDataFrame(rows, "face string, row long, col long, band1 double")
+    cells = raster.tiles_to_cells(tiles, res=2, nodata=-9999.0)
+    assert cells.count() == 81
+    back = raster.cells_to_tiles(cells.select("cellid", "band1"))
+    got = {(r.face, r.row, r.col): r.band1 for r in back.collect()}
+    assert got == {(f, r, c): v for f, r, c, v in rows}
+
+
+def test_nodata_filter(spark):
+    rows = [("Q", 0, 0, -9999.0), ("Q", 0, 1, 5.0)]
+    tiles = spark.createDataFrame(rows, "face string, row long, col long, band1 double")
+    cells = raster.tiles_to_cells(tiles, res=1, nodata=-9999.0)
+    assert cells.count() == 1
+    cells_all = raster.tiles_to_cells(tiles, res=1, nodata=-9999.0, store_nodata=True)
+    assert cells_all.count() == 2
+
+
+def test_assemble_tile_arrays(spark):
+    rows = [("Q", r, c, float(r * 10 + c)) for r in range(3) for c in range(3)]
+    tiles = spark.createDataFrame(rows, "face string, row long, col long, band1 double")
+    cells = raster.tiles_to_cells(tiles, res=1)
+    tile_rows = raster.cells_to_tiles(cells.select("cellid", "band1"), tile_prefix_len=1)
+    arrays = raster.assemble_tile_arrays(tile_rows, res=1, tile_col="tile").collect()
+    assert len(arrays) == 1
+    a = arrays[0]
+    assert a.height == 3 and a.width == 3
+    assert a.data[1][2] == 12.0
+
+
+def test_rescale_and_explode(spark):
+    rows = [(f"Q{d}", float(d)) for d in range(9)]
+    cells = spark.createDataFrame(rows, "cellid string, band1 double")
+    up = raster.rescale_to_parent(cells, 1, agg="avg")
+    got = up.collect()
+    assert len(got) == 1 and got[0].cellid == "Q" and got[0].band1 == 4.0
+    down = raster.explode_to_children(up, 1, 3)
+    assert down.count() == 9
+    first = raster.rescale_to_parent(cells, 1, agg="first").collect()[0]
+    assert first.band1 == 0.0  # value of child Q0
+    mode = raster.rescale_to_parent(
+        spark.createDataFrame([("Q0", 1.0), ("Q1", 1.0), ("Q2", 2.0)],
+                              "cellid string, band1 double"), 1, agg="mode").collect()[0]
+    assert mode.band1 == 1.0
+
+
+def test_grid_and_merge(spark):
+    g = raster.grid(spark, 1, faces="Q")
+    rows = g.collect()
+    assert len(rows) == 9
+    ids = sorted(r.cellid for r in rows)
+    assert ids == [f"Q{i}" for i in range(9)]
+    existing = spark.createDataFrame([("Q0", 1.0), ("Q1", 2.0)], "cellid string, band1 double")
+    updates = spark.createDataFrame([("Q1", 9.0), ("Q2", 3.0)], "cellid string, band1 double")
+    merged = {r.cellid: r.band1 for r in raster.merge_cells(existing, updates).collect()}
+    assert merged == {"Q0": 1.0, "Q1": 9.0, "Q2": 3.0}
