@@ -104,12 +104,15 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             queries[name] = round(time.time() - t0, 3)
 
-    # best-of-two: the first run pays JVM JIT + Python worker spin-up; the
-    # steady-state number is what projects to a long-running cluster job
-    t_cold = flagship(spark, n_docs)
-    t_flag = min(t_cold, flagship(spark, n_docs))
+    # best-of-N: the first run pays JVM JIT + Python worker spin-up, and this
+    # sandbox has noisy neighbors — the best run approximates uncontended
+    # steady state (what projects to a long-running cluster job)
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    runs = [flagship(spark, n_docs) for _ in range(n_runs)]
+    t_flag = min(runs)
     queries["flagship_tile_assignment"] = round(t_flag, 3)
-    result["flagship_cold_sec"] = round(t_cold, 3)
+    result["flagship_cold_sec"] = round(runs[0], 3)
+    result["flagship_runs"] = [round(t, 3) for t in runs]
 
     result.update(
         {

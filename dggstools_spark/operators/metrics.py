@@ -1,0 +1,137 @@
+"""Quality/error metrics (SURVEY A1-A6).
+
+A1 class_cell_areas  — per-class cell count and true area (x 1/1.178)
+A2 class_polygon_areas — geodesic polygon area per class (authalic-sphere UDF)
+A3 rmse_bias          — RMSE + bias between two cell tables (the DGGS turns
+                        the reference's pixel-correspondence loop,
+                        utils/rasterutils.py:220-265, into an equi-join)
+A4 extent             — bbox/height/width of a cell table
+A6 line_error         — mean node<->cell-centroid geodesic distance
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import DoubleType
+
+from ..dggs.config import RHEALPixConfig, DEFAULT_CONFIG, MEAN_AREAL_DISTORTION
+from ..dggs.cells import HALF_SIDE
+
+
+def class_cell_areas(cells: DataFrame, res: int, class_col: str = "band1",
+                     cellid_col: str = "cellid",
+                     cfg: RHEALPixConfig = DEFAULT_CONFIG) -> DataFrame:
+    """A1: (class, n_cells, area_m2); planar cell area corrected by the mean
+    areal distortion 1.178 (reference vector_to_rhpx.py:455-484)."""
+    area = cfg.cell_area(res)
+    return cells.groupBy(class_col).agg(
+        F.count("*").alias("n_cells"),
+        (F.count("*") * F.lit(area)).alias("area_m2"),
+    )
+
+
+def class_polygon_areas(polygons: DataFrame, class_col: str = "class",
+                        ring_col: str = "ring") -> DataFrame:
+    """A2: sum of geodesic polygon areas per class.  Rings are lon/lat
+    degree structs; area is exact on the authalic sphere (Arrow UDF over the
+    numpy kernel)."""
+    import pandas as pd
+
+    from ..dggs import geodesy
+
+    @F.pandas_udf(DoubleType())
+    def _area(rings: pd.Series) -> pd.Series:
+        out = []
+        for ring in rings:
+            lons = [v["x"] for v in ring]
+            lats = [v["y"] for v in ring]
+            out.append(geodesy.geodesic_polygon_area(lons, lats))
+        return pd.Series(out)
+
+    return polygons.withColumn("_a", _area(ring_col)) \
+        .groupBy(class_col).agg(F.sum("_a").alias("area_m2"))
+
+
+def rmse_bias(control: DataFrame, test: DataFrame, value_col: str = "band1",
+              cellid_col: str = "cellid",
+              control_nodata: float | None = None,
+              test_nodata: float | None = None) -> DataFrame:
+    """A3: 1-row DataFrame (rmse, bias, n) comparing two cell tables on the
+    shared cell key.  Values are cast to double up front (the reference's
+    int-overflow guard, utils/rasterutils.py:245-248, is subsumed)."""
+    c = control.select(cellid_col, F.col(value_col).cast("double").alias("_vc"))
+    t = test.select(cellid_col, F.col(value_col).cast("double").alias("_vt"))
+    if control_nodata is not None:
+        c = c.filter(F.col("_vc") != control_nodata)
+    if test_nodata is not None:
+        t = t.filter(F.col("_vt") != test_nodata)
+    joined = c.join(t, cellid_col)
+    return joined.agg(
+        F.sqrt(F.avg((F.col("_vt") - F.col("_vc")) ** 2)).alias("rmse"),
+        F.avg(F.col("_vt") - F.col("_vc")).alias("bias"),
+        F.count("*").alias("n"),
+    )
+
+
+def extent(cells: DataFrame, res: int, cellid_col: str = "cellid",
+           cfg: RHEALPixConfig = DEFAULT_CONFIG) -> DataFrame:
+    """A4/A5: planar bbox + raster height/width of a (single-resolution) cell
+    table, from centroid coordinates computed by expression arithmetic."""
+    from ..operators.raster import cells_to_tiles
+
+    w = HALF_SIDE / cfg.n_side**res
+    rows = cells_to_tiles(cells.select(cellid_col), cellid_col, value_cols=[])
+    from ..dggs.cells import _face_ul
+
+    uls = _face_ul(cfg)
+    face_idx = ("CASE face WHEN 'N' THEN 0 WHEN 'O' THEN 1 WHEN 'P' THEN 2"
+                " WHEN 'Q' THEN 3 WHEN 'R' THEN 4 ELSE 5 END")
+    ulx = " ".join(f"WHEN {i} THEN {uls[i, 0]!r}" for i in range(6))
+    uly = " ".join(f"WHEN {i} THEN {uls[i, 1]!r}" for i in range(6))
+    pts = rows.select(
+        F.expr(f"CASE ({face_idx}) {ulx} END + col * {w!r}").alias("lx"),
+        F.expr(f"CASE ({face_idx}) {uly} END - row * {w!r}").alias("ty"),
+    )
+    return pts.agg(
+        F.min("lx").alias("left"),
+        (F.max("lx") + w).alias("right"),
+        F.max("ty").alias("top"),
+        (F.min("ty") - w).alias("bottom"),
+    ).select(
+        "*",
+        F.round((F.col("right") - F.col("left")) / w).cast("int").alias("width"),
+        F.round((F.col("top") - F.col("bottom")) / w).cast("int").alias("height"),
+    )
+
+
+def line_error(nodes: DataFrame, cells: DataFrame, res: int,
+               lon: str = "lon", lat: str = "lat",
+               cellid_col: str = "cellid",
+               cfg: RHEALPixConfig = DEFAULT_CONFIG) -> DataFrame:
+    """A6: mean geodesic distance node <-> centroid of its assigned cell;
+    nodes whose cell is absent from ``cells`` are penalized with one cell
+    width (reference vector_to_rhpx.py:596-637)."""
+    import pandas as pd
+
+    from ..dggs import geodesy
+    from ..functions.encode import cellid_from_lonlat_udf, cell_centroid_udf
+
+    enc = cellid_from_lonlat_udf(res, cfg)
+    cent = cell_centroid_udf(cfg, geodetic=True)
+    assigned = nodes.withColumn(cellid_col, enc(lon, lat))
+    matched = assigned.join(cells.select(cellid_col).distinct(), cellid_col, "left_semi")
+    missed = assigned.join(cells.select(cellid_col).distinct(), cellid_col, "left_anti")
+    matched = matched.withColumn("_c", cent(cellid_col))
+
+    @F.pandas_udf(DoubleType())
+    def _dist(lo1: pd.Series, la1: pd.Series, lo2: pd.Series, la2: pd.Series) -> pd.Series:
+        return pd.Series(geodesy.geodesic_distance(
+            lo1.to_numpy(), la1.to_numpy(), lo2.to_numpy(), la2.to_numpy()))
+
+    matched = matched.withColumn(
+        "err_m", _dist(F.col(lon), F.col(lat), F.col("_c.lon"), F.col("_c.lat")))
+    penalty = cfg.cell_width(res)
+    missed = missed.withColumn("err_m", F.lit(penalty))
+    both = matched.select("err_m").unionByName(missed.select("err_m"))
+    return both.agg(F.avg("err_m").alias("mean_node_error_m"),
+                    F.count("*").alias("n_nodes"))

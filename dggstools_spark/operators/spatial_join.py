@@ -192,7 +192,8 @@ def knn_join_exact(points: DataFrame, queries: DataFrame, k: int,
     pairs = points.crossJoin(F.broadcast(queries))
     pairs = pairs.withColumn(
         "dist_m",
-        F.sqrt((F.col(px) - F.col(qx)) ** 2 + (F.col(py) - F.col(qy)) ** 2),
+        F.sqrt((F.col(px) - F.col(qx)) * (F.col(px) - F.col(qx))
+               + (F.col(py) - F.col(qy)) * (F.col(py) - F.col(qy))),
     )
     w = Window.partitionBy(qid).orderBy("dist_m", px, py)
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -224,7 +225,8 @@ def knn_join_pruned(points: DataFrame, queries: DataFrame, k: int, res: int,
     cand = pts.join(F.broadcast(neigh), ["_bci", "_bri"])
     cand = cand.withColumn(
         "dist_m",
-        F.sqrt((F.col(px) - F.col(qx)) ** 2 + (F.col(py) - F.col(qy)) ** 2),
+        F.sqrt((F.col(px) - F.col(qx)) * (F.col(px) - F.col(qx))
+               + (F.col(py) - F.col(qy)) * (F.col(py) - F.col(qy))),
     )
     wdw = Window.partitionBy(qid).orderBy("dist_m", px, py)
     topk = cand.withColumn("rank", F.row_number().over(wdw)).filter(F.col("rank") <= k)

@@ -439,3 +439,10 @@ ORACLES: dict[str, str] = {
     "event_sessions": _ORACLE_SESSIONS,
     "area_per_class": _oracle_area_per_class(),
 }
+
+
+# batch-2 queries live in queries2.py and are merged below
+from .queries2 import QUERIES2, ORACLES2  # noqa: E402
+
+QUERIES.update(QUERIES2)
+ORACLES.update(ORACLES2)

@@ -1,0 +1,298 @@
+"""Driver-contract queries, batch 2: polygon PIP join, cell-keyed kNN,
+MinHash signatures, first-seen class encoding, RMSE — all oracle-checked —
+plus rows-only AUID and multimodal queries (not SQL-expressible: zlib/blake2b
+and the stub codec have no DuckDB equivalents; pytest covers them against the
+kernel instead)."""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .dggs.cells import HALF_SIDE
+from .functions import encode_sql
+from .operators import auid as auid_ops
+from .operators import spatial_join
+from .sources import synth
+
+_S = float(HALF_SIDE)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# q_pip_polygons — J2 with a polygon TABLE: rasterize + doc equi-join
+# --------------------------------------------------------------------------
+
+PIP_RES = 5
+
+
+def _poly_vertex_sql(pid: str) -> tuple[str, str, str]:
+    """Portable SQL deriving a diamond polygon center/radius (planar meters)
+    from an integer key — identical text on both engines."""
+    cx = (f"(-2.0 * {_S!r} + ((CAST({pid} AS BIGINT) * 7919) % 40000)"
+          f" / 40000.0 * 4.0 * {_S!r})")
+    cy = (f"(-0.45 * {_S!r} + ((CAST({pid} AS BIGINT) * 104729) % 9000)"
+          f" / 9000.0 * 0.9 * {_S!r})")
+    rad = f"((0.03 + (CAST({pid} AS BIGINT) % 5) * 0.015) * {_S!r})"
+    return cx, cy, rad
+
+
+def _spark_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diamond per region row: ring = 4 planar-meter vertices."""
+    cx, cy, rad = _poly_vertex_sql("r_regionkey")
+    return load(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("poly_id"),
+        F.expr(
+            f"array(named_struct('x', {cx} + {rad}, 'y', {cy}),"
+            f" named_struct('x', {cx}, 'y', {cy} + {rad}),"
+            f" named_struct('x', {cx} - {rad}, 'y', {cy}),"
+            f" named_struct('x', {cx}, 'y', {cy} - {rad}))"
+        ).alias("ring"),
+    )
+
+
+def q_pip_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id")
+    polys = _spark_polygons(spark, sf_dir)
+    joined = spatial_join.pip_join(docs, polys, PIP_RES)
+    return joined.groupBy("poly_id").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("cellid").alias("n_cells"),
+    )
+
+
+def _oracle_pip_polygons() -> str:
+    src = synth.duckdb_lonlat_select("documents", "doc_id", ["doc_id"])
+    enc = encode_sql.duckdb_encode_select(f"({src})", "lon", "lat", PIP_RES,
+                                          ["doc_id"], with_planar=True)
+    cx, cy, rad = _poly_vertex_sql("r_regionkey")
+    # the 4 diamond edges, exploded via UNION ALL; crossing parity on the
+    # doc's CELL CENTROID (cx_m, cy_m) — center-burn semantics
+    edges = " UNION ALL ".join([
+        f"SELECT r_regionkey AS poly_id, {cx} + {rad} AS x1, {cy} AS y1, {cx} AS x2, {cy} + {rad} AS y2 FROM region",
+        f"SELECT r_regionkey, {cx}, {cy} + {rad}, {cx} - {rad}, {cy} FROM region",
+        f"SELECT r_regionkey, {cx} - {rad}, {cy}, {cx}, {cy} - {rad} FROM region",
+        f"SELECT r_regionkey, {cx}, {cy} - {rad}, {cx} + {rad}, {cy} FROM region",
+    ])
+    return f"""
+    WITH pts AS ({enc}), edges AS ({edges}),
+    crossings AS (
+      SELECT p.doc_id, p.cellid, e.poly_id
+      FROM pts p JOIN edges e
+        ON ((e.y1 > p.cy_m) != (e.y2 > p.cy_m))
+       AND (p.cx_m < (e.x2 - e.x1) * (p.cy_m - e.y1) / (e.y2 - e.y1) + e.x1)),
+    inside AS (
+      SELECT doc_id, cellid, poly_id FROM crossings
+      GROUP BY doc_id, cellid, poly_id HAVING count(*) % 2 = 1)
+    SELECT poly_id, count(*) AS n_docs, count(DISTINCT cellid) AS n_cells
+    FROM inside GROUP BY poly_id
+    """
+
+
+# --------------------------------------------------------------------------
+# q_knn_cells — J5: cell-keyed kNN (pruned + exact-fallback operator)
+# --------------------------------------------------------------------------
+
+KNN_CELLS_K = 5
+
+
+def _query_points_sql(key: str) -> tuple[str, str]:
+    qx = (f"(-2.0 * {_S!r} + ((CAST({key} AS BIGINT) * 6151) % 10007)"
+          f" / 10007.0 * 4.0 * {_S!r})")
+    qy = (f"(-0.4 * {_S!r} + ((CAST({key} AS BIGINT) * 3571) % 8009)"
+          f" / 8009.0 * 0.8 * {_S!r})")
+    return qx, qy
+
+
+def q_knn_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id")
+    pts = encode_sql.spark_encode(docs, "lon", "lat", 6, with_planar=True) \
+        .select("doc_id", F.col("px_m").alias("px"), F.col("py_m").alias("py"))
+    qx, qy = _query_points_sql("n_nationkey")
+    qs = load(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 10).select(
+        F.col("n_nationkey").alias("q_id"),
+        F.expr(qx).alias("qx"), F.expr(qy).alias("qy"))
+    topk = spatial_join.knn_join_pruned(pts, qs, KNN_CELLS_K, res=8, block_res=4)
+    return topk.select("q_id", "doc_id", F.col("rank").alias("rank_k"))
+
+
+def _oracle_knn_cells() -> str:
+    src = synth.duckdb_lonlat_select("documents", "doc_id", ["doc_id"])
+    enc = encode_sql.duckdb_encode_select(f"({src})", "lon", "lat", 6,
+                                          ["doc_id"], with_planar=True)
+    qx, qy = _query_points_sql("n_nationkey")
+    return f"""
+    WITH pts AS (SELECT doc_id, px_m AS px, py_m AS py FROM ({enc})),
+    qs AS (SELECT n_nationkey AS q_id, {qx} AS qx, {qy} AS qy
+           FROM nation WHERE n_nationkey < 10),
+    pairs AS (
+      SELECT q_id, doc_id,
+             sqrt((px - qx) * (px - qx) + (py - qy) * (py - qy)) AS dist_m,
+             px, py
+      FROM pts, qs)
+    SELECT q_id, doc_id, rank_k FROM (
+      SELECT q_id, doc_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY dist_m, px, py) AS rank_k
+      FROM pairs) WHERE rank_k <= {KNN_CELLS_K}
+    """
+
+
+# --------------------------------------------------------------------------
+# q_minhash — MinHash signature (training-data near-dup primitive)
+# --------------------------------------------------------------------------
+
+N_MH = 4
+
+
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_signatures
+
+    docs = load(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, "text", "doc_id", n_hashes=N_MH, shingle_n=3)
+    return sig.select(
+        "doc_id", F.md5(F.concat(*[F.col(f"h{i}") for i in range(N_MH)])).alias("sig"))
+
+
+def _oracle_minhash() -> str:
+    mins = ", ".join(
+        f"min(md5(concat('{i}:', shingle))) AS h{i}" for i in range(N_MH))
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id,
+                  concat(t[i + 1], ' ', t[i + 2], ' ', t[i + 3]) AS shingle
+           FROM toks, range(greatest(len(t) - 2, 1)) r(i)),
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)
+    SELECT doc_id, md5(concat({', '.join(f'h{i}' for i in range(N_MH))})) AS sig
+    FROM sig
+    """
+
+
+# --------------------------------------------------------------------------
+# q_class_encode — J4: first-seen-ordered class dictionary
+# --------------------------------------------------------------------------
+
+def q_class_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    firsts = docs.groupBy("source").agg(
+        F.min("doc_id").alias("first_doc"), F.count("*").alias("n_docs"))
+    w = Window.orderBy("first_doc")
+    return firsts.withColumn("class_id", F.dense_rank().over(w)) \
+        .select("source", "class_id", "n_docs")
+
+
+_ORACLE_CLASS_ENCODE = """
+SELECT source,
+       CAST(dense_rank() OVER (ORDER BY first_doc) AS INT) AS class_id,
+       n_docs
+FROM (SELECT source, min(doc_id) AS first_doc, count(*) AS n_docs
+      FROM documents GROUP BY source)
+"""
+
+
+# --------------------------------------------------------------------------
+# q_rmse — A3: RMSE/bias between two derived cell tables
+# --------------------------------------------------------------------------
+
+def q_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id")
+    cells = encode_sql.spark_encode(docs, "lon", "lat", 6).select(
+        "doc_id", "cellid",
+        ((F.col("doc_id") * 31) % 97).cast("double").alias("v1"),
+        (((F.col("doc_id") * 31) % 97) + ((F.col("doc_id") * 17) % 7) - 3)
+        .cast("double").alias("v2"),
+    )
+    control = cells.groupBy("cellid").agg(F.avg("v1").alias("band1"))
+    test = cells.groupBy("cellid").agg(F.avg("v2").alias("band1"))
+    from .operators.metrics import rmse_bias
+
+    out = rmse_bias(control, test)
+    return out.select(
+        F.round(F.col("rmse") * 1e6).cast("bigint").alias("rmse_um"),
+        F.round(F.col("bias") * 1e6).cast("bigint").alias("bias_um"),
+        F.col("n"),
+    )
+
+
+def _oracle_rmse() -> str:
+    src = synth.duckdb_lonlat_select("documents", "doc_id", ["doc_id"])
+    enc = encode_sql.duckdb_encode_select(f"({src})", "lon", "lat", 6, ["doc_id"])
+    return f"""
+    WITH cells AS (
+      SELECT doc_id, cellid,
+             CAST((doc_id * 31) % 97 AS DOUBLE) AS v1,
+             CAST((doc_id * 31) % 97 + (doc_id * 17) % 7 - 3 AS DOUBLE) AS v2
+      FROM ({enc})),
+    control AS (SELECT cellid, avg(v1) AS c FROM cells GROUP BY cellid),
+    test AS (SELECT cellid, avg(v2) AS t FROM cells GROUP BY cellid)
+    SELECT CAST(round(sqrt(avg((t - c) * (t - c))) * 1e6) AS BIGINT) AS rmse_um,
+           CAST(round(avg(t - c) * 1e6) AS BIGINT) AS bias_um,
+           count(*) AS n
+    FROM control JOIN test USING (cellid)
+    """
+
+
+# --------------------------------------------------------------------------
+# rows-only queries (no SQL-expressible oracle; pytest covers semantics)
+# --------------------------------------------------------------------------
+
+def q_auid_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: canonical AUID per source group (zlib/blake2b in executors)."""
+    docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id")
+    cells = encode_sql.spark_encode(docs, "lon", "lat", 3).select("source", "cellid")
+    return auid_ops.auid_per_group(cells, "source", optimize_n_side=3)
+
+
+def q_auid_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: distributed compaction of the docs' res-4 cell cover."""
+    docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id")
+    cells = encode_sql.spark_encode(docs, "lon", "lat", 4).select("cellid")
+    # make complete sibling sets likely: union all children of res-2 covers
+    k = 9
+    seeded = cells.select(F.substring("cellid", 1, 3).alias("cellid")).distinct() \
+        .withColumn("cellid", F.explode(F.expr(
+            f"transform(sequence(0, {k - 1}), d -> concat(cellid, CAST(d AS STRING)))")))
+    both = cells.unionByName(seeded).dropDuplicates(["cellid"])
+    return auid_ops.optimize_cells(both, 3)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthesize binary blobs from doc text (stand-in
+    for image bytes), run the mapInPandas feature extractor (stub codec)."""
+    from .functions.media import extract_features
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.lit("blob://"), F.md5("text")).alias("media_ref"),
+        F.encode(F.md5("text"), "utf-8").alias("blob"),
+    )
+    feats = extract_features(docs)
+    return feats.select(
+        "doc_id", "media_ref", "feat_dim",
+        F.round(F.element_at("feature", 1) * 1e6).cast("bigint").alias("f0_um"),
+    )
+
+
+QUERIES2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pip_polygons": q_pip_polygons,
+    "knn_cells": q_knn_cells,
+    "minhash": q_minhash,
+    "class_encode": q_class_encode,
+    "rmse": q_rmse,
+    "auid_groups": q_auid_groups,
+    "auid_optimize": q_auid_optimize,
+    "media_features": q_media_features,
+}
+
+ORACLES2: dict[str, str] = {
+    "pip_polygons": _oracle_pip_polygons(),
+    "knn_cells": _oracle_knn_cells(),
+    "minhash": _oracle_minhash(),
+    "class_encode": _ORACLE_CLASS_ENCODE,
+    "rmse": _oracle_rmse(),
+}

@@ -1,0 +1,135 @@
+"""Tests for lineage/checkpointed writes, metrics, cell IO, media stubs."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dggstools_spark.operators import metrics
+from dggstools_spark.plans import lineage
+from dggstools_spark.sources import cells_io
+from dggstools_spark.functions import media
+
+
+def test_checkpointed_write_resume(spark, tmp_path):
+    root = str(tmp_path / "ckpt")
+    df = spark.createDataFrame(
+        [(f"Q{i % 3}{i % 9}", float(i)) for i in range(90)],
+        "cellid string, band1 double",
+    ).withColumn("prefix", F.substring("cellid", 1, 2))
+    res = lineage.run_batches(df, root, "prefix", ["cellid"])
+    assert all(res.values()) and len(res) == 3
+    # resume: nothing re-runs
+    res2 = lineage.run_batches(df, root, "prefix", ["cellid"])
+    assert not any(res2.values())
+    # data is complete and deduplicated per batch
+    data = spark.read.parquet(f"{root}/data")
+    assert data.count() == 90
+    lin = spark.read.parquet(f"{root}/_lineage")
+    assert lin.agg(F.sum("n_rows")).first()[0] == 90
+    # replay after losing a commit marker overwrites deterministically
+    batches = spark.read.parquet(f"{root}/_batches").filter(F.col("batch_key") != "Q0")
+    batches.write.mode("overwrite").parquet(f"{root}/_batches_new")
+    os.system(f"rm -rf {root}/_batches && mv {root}/_batches_new {root}/_batches")
+    res3 = lineage.run_batches(df, root, "prefix", ["cellid"])
+    assert res3 == {"Q0": True, "Q1": False, "Q2": False}
+    assert spark.read.parquet(f"{root}/data").count() == 90
+
+
+def test_rmse_bias_zero_on_identity(spark):
+    cells = spark.createDataFrame(
+        [(f"Q{i}", float(i)) for i in range(9)], "cellid string, band1 double")
+    row = metrics.rmse_bias(cells, cells).first()
+    assert row.rmse == 0.0 and row.bias == 0.0 and row.n == 9
+
+
+def test_rmse_known_offset(spark):
+    c = spark.createDataFrame([(f"Q{i}", 1.0) for i in range(9)], "cellid string, band1 double")
+    t = spark.createDataFrame([(f"Q{i}", 3.0) for i in range(9)], "cellid string, band1 double")
+    row = metrics.rmse_bias(c, t).first()
+    assert row.rmse == pytest.approx(2.0) and row.bias == pytest.approx(2.0)
+
+
+def test_class_cell_areas(spark):
+    from dggstools_spark.dggs.config import DEFAULT_CONFIG
+
+    cells = spark.createDataFrame(
+        [("Q0", 1), ("Q1", 1), ("Q2", 2)], "cellid string, band1 int")
+    rows = {r.band1: r for r in metrics.class_cell_areas(cells, 1).collect()}
+    assert rows[1].n_cells == 2
+    assert rows[1].area_m2 == pytest.approx(2 * DEFAULT_CONFIG.cell_area(1))
+
+
+def test_class_polygon_areas_matches_kernel(spark):
+    from dggstools_spark.dggs import geodesy
+
+    ring = [{"x": 0.0, "y": 0.0}, {"x": 1.0, "y": 0.0}, {"x": 1.0, "y": 1.0},
+            {"x": 0.0, "y": 1.0}]
+    polys = spark.createDataFrame([("a", ring)], "class string, ring array<struct<x double, y double>>")
+    got = metrics.class_polygon_areas(polys).first()
+    want = geodesy.geodesic_polygon_area([0, 1, 1, 0], [0, 0, 1, 1])
+    assert got.area_m2 == pytest.approx(want, rel=1e-12)
+
+
+def test_extent(spark):
+    # 3x3 block on face Q at res 1 = the whole face
+    cells = spark.createDataFrame([(f"Q{i}",) for i in range(9)], "cellid string")
+    row = metrics.extent(cells, 1).first()
+    from dggstools_spark.dggs.cells import HALF_SIDE
+
+    assert row.width == 3 and row.height == 3
+    assert row.left == pytest.approx(0.0)
+    assert row.right == pytest.approx(HALF_SIDE)
+
+
+def test_line_error_zero_for_centroids(spark):
+    from dggstools_spark.dggs.cells import cellid_to_lonlat_centroid
+
+    ids = ["Q34", "P12", "O77"]
+    lon, lat = cellid_to_lonlat_centroid(ids)
+    nodes = spark.createDataFrame(
+        [(float(lo), float(la)) for lo, la in zip(lon, lat)], "lon double, lat double")
+    cells = spark.createDataFrame([(c,) for c in ids], "cellid string")
+    row = metrics.line_error(nodes, cells, 2).first()
+    assert row.mean_node_error_m == pytest.approx(0.0, abs=1e-3)
+    # missing cells get the one-cell-width penalty
+    row2 = metrics.line_error(nodes, cells.limit(0), 2).first()
+    from dggstools_spark.dggs.config import DEFAULT_CONFIG
+
+    assert row2.mean_node_error_m == pytest.approx(DEFAULT_CONFIG.cell_width(2))
+
+
+def test_cells_io_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "celltable")
+    df = spark.createDataFrame(
+        [(f"Q{i % 9}{i % 3}", float(i)) for i in range(27)], "cellid string, band1 double")
+    attrs = cells_io.build_attrs(res_idx=2, nbands=1, nodata=-9999.0)
+    cells_io.write_cells(df, path, attrs)
+    back, attrs2 = cells_io.read_cells(spark, path)
+    assert back.count() == df.dropDuplicates(["cellid"]).count() or back.count() == 27
+    assert attrs2["res_idx"] == 2
+    assert attrs2["rhealpixdggs"]["n_side"] == 3
+    pruned, _ = cells_io.read_cells(spark, path, prefix="Q1")
+    assert pruned.count() == df.filter(F.col("cellid").startswith("Q1")).count()
+    assert cells_io.read_attrs(path)["nbands"] == 1
+
+
+def test_media_feature_extraction(spark):
+    df = spark.createDataFrame(
+        [("d1", "blob://a", b"hello world"), ("d2", "blob://b", b""),
+         ("d3", "blob://c", b"hello world")],
+        "doc_id string, media_ref string, blob binary")
+    feats = media.extract_features(df).collect()
+    by_id = {r.doc_id: r for r in feats}
+    assert by_id["d1"].feat_dim == 64 and len(by_id["d1"].feature) == 64
+    assert by_id["d1"].feature == by_id["d3"].feature  # deterministic
+    assert all(v == 0.0 for v in by_id["d2"].feature)  # empty blob -> zeros
+
+
+def test_media_resize_and_frames(spark):
+    df = spark.createDataFrame([("d1", b"0123456789abcdef")], "doc_id string, blob binary")
+    rs = media.resize_images(df, target=4).collect()[0]
+    assert len(rs.resized) == 4
+    fr = media.sample_frames(df, every=8, n_frames=32).collect()
+    assert [r.frame_idx for r in fr] == [0, 8, 16, 24]
+    assert all(len(r.frame) == 32 for r in fr)
