@@ -59,7 +59,12 @@ def optimize_cells(df: DataFrame, n_side: int, cellid_col: str = "cellid",
     k = n_side * n_side
     keys = ([group_col] if group_col else [])
 
-    cells = df.select(*keys, cellid_col).dropDuplicates(keys + [cellid_col])
+    # sever the input lineage first: the fixpoint references `cells` several
+    # times per level (children/deeper/parents/doomed), and an unmaterialized
+    # deep expression lineage (e.g. the expression cell encoder) would be
+    # inlined into every copy by CollapseProject — exponential plan blowup
+    cells = df.select(*keys, cellid_col).dropDuplicates(keys + [cellid_col]) \
+        .localCheckpoint(eager=True)
     max_len = cells.agg(F.max(F.length(cellid_col))).first()[0] or 0
     # walk levels deepest-first; collapses at level L create parents at L-1,
     # which the next iteration re-examines — cascades terminate at the base

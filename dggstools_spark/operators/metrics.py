@@ -9,8 +9,7 @@ A4 extent             — bbox/height/width of a cell table
 A6 line_error         — mean node<->cell-centroid geodesic distance
 """
 
-from __future__ import annotations
-
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import DoubleType
 
@@ -35,8 +34,6 @@ def class_polygon_areas(polygons: DataFrame, class_col: str = "class",
     """A2: sum of geodesic polygon areas per class.  Rings are lon/lat
     degree structs; area is exact on the authalic sphere (Arrow UDF over the
     numpy kernel)."""
-    import pandas as pd
-
     from ..dggs import geodesy
 
     @F.pandas_udf(DoubleType())
@@ -111,8 +108,6 @@ def line_error(nodes: DataFrame, cells: DataFrame, res: int,
     """A6: mean geodesic distance node <-> centroid of its assigned cell;
     nodes whose cell is absent from ``cells`` are penalized with one cell
     width (reference vector_to_rhpx.py:596-637)."""
-    import pandas as pd
-
     from ..dggs import geodesy
     from ..functions.encode import cellid_from_lonlat_udf, cell_centroid_udf
 

@@ -230,6 +230,10 @@ def knn_join_pruned(points: DataFrame, queries: DataFrame, k: int, res: int,
     )
     wdw = Window.partitionBy(qid).orderBy("dist_m", px, py)
     topk = cand.withColumn("rank", F.row_number().over(wdw)).filter(F.col("rank") <= k)
+    # materialize: topk feeds three downstream branches (guarantee check,
+    # survivors, fallback anti-join); without a cut, each branch re-runs the
+    # candidate pipeline and re-inlines the caller's (possibly deep) lineage
+    topk = topk.localCheckpoint(eager=True)
     # guarantee: the k-th neighbor must lie within one block width, else the
     # 3x3 neighborhood may not contain the true top-k -> exact fallback
     per_q = topk.groupBy(qid).agg(F.count("*").alias("_n"), F.max("dist_m").alias("_dmax"))

@@ -32,9 +32,11 @@ def lineage_rows(df: DataFrame, batch_key: str, key_cols: list[str]) -> DataFram
     an order-insensitive xor/sum checksum over the key columns, cheap enough
     to run inline with the write."""
     tagged = with_lineage(df, batch_key)
+    # xor-fold: order-insensitive and overflow-free (ANSI mode forbids a
+    # plain sum of 64-bit hashes)
     return tagged.groupBy("batch_key", "_pid").agg(
         F.count("*").alias("n_rows"),
-        F.sum(F.xxhash64(*key_cols)).alias("checksum"),
+        F.expr(f"bit_xor(xxhash64({', '.join(key_cols)}))").alias("checksum"),
     ).withColumnRenamed("_pid", "partition_id") \
      .withColumn("written_at", F.lit(int(time.time())))
 

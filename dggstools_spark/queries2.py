@@ -37,7 +37,7 @@ def _poly_vertex_sql(pid: str) -> tuple[str, str, str]:
           f" / 40000.0 * 4.0 * {_S!r})")
     cy = (f"(-0.45 * {_S!r} + ((CAST({pid} AS BIGINT) * 104729) % 9000)"
           f" / 9000.0 * 0.9 * {_S!r})")
-    rad = f"((0.03 + (CAST({pid} AS BIGINT) % 5) * 0.015) * {_S!r})"
+    rad = f"((0.12 + (CAST({pid} AS BIGINT) % 5) * 0.05) * {_S!r})"
     return cx, cy, rad
 
 
@@ -112,6 +112,11 @@ def q_knn_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id")
     pts = encode_sql.spark_encode(docs, "lon", "lat", 6, with_planar=True) \
         .select("doc_id", F.col("px_m").alias("px"), F.col("py_m").alias("py"))
+    # cut the expression-encoder lineage: the kNN operator references the
+    # point columns many times (block keys, distance, tie-breaks) and
+    # CollapseProject would inline the deep encode tree into each reference —
+    # whole-stage-codegen then spends ~45 s in janino compilation
+    pts = pts.localCheckpoint(eager=False)
     qx, qy = _query_points_sql("n_nationkey")
     qs = load(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 10).select(
         F.col("n_nationkey").alias("q_id"),
@@ -163,8 +168,9 @@ def _oracle_minhash() -> str:
     return f"""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     sh AS (SELECT doc_id,
-                  concat(t[i + 1], ' ', t[i + 2], ' ', t[i + 3]) AS shingle
-           FROM toks, range(greatest(len(t) - 2, 1)) r(i)),
+                  unnest(list_transform(range(greatest(len(t) - 2, 1)),
+                         i -> concat(t[i + 1], ' ', t[i + 2], ' ', t[i + 3]))) AS shingle
+           FROM toks),
     sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)
     SELECT doc_id, md5(concat({', '.join(f'h{i}' for i in range(N_MH))})) AS sig
     FROM sig
@@ -200,6 +206,12 @@ FROM (SELECT source, min(doc_id) AS first_doc, count(*) AS n_docs
 # --------------------------------------------------------------------------
 
 def q_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOTE: control/test come from ONE aggregation pass instead of two aggs
+    # + metrics.rmse_bias join: duplicating the 20-step expression-encode
+    # lineage on both sides of a join makes CollapseProject inline the
+    # encode chain into itself -> exponential expression blowup.  (The
+    # general two-table case, metrics.rmse_bias, is fine: its inputs are
+    # materialized tables, not shared deep expression lineages.)
     docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id")
     cells = encode_sql.spark_encode(docs, "lon", "lat", 6).select(
         "doc_id", "cellid",
@@ -207,15 +219,13 @@ def q_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
         (((F.col("doc_id") * 31) % 97) + ((F.col("doc_id") * 17) % 7) - 3)
         .cast("double").alias("v2"),
     )
-    control = cells.groupBy("cellid").agg(F.avg("v1").alias("band1"))
-    test = cells.groupBy("cellid").agg(F.avg("v2").alias("band1"))
-    from .operators.metrics import rmse_bias
-
-    out = rmse_bias(control, test)
-    return out.select(
-        F.round(F.col("rmse") * 1e6).cast("bigint").alias("rmse_um"),
-        F.round(F.col("bias") * 1e6).cast("bigint").alias("bias_um"),
-        F.col("n"),
+    per_cell = cells.groupBy("cellid").agg(
+        F.avg("v1").alias("c"), F.avg("v2").alias("t"))
+    return per_cell.agg(
+        F.round(F.sqrt(F.avg((F.col("t") - F.col("c")) * (F.col("t") - F.col("c"))))
+                * 1e6).cast("bigint").alias("rmse_um"),
+        F.round(F.avg(F.col("t") - F.col("c")) * 1e6).cast("bigint").alias("bias_um"),
+        F.count("*").alias("n"),
     )
 
 

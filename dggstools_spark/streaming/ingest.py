@@ -1,0 +1,54 @@
+"""Structured-Streaming ingest: continuous doc arrival -> cell assignment ->
+per-tile windowed counts.
+
+The reference is pure batch (SURVEY §2.8) and the north rule's resumability
+story is batch-MERGE (plans/lineage.py); this module is the additive
+streaming surface a training-data pipeline needs for continuous ingest:
+file-source -> Arrow pandas-UDF encode (same kernel as batch, so streaming
+and batch assignments are identical by construction) -> event-time windowed
+per-tile aggregation with a watermark for late data -> parquet/console sink.
+Checkpointing is Spark's own (streaming checkpointLocation)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..dggs.config import RHEALPixConfig, DEFAULT_CONFIG
+from ..functions.encode import cellid_from_lonlat_udf
+
+
+def read_doc_stream(spark: SparkSession, path: str,
+                    schema: str = ("doc_id string, lon double, lat double,"
+                                   " event_time timestamp")) -> DataFrame:
+    """File-based doc stream (each micro-batch = new files under ``path``)."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def tile_counts_stream(docs: DataFrame, res: int = 8, tile_res: int = 4,
+                       window: str = "1 minute", watermark: str = "2 minutes",
+                       cfg: RHEALPixConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Streaming per-tile windowed counts with late-data watermark."""
+    enc = cellid_from_lonlat_udf(res, cfg)
+    assigned = (
+        docs.withColumn("cellid", enc("lon", "lat"))
+        .withColumn("tile", F.substring("cellid", 1, tile_res + 1))
+        .withWatermark("event_time", watermark)
+    )
+    return assigned.groupBy(
+        F.window("event_time", window).alias("win"), "tile"
+    ).agg(F.count("*").alias("n_docs"))
+
+
+def run_to_sink(counts: DataFrame, out_path: str, checkpoint: str,
+                available_now: bool = True):
+    """Write the stream (append mode needs the watermark above); with
+    ``available_now`` processes everything currently available then stops —
+    the deterministic mode used in tests."""
+    writer = (
+        counts.writeStream.outputMode("append")
+        .format("parquet").option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
