@@ -27,11 +27,20 @@ from ..functions import encode_sql
 def assign_cells(points: DataFrame, res: int, lon: str = "lon", lat: str = "lat",
                  cfg: RHEALPixConfig = DEFAULT_CONFIG, out: str = "cellid",
                  prefix_partitions: int | None = None,
-                 prefix_len: int = 3) -> DataFrame:
+                 prefix_len: int = 3,
+                 single_eval: bool = False) -> DataFrame:
     """J1: Arrow-batched point->cell assignment; optionally repartitions by
     the cell prefix so downstream joins/aggs on cell keys are co-located
-    (the Iceberg-truncate-transform layout at cluster scale)."""
+    (the Iceberg-truncate-transform layout at cluster scale).
+
+    ``single_eval`` marks the UDF non-deterministic, which stops Catalyst
+    from splitting it into a pushed ``IsNotNull`` filter + projection (two
+    Python evaluations per row when the column feeds an inner join).  Use it
+    when the cellid feeds joins; leave off when it feeds groupBy expressions
+    directly."""
     enc = cellid_from_lonlat_udf(res, cfg)
+    if single_eval:
+        enc = enc.asNondeterministic()
     df = points.withColumn(out, enc(lon, lat))
     if prefix_partitions:
         df = df.repartition(prefix_partitions, F.substring(out, 1, prefix_len))
@@ -159,10 +168,12 @@ def rasterize_polygons(polygons: DataFrame, res: int,
         .agg(F.count("*").alias("_n_cross"))
         .filter(F.col("_n_cross") % 2 == 1)
     )
-    # centroid -> cellid via the planar pandas UDF (handles cap faces)
+    # centroid -> cellid via the planar pandas UDF (handles cap faces);
+    # non-deterministic marking keeps the isNotNull filter from duplicating
+    # the Python evaluation (see assign_cells single_eval)
     from ..functions.encode import cellid_from_planar_udf
 
-    enc = cellid_from_planar_udf(res, cfg)
+    enc = cellid_from_planar_udf(res, cfg).asNondeterministic()
     return inside.select(poly_id, enc("px", "py").alias("cellid")).filter(
         F.col("cellid").isNotNull())
 
@@ -174,8 +185,8 @@ def pip_join(points: DataFrame, polygons: DataFrame, res: int,
     """Full J2: docs -> cellid at ``res``; polygons -> covering cells; inner
     equi-join on cellid (the DGGS raison d'etre: PIP becomes a hash join)."""
     cells = rasterize_polygons(polygons, res, poly_id, ring, cfg)
-    docs = assign_cells(points, res, lon, lat, cfg)
-    return docs.join(F.broadcast(cells), "cellid")
+    docs = assign_cells(points, res, lon, lat, cfg, single_eval=True)
+    return docs.filter(F.col("cellid").isNotNull()).join(F.broadcast(cells), "cellid")
 
 
 # --------------------------------------------------------------------------
