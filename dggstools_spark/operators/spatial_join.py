@@ -74,6 +74,12 @@ CROSSING = (
 )
 
 
+def _corner_side(sx: str, sy: str, h: float) -> str:
+    """Signed side of cell corner (px±h, py±h) relative to the edge line."""
+    return (f"((x2 - x1) * ((py {sy} {h!r}) - y1)"
+            f" - (y2 - y1) * ((px {sx} {h!r}) - x1))")
+
+
 def points_in_polygons(points: DataFrame, polygons: DataFrame,
                        px: str = "px", py: str = "py",
                        poly_id: str = "poly_id", ring: str = "ring",
@@ -114,9 +120,14 @@ def points_in_polygons(points: DataFrame, polygons: DataFrame,
 
 def rasterize_polygons(polygons: DataFrame, res: int,
                        poly_id: str = "poly_id", ring: str = "ring",
-                       cfg: RHEALPixConfig = DEFAULT_CONFIG) -> DataFrame:
+                       cfg: RHEALPixConfig = DEFAULT_CONFIG,
+                       all_touched: bool = False) -> DataFrame:
     """J2 'burn': polygon table (planar-meter rings) -> cell table
-    (poly_id, cellid) of all cells at ``res`` whose CENTER lies inside.
+    (poly_id, cellid).  Default: cells whose CENTER lies inside (rasterio
+    all_touched=False).  ``all_touched=True``: any overlap — center-inside
+    UNION cells whose rectangle intersects any polygon edge (exact
+    separating-axis test: bbox overlap + the four cell corners are not all
+    strictly on one side of the edge; reference vector_to_rhpx.py:103-105).
 
     Candidate generation: per-polygon planar bbox -> covering row/col range
     at ``res`` -> explode -> centroid coords by pure arithmetic -> exact
@@ -167,7 +178,26 @@ def rasterize_polygons(polygons: DataFrame, res: int,
         crossings.groupBy(poly_id, "px", "py")
         .agg(F.count("*").alias("_n_cross"))
         .filter(F.col("_n_cross") % 2 == 1)
+        .select(poly_id, "px", "py")
     )
+    if all_touched:
+        h = w / 2.0
+        sat = (
+            # separating axes: the two rect normals (bbox overlap) ...
+            f"least(x1, x2) <= px + {h!r} AND greatest(x1, x2) >= px - {h!r}"
+            f" AND least(y1, y2) <= py + {h!r} AND greatest(y1, y2) >= py - {h!r}"
+            # ... and the edge normal: corners not all strictly on one side
+            " AND NOT ("
+            f"  least({_corner_side('-', '-', h)}, {_corner_side('+', '-', h)},"
+            f"        {_corner_side('-', '+', h)}, {_corner_side('+', '+', h)}) > 0"
+            f"  OR greatest({_corner_side('-', '-', h)}, {_corner_side('+', '-', h)},"
+            f"        {_corner_side('-', '+', h)}, {_corner_side('+', '+', h)}) < 0)"
+        )
+        touched = (
+            cand.join(own_edges, poly_id).filter(F.expr(sat))
+            .select(poly_id, "px", "py").distinct()
+        )
+        inside = inside.unionByName(touched).distinct()
     # centroid -> cellid via the planar pandas UDF (handles cap faces);
     # non-deterministic marking keeps the isNotNull filter from duplicating
     # the Python evaluation (see assign_cells single_eval)
