@@ -42,30 +42,35 @@ def materialize_docs(spark, n_docs: int) -> str:
 def flagship(spark, n_docs: int) -> float:
     """Spatial-join + tile-assignment throughput; returns seconds.
 
-    parquet scan -> Arrow pandas-UDF cell encode (res 8) -> tile key = cell
-    prefix (res 4) -> per-tile aggregation with the span payload carried
-    through.  The groupBy key is the cell prefix, the unit of
-    partitioning/skew handling at cluster scale."""
+    parquet scan -> Arrow pandas-UDF cell encode (res 8, packed int64 keys)
+    -> tile key (res 4, integer arithmetic) -> per-tile aggregation with the
+    span payload carried through.  The groupBy key is the cell prefix, the
+    unit of partitioning/skew handling at cluster scale."""
     from pyspark.sql import functions as F
 
-    from dggstools_spark.functions.encode import cellid_from_lonlat_udf
+    from dggstools_spark.functions.encode import cellkey_from_lonlat_udf, tile_key_expr
 
     path = materialize_docs(spark, n_docs)
     docs = spark.read.parquet(path)
-    enc = cellid_from_lonlat_udf(8)
-    # Scale-critical plan choices (see BENCH.md):
+    enc = cellkey_from_lonlat_udf(8)
+    # Scale-critical plan choices (see BENCH.md / SCALE.md):
     # 1. project narrow BEFORE the pandas UDF: every column alive across an
     #    ArrowEvalPython node rides its JVM row queue, so the nested spans
     #    payload is reduced to size(spans) first (5-10x on this job);
-    # 2. exact per-tile distinct via two-level agg (tile,cellid)->(tile):
+    # 2. exact per-tile distinct via two-level agg (tile,cell)->(tile):
     #    map-side partial aggs keep the shuffle at ~#cells rows, ~3x cheaper
-    #    than countDistinct's expand.
+    #    than countDistinct's expand;
+    # 3. packed int64 cell keys instead of UTF8 cellid strings through the
+    #    shuffle: 8-byte fixed-width keys, no Python string objects in the
+    #    Arrow batches, no UTF8String copies in the hash aggregate
+    #    (measured 4-5x on this job; display form is recoverable via
+    #    dggs.cells.cellkey_to_cellid).
     narrow = docs.select("doc_id", "lon", "lat", F.size("spans").alias("n_spans"))
     t0 = time.time()
     (
-        narrow.withColumn("cellid", enc("lon", "lat"))
-        .withColumn("tile", F.substring("cellid", 1, 5))
-        .groupBy("tile", "cellid")
+        narrow.withColumn("ck", enc("lon", "lat"))
+        .withColumn("tile", tile_key_expr("ck", 8, 4))
+        .groupBy("tile", "ck")
         .agg(F.count("*").alias("n"), F.sum("n_spans").alias("s"))
         .groupBy("tile")
         .agg(

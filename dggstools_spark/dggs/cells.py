@@ -185,3 +185,45 @@ def cellid_to_vertices(cellids, cfg: RHEALPixConfig = DEFAULT_CONFIG):
     out[:, 2, 0], out[:, 2, 1] = ulx + w, uly - w
     out[:, 3, 0], out[:, 3, 1] = ulx, uly - w
     return out
+
+
+# --------------------------------------------------------------------------
+# packed integer cell keys (shuffle-friendly: 8-byte longs instead of UTF8
+# strings; no Python object creation in the Arrow path)
+# --------------------------------------------------------------------------
+
+def pack_cellkey(face: np.ndarray, row: np.ndarray, col: np.ndarray, res: int,
+                 cfg: RHEALPixConfig = DEFAULT_CONFIG) -> np.ndarray:
+    """(face, row, col) at ``res`` -> int64 key ((face*m + row)*m + col);
+    -1 where face < 0.  m = n_side**res (fits int64 for res <= 19)."""
+    m = np.int64(cfg.n_side**res)
+    key = (face.astype(np.int64) * m + row) * m + col
+    return np.where(face >= 0, key, np.int64(-1))
+
+
+def unpack_cellkey(key: np.ndarray, res: int,
+                   cfg: RHEALPixConfig = DEFAULT_CONFIG):
+    """int64 key -> (face, row, col)."""
+    m = np.int64(cfg.n_side**res)
+    key = np.asarray(key, dtype=np.int64)
+    col = key % m
+    rem = key // m
+    row = rem % m
+    face = rem // m
+    return face, row, col
+
+
+def lonlat_to_cellkey(lon: np.ndarray, lat: np.ndarray, res: int,
+                      cfg: RHEALPixConfig = DEFAULT_CONFIG) -> np.ndarray:
+    """lon/lat degrees -> packed int64 cell key at ``res`` (-1 off-cube)."""
+    x, y = projection.forward(lon, lat, cfg.north_square, cfg.south_square)
+    face, row, col = planar_to_face_rowcol(x, y, res, cfg)
+    return pack_cellkey(face, row, col, res, cfg)
+
+
+def cellkey_to_cellid(key: np.ndarray, res: int,
+                      cfg: RHEALPixConfig = DEFAULT_CONFIG) -> np.ndarray:
+    """packed key -> cellid string (None for -1)."""
+    face, row, col = unpack_cellkey(key, res, cfg)
+    face = np.where(np.asarray(key) >= 0, face, -1)
+    return _assemble_cellids(face.astype(np.int64), row, col, res, cfg)

@@ -89,3 +89,35 @@ def cell_centroid_udf(cfg: RHEALPixConfig = DEFAULT_CONFIG, geodetic: bool = Fal
         return pd.DataFrame({cols[0]: out_x, cols[1]: out_y})
 
     return _centroid
+
+
+def cellkey_from_lonlat_udf(res: int, cfg: RHEALPixConfig = DEFAULT_CONFIG):
+    """pandas UDF: (lon, lat) -> packed int64 cell key (-1 off-cube).
+
+    The shuffle-friendly encoding: 8-byte fixed-width keys instead of UTF8
+    strings (no Python string objects in the Arrow batch, ~2.5x lighter
+    rows through exchanges and hash aggregates).  Convert to display form
+    with dggs.cells.cellkey_to_cellid or tile_key_expr/cellkey arithmetic."""
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def _encode(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        out = cells.lonlat_to_cellkey(lon.to_numpy(), lat.to_numpy(), res, cfg)
+        return pd.Series(out)
+
+    return _encode
+
+
+def tile_key_expr(cellkey_col: str, res: int, tile_res: int,
+                  cfg: RHEALPixConfig = DEFAULT_CONFIG):
+    """Column expression: packed key at ``res`` -> packed key at the coarser
+    ``tile_res`` (pure integer arithmetic, codegen-friendly)."""
+    m = cfg.n_side**res
+    mt = cfg.n_side**tile_res
+    d = cfg.n_side ** (res - tile_res)
+    c = F.col(cellkey_col)
+    col_ = c % m
+    rem = (c / m).cast("long")
+    row = rem % m
+    face = (rem / m).cast("long")
+    return (face * mt + (row / d).cast("long")) * mt + (col_ / d).cast("long")
