@@ -66,20 +66,32 @@ def flagship(spark, n_docs: int) -> float:
     #    (measured 4-5x on this job; display form is recoverable via
     #    dggs.cells.cellkey_to_cellid).
     narrow = docs.select("doc_id", "lon", "lat", F.size("spans").alias("n_spans"))
-    t0 = time.time()
-    (
-        narrow.withColumn("ck", enc("lon", "lat"))
-        .withColumn("tile", tile_key_expr("ck", 8, 4))
-        .groupBy("tile", "ck")
-        .agg(F.count("*").alias("n"), F.sum("n_spans").alias("s"))
-        .groupBy("tile")
-        .agg(
-            F.sum("n").alias("n_docs"),
-            F.sum("s").alias("n_spans"),
-            F.count("*").alias("n_cells"),
+
+    def plan(src):
+        return (
+            src.withColumn("ck", enc("lon", "lat"))
+            .withColumn("tile", tile_key_expr("ck", 8, 4))
+            .groupBy("tile", "ck")
+            .agg(F.count("*").alias("n"), F.sum("n_spans").alias("s"))
+            .groupBy("tile")
+            .agg(
+                F.sum("n").alias("n_docs"),
+                F.sum("s").alias("n_spans"),
+                F.count("*").alias("n_cells"),
+            )
         )
-        .write.format("noop").mode("overwrite").save()
-    )
+
+    # JIT warm-up: run the identical plan shape on a small slice so the
+    # generated classes + Python workers are hot before the timed run (a
+    # cold JVM measures C2-compiler queueing, not the job; steady state
+    # otherwise needs ~5 full-size runs to emerge)
+    if not getattr(flagship, "_warmed", False):
+        for _ in range(2):
+            plan(narrow.limit(500_000)).write.format("noop").mode("overwrite").save()
+        flagship._warmed = True
+
+    t0 = time.time()
+    plan(narrow).write.format("noop").mode("overwrite").save()
     return time.time() - t0
 
 
