@@ -306,3 +306,50 @@ ORACLES2: dict[str, str] = {
     "class_encode": _ORACLE_CLASS_ENCODE,
     "rmse": _oracle_rmse(),
 }
+
+
+# --------------------------------------------------------------------------
+# q_span_cells — the north-star operation: span-level cell assignment
+# (media/text spans of interleaved docs -> DGGS cells; span positions jitter
+# around the doc point; fully oracle-checked)
+# --------------------------------------------------------------------------
+
+SPAN_RES = 6
+_MIX = synth.MIX
+
+
+def q_span_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id")
+    spans = docs.select(
+        "doc_id", "lon", "lat",
+        F.expr(f"CAST((doc_id * {_MIX}) % 1000000007 % 8 + 1 AS INT)").alias("n_spans"),
+    ).withColumn("j", F.explode(F.expr("sequence(0, n_spans - 1)")))
+    spans = spans.select(
+        "doc_id", "j",
+        F.expr("CASE CAST((doc_id * 7 + j) % 3 AS INT) WHEN 0 THEN 'text'"
+               " WHEN 1 THEN 'image' ELSE 'audio' END").alias("kind"),
+        (F.col("lon") + F.expr(f"((doc_id * 13 + j * 7) % 1000) / 1000.0 * 0.02 - 0.01")).alias("slon"),
+        (F.col("lat") + F.expr(f"((doc_id * 29 + j * 11) % 1000) / 1000.0 * 0.02 - 0.01")).alias("slat"),
+    )
+    enc = encode_sql.spark_encode(spans, "slon", "slat", SPAN_RES)
+    return enc.groupBy("cellid", "kind").agg(F.count("*").alias("n_spans"))
+
+
+def _oracle_span_cells() -> str:
+    src = synth.duckdb_lonlat_select("documents", "doc_id", ["doc_id"])
+    spans = f"""
+    SELECT doc_id, j,
+           CASE CAST((doc_id * 7 + j) % 3 AS INT) WHEN 0 THEN 'text'
+                WHEN 1 THEN 'image' ELSE 'audio' END AS kind,
+           lon + ((doc_id * 13 + j * 7) % 1000) / 1000.0 * 0.02 - 0.01 AS slon,
+           lat + ((doc_id * 29 + j * 11) % 1000) / 1000.0 * 0.02 - 0.01 AS slat
+    FROM ({src}) d, range(8) t(j)
+    WHERE j < CAST((doc_id * {_MIX}) % 1000000007 % 8 + 1 AS INT)
+    """
+    enc = encode_sql.duckdb_encode_select(f"({spans})", "slon", "slat",
+                                          SPAN_RES, ["kind"])
+    return f"SELECT cellid, kind, count(*) AS n_spans FROM ({enc}) GROUP BY cellid, kind"
+
+
+QUERIES2["span_cells"] = q_span_cells
+ORACLES2["span_cells"] = _oracle_span_cells()

@@ -79,8 +79,10 @@ def interleaved_docs(spark, n_docs: int, partitions: int | None = None):
 
     df = spark.range(0, n_docs, 1, partitions or spark.sparkContext.defaultParallelism)
     df = df.withColumn("doc_id", F.format_string("doc%012d", F.col("id")))
-    # 1-8 spans; kind cycles text/image/audio; offsets strictly increasing
-    df = df.withColumn("_n", (F.abs(F.hash("doc_id")) % 8 + 1).cast("int"))
+    # 1-8 spans; kind cycles text/image/audio; offsets strictly increasing.
+    # The count derivation is portable arithmetic (not Spark's murmur hash)
+    # so a DuckDB oracle can reproduce the span rows exactly.
+    df = df.withColumn("_n", ((F.col("id") * MIX) % 1000000007 % 8 + 1).cast("int"))
     df = df.withColumn(
         "spans",
         F.expr(
