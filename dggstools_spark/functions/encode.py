@@ -111,13 +111,18 @@ def cellkey_from_lonlat_udf(res: int, cfg: RHEALPixConfig = DEFAULT_CONFIG):
 def tile_key_expr(cellkey_col: str, res: int, tile_res: int,
                   cfg: RHEALPixConfig = DEFAULT_CONFIG):
     """Column expression: packed key at ``res`` -> packed key at the coarser
-    ``tile_res`` (pure integer arithmetic, codegen-friendly)."""
+    ``tile_res`` (pure integer arithmetic, codegen-friendly).
+
+    The -1 off-cube sentinel passes through as -1 (gated, not remapped), and
+    division is true integer ``div`` — no double-precision rounding, so the
+    same res <= 15 bound as pack_cellkey applies (enforced)."""
+    if not 0 <= tile_res <= res <= 15:
+        raise ValueError("tile_key_expr requires 0 <= tile_res <= res <= 15")
     m = cfg.n_side**res
     mt = cfg.n_side**tile_res
     d = cfg.n_side ** (res - tile_res)
     c = F.col(cellkey_col)
-    col_ = c % m
-    rem = (c / m).cast("long")
-    row = rem % m
-    face = (rem / m).cast("long")
-    return (face * mt + (row / d).cast("long")) * mt + (col_ / d).cast("long")
+    face = F.expr(f"{cellkey_col} div {m * m}")
+    tile = (face * mt + F.expr(f"(({cellkey_col} div {m}) % {m}) div {d}")) * mt \
+        + F.expr(f"({cellkey_col} % {m}) div {d}")
+    return F.when(c >= 0, tile).otherwise(F.lit(-1).cast("long"))

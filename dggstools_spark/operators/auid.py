@@ -101,7 +101,24 @@ def optimize_cells(df: DataFrame, n_side: int, cellid_col: str = "cellid",
 
 
 def is_optimal(df: DataFrame, n_side: int, cellid_col: str = "cellid") -> bool:
-    """A10: the set is optimal iff compaction is a no-op."""
-    before = df.select(cellid_col).dropDuplicates()
-    after = optimize_cells(before, n_side, cellid_col)
-    return after.count() == before.count()
+    """A10: optimal iff NO parent has all n_side^2 children present as pure
+    leaves.  Existence of a first collapse decides it, so one pass suffices —
+    no fixpoint (mirrors the reference's point that checking is ~1000x
+    cheaper than optimizing, auids/rhpx.py:188-190): one ancestor explode +
+    anti-join finds pure leaves, two hash aggs count (total, pure) children
+    per parent, early-out on any complete set."""
+    k = n_side * n_side
+    cells = df.select(cellid_col).dropDuplicates()
+    # ancestors of every cell (proper prefixes of length >= 1)
+    anc = cells.select(F.explode(F.expr(
+        f"transform(sequence(1, length({cellid_col}) - 1),"
+        f" l -> substring({cellid_col}, 1, l))")).alias(cellid_col)).dropDuplicates()
+    pure = cells.join(anc, cellid_col, "left_anti")
+    parent = F.substring(cellid_col, 1, F.length(cellid_col) - 1)
+    totals = (cells.filter(F.length(cellid_col) > 1)
+              .groupBy(parent.alias("_p")).agg(F.count("*").alias("_nt")))
+    pures = (pure.filter(F.length(cellid_col) > 1)
+             .groupBy(parent.alias("_p")).agg(F.count("*").alias("_np")))
+    collapsible = totals.join(pures, "_p").filter(
+        (F.col("_nt") == k) & (F.col("_np") == k))
+    return collapsible.isEmpty()

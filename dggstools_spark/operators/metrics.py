@@ -77,14 +77,16 @@ def extent(cells: DataFrame, res: int, cellid_col: str = "cellid",
     from ..operators.raster import cells_to_tiles
 
     w = HALF_SIDE / cfg.n_side**res
-    rows = cells_to_tiles(cells.select(cellid_col), cellid_col, value_cols=[])
+    rows = cells_to_tiles(cells.select(cellid_col), cellid_col, value_cols=[],
+                          res=res, cfg=cfg)
     from ..dggs.cells import _face_ul
 
     uls = _face_ul(cfg)
     face_idx = ("CASE face WHEN 'N' THEN 0 WHEN 'O' THEN 1 WHEN 'P' THEN 2"
                 " WHEN 'Q' THEN 3 WHEN 'R' THEN 4 ELSE 5 END")
-    ulx = " ".join(f"WHEN {i} THEN {uls[i, 0]!r}" for i in range(6))
-    uly = " ".join(f"WHEN {i} THEN {uls[i, 1]!r}" for i in range(6))
+    # float(): repr(np.float64) under numpy>=2 is not valid SQL
+    ulx = " ".join(f"WHEN {i} THEN {float(uls[i, 0])!r}" for i in range(6))
+    uly = " ".join(f"WHEN {i} THEN {float(uls[i, 1])!r}" for i in range(6))
     pts = rows.select(
         F.expr(f"CASE ({face_idx}) {ulx} END + col * {w!r}").alias("lx"),
         F.expr(f"CASE ({face_idx}) {uly} END - row * {w!r}").alias("ty"),

@@ -47,17 +47,23 @@ def tiles_to_cells(tiles: DataFrame, res: int, face_col: str = "face",
 def cells_to_tiles(cells: DataFrame, cellid_col: str = "cellid",
                    value_cols: list[str] | None = None,
                    tile_prefix_len: int = 3,
+                   res: int | None = None,
                    cfg: RHEALPixConfig = DEFAULT_CONFIG) -> DataFrame:
     """R6: cell table -> long-form raster rows (tile, face, row, col, bands).
 
     row/col are decoded from the cellid digits with string arithmetic (pure
     expressions); the tile key is the cell prefix, so the output is already
-    grouped for per-tile array assembly (assemble_tile_arrays)."""
+    grouped for per-tile array assembly (assemble_tile_arrays).
+
+    Pass ``res`` when the caller knows it (hot paths: extent, resample) —
+    the fallback sniff runs an extra Spark job materializing the upstream
+    plan just to read one cellid length."""
     value_cols = value_cols or [c for c in cells.columns if c.startswith("band")]
-    sample = cells.select(F.length(cellid_col).alias("l")).first()
-    if sample is None:
-        return cells.sparkSession.createDataFrame([], "tile string, face string, row bigint, col bigint")
-    res = sample["l"] - 1
+    if res is None:
+        sample = cells.select(F.length(cellid_col).alias("l")).first()
+        if sample is None:
+            return cells.sparkSession.createDataFrame([], "tile string, face string, row bigint, col bigint")
+        res = sample["l"] - 1
     n = cfg.n_side
     row_terms, col_terms = [], []
     for k in range(1, res + 1):
@@ -181,8 +187,10 @@ def grid(spark: SparkSession, res: int, faces: str = "NOPQRS",
 
     uls = _face_ul(cfg)
     face_idx = "CASE face WHEN 'N' THEN 0 WHEN 'O' THEN 1 WHEN 'P' THEN 2 WHEN 'Q' THEN 3 WHEN 'R' THEN 4 ELSE 5 END"
-    ulx = " ".join([f"WHEN {i} THEN {uls[i,0]!r}" for i in range(6)])
-    uly = " ".join([f"WHEN {i} THEN {uls[i,1]!r}" for i in range(6)])
+    # float() strips the numpy scalar: repr(np.float64) under numpy>=2 is
+    # 'np.float64(...)', which is not SQL
+    ulx = " ".join([f"WHEN {i} THEN {float(uls[i, 0])!r}" for i in range(6)])
+    uly = " ".join([f"WHEN {i} THEN {float(uls[i, 1])!r}" for i in range(6)])
     return (
         out.withColumn("x", F.expr(f"CASE ({face_idx}) {ulx} END + (col + 0.5) * {w!r}"))
         .withColumn("y", F.expr(f"CASE ({face_idx}) {uly} END - (row + 0.5) * {w!r}"))

@@ -33,7 +33,8 @@ def resample_bilinear(src: DataFrame, res_src: int, res_dst: int,
     ratio = n ** (res_dst - res_src)
 
     src_rc = cells_to_tiles(src.select(cellid_col, value_col), cellid_col,
-                            value_cols=[value_col], tile_prefix_len=1) \
+                            value_cols=[value_col], tile_prefix_len=1,
+                            res=res_src, cfg=cfg) \
         .select("face", F.col("row").alias("srow"), F.col("col").alias("scol"),
                 F.col(value_col).alias("_v"))
 
@@ -46,7 +47,8 @@ def resample_bilinear(src: DataFrame, res_src: int, res_dst: int,
             F.explode(F.expr(
                 f"transform(sequence(0, {k - 1}), d -> concat({cellid_col}, CAST(d AS STRING)))")),
         )
-    tgt_rc = cells_to_tiles(tgt, cellid_col, value_cols=[], tile_prefix_len=1)
+    tgt_rc = cells_to_tiles(tgt, cellid_col, value_cols=[], tile_prefix_len=1,
+                            res=res_dst, cfg=cfg)
 
     # target centroid in source lattice units: u = (col + .5)/ratio - .5
     tgt_rc = tgt_rc.select(

@@ -253,7 +253,6 @@ def knn_join_pruned(points: DataFrame, queries: DataFrame, k: int, res: int,
     from pyspark.sql.window import Window
 
     w_m = HALF_SIDE / cfg.n_side**block_res
-    enc_q = encode_sql  # noqa: F841  (documentational: block keys are lattice indices)
     pts = points.withColumn("_bci", F.floor(F.col(px) / w_m).cast("bigint")) \
                 .withColumn("_bri", F.floor(F.col(py) / w_m).cast("bigint"))
     qs = queries.withColumn("_qci", F.floor(F.col(qx) / w_m).cast("bigint")) \

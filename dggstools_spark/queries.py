@@ -221,7 +221,6 @@ FROM documents GROUP BY 1
 def q_prefix_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id")
     cells = encode_sql.spark_encode(docs, "lon", "lat", 6).select("cellid")
-    lvl = None
     outs = []
     for lvl in (2, 4):
         outs.append(

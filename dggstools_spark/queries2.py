@@ -167,9 +167,12 @@ def _oracle_minhash() -> str:
         f"min(md5(concat('{i}:', shingle))) AS h{i}" for i in range(N_MH))
     return f"""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    -- list_slice matches Spark's slice() short-doc rule: a slice past the
+    -- end yields a SHORTER list (no trailing separator), so docs with fewer
+    -- than shingle_n tokens hash identically on both engines
     sh AS (SELECT doc_id,
                   unnest(list_transform(range(greatest(len(t) - 2, 1)),
-                         i -> concat(t[i + 1], ' ', t[i + 2], ' ', t[i + 3]))) AS shingle
+                         i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS shingle
            FROM toks),
     sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)
     SELECT doc_id, md5(concat({', '.join(f'h{i}' for i in range(N_MH))})) AS sig

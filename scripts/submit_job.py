@@ -1,7 +1,8 @@
 """spark-submit entry point (north rule: deployed via spark-submit
 --py-files on a multi-executor cluster).
 
-Build the dependency zip and submit:
+ALWAYS build the dependency zip at deploy time (dist/ is gitignored so a
+stale checked-in zip can never diverge from the package source):
 
     python scripts/make_pyfiles_zip.py            # -> dist/dggstools_spark.zip
     spark-submit --py-files dist/dggstools_spark.zip \\
@@ -33,8 +34,13 @@ def main() -> None:
 
     from dggstools_spark.functions.encode import cellid_from_lonlat_udf
     from dggstools_spark.plans import lineage
+    from dggstools_spark.sources import synth
 
     docs = spark.read.parquet(args.input)
+    if "lon" not in docs.columns or "lat" not in docs.columns:
+        # testdata documents carry no coordinates; derive the deterministic
+        # skewed lon/lat from the key (same rule as every driver query)
+        docs = synth.with_lonlat(docs, "doc_id")
     enc = cellid_from_lonlat_udf(args.res)
     assigned = (
         docs.withColumn("cellid", enc("lon", "lat"))

@@ -273,3 +273,41 @@ def test_grid_and_merge(spark):
     updates = spark.createDataFrame([("Q1", 9.0), ("Q2", 3.0)], "cellid string, band1 double")
     merged = {r.cellid: r.band1 for r in raster.merge_cells(existing, updates).collect()}
     assert merged == {"Q0": 1.0, "Q1": 9.0, "Q2": 3.0}
+
+
+def test_is_optimal_single_pass(spark):
+    """Distributed A10 agrees with the kernel on the golden sets, without
+    running the fixpoint."""
+    for cuids, n_side in GOLDEN_SETS:
+        df = spark.createDataFrame([(c,) for c in cuids], "cellid string")
+        assert auid_ops.is_optimal(df, n_side) == auids_core.is_optimal_cuids(cuids, n_side)
+    # an optimized random set is optimal; the raw set (usually) is not
+    rng = np.random.default_rng(11)
+    cuids = ["NOPQRS"[rng.integers(0, 6)] + "".join(str(rng.integers(0, 9)) for _ in range(int(rng.integers(1, 4))))
+             for _ in range(200)]
+    opt = auids_core.optimize_cuids(cuids, 3)
+    df_opt = spark.createDataFrame([(c,) for c in opt], "cellid string")
+    assert auid_ops.is_optimal(df_opt, 3)
+    df_raw = spark.createDataFrame([(c,) for c in cuids], "cellid string")
+    assert auid_ops.is_optimal(df_raw, 3) == auids_core.is_optimal_cuids(cuids, 3)
+
+
+def test_tile_key_expr_sentinel_and_exactness(spark):
+    """tile_key_expr: -1 off-cube passes through; coarsening matches the
+    numpy kernel's pack at the tile resolution (integer div, no fp rounding)."""
+    from dggstools_spark.dggs import cells as kcells
+    from dggstools_spark.functions.encode import tile_key_expr
+
+    res, tile_res = 9, 3
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-179, 179, 500)
+    lat = rng.uniform(-89, 89, 500)
+    keys = kcells.lonlat_to_cellkey(lon, lat, res)
+    want = kcells.lonlat_to_cellkey(lon, lat, tile_res)
+    df = spark.createDataFrame([(int(k),) for k in keys] + [(-1,)], "ck bigint")
+    got = df.select(tile_key_expr("ck", res, tile_res).alias("tk")).collect()
+    got_vals = [r.tk for r in got]
+    assert got_vals[-1] == -1
+    assert got_vals[:-1] == [int(w) for w in want]
+    with pytest.raises(ValueError):
+        tile_key_expr("ck", 16, 3)
