@@ -244,41 +244,71 @@ def knn_join_pruned(points: DataFrame, queries: DataFrame, k: int, res: int,
                     block_res: int,
                     px: str = "px", py: str = "py",
                     qid: str = "q_id", qx: str = "qx", qy: str = "qy",
-                    cfg: RHEALPixConfig = DEFAULT_CONFIG) -> DataFrame:
-    """Cell-keyed kNN: candidates come from the query's 3x3 block
-    neighborhood at ``block_res`` (same-face planar neighbors), then exact
-    top-k; queries with under-filled neighborhoods fall back to the exact
-    broadcast path.  At cluster scale the block join is partition-local when
-    points are laid out by cell prefix."""
+                    cfg: RHEALPixConfig = DEFAULT_CONFIG,
+                    level_step: int = 2,
+                    min_block_res: int = 0) -> DataFrame:
+    """Cell-keyed kNN with hierarchically widened neighborhoods.
+
+    Level 0: candidates come from the query's 3x3 block neighborhood at
+    ``block_res``, then exact top-k.  A query is RESOLVED when it has >= k
+    candidates and its k-th distance is within one block width (the
+    containment guarantee: the 3x3 square covers everything within w of the
+    center block).  Unresolved queries — sparse regions, face edges — retry
+    at ``block_res - level_step`` (n_side^level_step x wider blocks), and so
+    on down to ``min_block_res``; resolved queries never rescan.  The metric
+    is PLANAR distance on the unfolded cube (the operator contract, shared
+    with the DuckDB oracle), so lattice adjacency is metric-consistent at
+    every level and no seam special-casing is needed.
+
+    The exact broadcast join runs ONLY for queries still unresolved after
+    the coarsest level (blocks the size of a resolution-0 face) — at that
+    point fewer than k points exist within a face width of the query and any
+    correct algorithm must scan near-globally; only those queries join.  At
+    cluster scale each level is one narrow pass over the point table (the
+    query side is broadcast; points never shuffle), and the common case is
+    one level."""
     from pyspark.sql.window import Window
 
-    w_m = HALF_SIDE / cfg.n_side**block_res
-    pts = points.withColumn("_bci", F.floor(F.col(px) / w_m).cast("bigint")) \
-                .withColumn("_bri", F.floor(F.col(py) / w_m).cast("bigint"))
-    qs = queries.withColumn("_qci", F.floor(F.col(qx) / w_m).cast("bigint")) \
-                .withColumn("_qri", F.floor(F.col(qy) / w_m).cast("bigint"))
-    neigh = qs.withColumn("_dc", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)]))) \
-              .withColumn("_dr", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)]))) \
-              .select(F.col(qid), qx, qy,
-                      (F.col("_qci") + F.col("_dc")).alias("_bci"),
-                      (F.col("_qri") + F.col("_dr")).alias("_bri"))
-    cand = pts.join(F.broadcast(neigh), ["_bci", "_bri"])
-    cand = cand.withColumn(
-        "dist_m",
-        F.sqrt((F.col(px) - F.col(qx)) * (F.col(px) - F.col(qx))
-               + (F.col(py) - F.col(qy)) * (F.col(py) - F.col(qy))),
-    )
+    point_cols = list(points.columns)
+    out_cols = [qid] + point_cols + ["dist_m", "rank"]
+    dist = F.sqrt((F.col(px) - F.col(qx)) * (F.col(px) - F.col(qx))
+                  + (F.col(py) - F.col(qy)) * (F.col(py) - F.col(qy)))
     wdw = Window.partitionBy(qid).orderBy("dist_m", px, py)
-    topk = cand.withColumn("rank", F.row_number().over(wdw)).filter(F.col("rank") <= k)
-    # materialize: topk feeds three downstream branches (guarantee check,
-    # survivors, fallback anti-join); without a cut, each branch re-runs the
-    # candidate pipeline and re-inlines the caller's (possibly deep) lineage
-    topk = topk.localCheckpoint(eager=True)
-    # guarantee: the k-th neighbor must lie within one block width, else the
-    # 3x3 neighborhood may not contain the true top-k -> exact fallback
-    per_q = topk.groupBy(qid).agg(F.count("*").alias("_n"), F.max("dist_m").alias("_dmax"))
-    ok_q = per_q.filter((F.col("_n") >= k) & (F.col("_dmax") <= w_m)).select(qid)
-    good = topk.join(F.broadcast(ok_q), qid, "inner")
-    bad_q = queries.join(F.broadcast(ok_q), qid, "left_anti")
-    fallback = knn_join_exact(points, bad_q, k, px, py, qid, qx, qy)
-    return good.drop("_bci", "_bri").unionByName(fallback, allowMissingColumns=True)
+
+    remaining = queries.select(qid, qx, qy)
+    parts: list[DataFrame] = []
+    for lvl in range(block_res, min_block_res - 1, -level_step):
+        w_m = HALF_SIDE / cfg.n_side**lvl
+        pts = points.withColumn("_bci", F.floor(F.col(px) / w_m).cast("bigint")) \
+                    .withColumn("_bri", F.floor(F.col(py) / w_m).cast("bigint"))
+        neigh = (
+            remaining
+            .withColumn("_dc", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])))
+            .withColumn("_dr", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])))
+            .select(F.col(qid), qx, qy,
+                    (F.floor(F.col(qx) / w_m).cast("bigint") + F.col("_dc")).alias("_bci"),
+                    (F.floor(F.col(qy) / w_m).cast("bigint") + F.col("_dr")).alias("_bri"))
+        )
+        cand = pts.join(F.broadcast(neigh), ["_bci", "_bri"]).withColumn("dist_m", dist)
+        topk = cand.withColumn("rank", F.row_number().over(wdw)).filter(F.col("rank") <= k)
+        # materialize: topk feeds the guarantee check, the survivors, and the
+        # next level's anti-join; without a cut each branch re-runs the
+        # candidate pipeline and re-inlines the caller's (possibly deep,
+        # e.g. expression-encoder) lineage
+        topk = topk.localCheckpoint(eager=True)
+        per_q = topk.groupBy(qid).agg(F.count("*").alias("_n"),
+                                      F.max("dist_m").alias("_dmax"))
+        ok_q = per_q.filter((F.col("_n") >= k) & (F.col("_dmax") <= w_m)).select(qid)
+        parts.append(topk.join(F.broadcast(ok_q), qid, "inner").select(*out_cols))
+        remaining = remaining.join(F.broadcast(ok_q), qid, "left_anti") \
+                             .localCheckpoint(eager=True)
+        if remaining.isEmpty():
+            remaining = None
+            break
+    if remaining is not None and not remaining.isEmpty():
+        fallback = knn_join_exact(points, remaining, k, px, py, qid, qx, qy)
+        parts.append(fallback.select(*out_cols))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

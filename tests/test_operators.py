@@ -107,6 +107,42 @@ def test_knn_pruned_matches_exact(spark):
     assert e == p
 
 
+def test_knn_pruned_sparse_region_expands_not_crossjoins(spark):
+    """Queries far from every point must resolve by level expansion — the
+    plan may NOT contain a cartesian/nested-loop join of the full point
+    table (the round-1 scale-killer)."""
+    rng = np.random.default_rng(9)
+    # dense cluster near the origin, queries ~1e6 m away (many block widths
+    # at block_res=4 where w ~ 1.2e5 m)
+    pts = spark.createDataFrame(
+        [(int(i), float(x), float(y)) for i, (x, y) in
+         enumerate(zip(rng.uniform(0, 1e5, 500), rng.uniform(0, 1e5, 500)))],
+        "pid long, px double, py double")
+    qs = spark.createDataFrame(
+        [(0, 9.0e5, 9.0e5), (1, -8.0e5, 4.0e5), (2, 5.0e4, 5.0e4)],
+        "q_id long, qx double, qy double")
+    exact = spatial_join.knn_join_exact(pts, qs, 4).select("q_id", "pid", "rank")
+    pruned = spatial_join.knn_join_pruned(pts, qs, 4, res=8, block_res=4)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    e = {(r.q_id, r.pid, r.rank) for r in exact.collect()}
+    p = {(r.q_id, r.pid, r.rank) for r in pruned.select("q_id", "pid", "rank").collect()}
+    assert e == p
+
+
+def test_knn_pruned_fewer_points_than_k(spark):
+    """Fewer than k points globally: the bounded last-resort exact join for
+    the unresolved queries returns all points, matching exact semantics."""
+    pts = spark.createDataFrame(
+        [(1, 10.0, 10.0), (2, 2.0e6, 1.0e6)], "pid long, px double, py double")
+    qs = spark.createDataFrame([(0, 0.0, 0.0)], "q_id long, qx double, qy double")
+    exact = spatial_join.knn_join_exact(pts, qs, 5).select("q_id", "pid", "rank")
+    pruned = spatial_join.knn_join_pruned(pts, qs, 5, res=8, block_res=4) \
+        .select("q_id", "pid", "rank")
+    assert ({tuple(r) for r in exact.collect()}
+            == {tuple(r) for r in pruned.collect()})
+
+
 # --------------------------------------------------------------------------
 # A9 distributed compaction
 # --------------------------------------------------------------------------
