@@ -61,19 +61,47 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def _cap_hot_keys(df: DataFrame, key: str, max_bucket: int | None,
+                  min_bucket: int = 2) -> DataFrame:
+    """Hot-bucket guard for bucket self-joins: drop keys held by fewer than
+    ``min_bucket`` rows (they produce no pairs) or more than ``max_bucket``
+    rows (a single boilerplate key would otherwise make the self-join
+    quadratic — 10^5 docs in one bucket is 10^10 pairs in one task at
+    100 TB).  One window count over the same partitioning the join needs;
+    dropped mass is observable via hot_bucket_stats."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key)
+    out = df.withColumn("_bn", F.count("*").over(w)).filter(F.col("_bn") >= min_bucket)
+    if max_bucket is not None:
+        out = out.filter(F.col("_bn") <= max_bucket)
+    return out.drop("_bn")
+
+
+def hot_bucket_stats(df: DataFrame, key: str, max_bucket: int) -> DataFrame:
+    """Dropped-mass report for the hot-bucket guard: one row per dropped key
+    (n_rows > max_bucket) plus the total row mass dropped — log/persist this
+    next to the dedup output so truncation is never silent."""
+    hot = (df.groupBy(key).agg(F.count("*").alias("n_rows"))
+           .filter(F.col("n_rows") > max_bucket))
+    return hot.agg(
+        F.count("*").alias("n_dropped_keys"),
+        F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n_dropped_rows"),
+    )
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       n_hashes: int = N_MINHASHES, band_size: int = BAND_SIZE,
-                      shingle_n: int = 3) -> DataFrame:
-    """Candidate near-dup pairs (a_id < b_id) sharing at least one LSH band."""
-    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
-    n_bands = n_hashes // band_size
-    bands = sig.select(
-        id_col,
-        F.explode(F.array(*[
-            F.concat(F.lit(f"b{b}:"), *[F.col(f"h{b * band_size + j}") for j in range(band_size)])
-            for b in range(n_bands)
-        ])).alias("band_key"),
-    )
+                      shingle_n: int = 3,
+                      max_bucket: int | None = 500) -> DataFrame:
+    """Candidate near-dup pairs (a_id < b_id) sharing at least one LSH band.
+
+    ``max_bucket`` caps band-bucket size (hot-bucket guard): buckets above
+    the cap are dropped from pair generation — standard LSH-dedup practice;
+    a bucket that hot is boilerplate, not near-duplication signal.  Use
+    hot_bucket_stats(lsh_bands(...), 'band_key', cap) to log dropped mass."""
+    bands = lsh_bands(df, text_col, id_col, n_hashes, band_size, shingle_n)
+    bands = _cap_hot_keys(bands, "band_key", max_bucket)
     a = bands.select(F.col(id_col).alias("a_id"), "band_key")
     b = bands.select(F.col(id_col).alias("b_id"), "band_key")
     return (
@@ -84,15 +112,39 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     )
 
 
+def lsh_bands(df: DataFrame, text_col: str, id_col: str,
+              n_hashes: int = N_MINHASHES, band_size: int = BAND_SIZE,
+              shingle_n: int = 3) -> DataFrame:
+    """(id, band_key) rows: the banded-signature LSH keys."""
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
+    n_bands = n_hashes // band_size
+    return sig.select(
+        id_col,
+        F.explode(F.array(*[
+            F.concat(F.lit(f"b{b}:"), *[F.col(f"h{b * band_size + j}") for j in range(band_size)])
+            for b in range(n_bands)
+        ])).alias("band_key"),
+    )
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
-                        shingle_n: int = 3, threshold: float = 0.5) -> DataFrame:
+                        shingle_n: int = 3, threshold: float = 0.5,
+                        max_doc_freq: int | None = 500) -> DataFrame:
     """Exact Jaccard over word n-grams for pairs sharing >= 1 shingle.
-    Output: (a_id, b_id, jac_ppm)."""
+    Output: (a_id, b_id, jac_ppm).
+
+    ``max_doc_freq`` caps shingle document frequency before the self-join
+    (hot-bucket guard): a stop-shingle shared by 10^5 docs would otherwise
+    create an O(n^2) group.  Dropping it biases n_inter DOWN for affected
+    pairs (conservative: Jaccard is underestimated, never inflated); doc
+    sizes n_a/n_b still count every shingle.  Dropped mass:
+    hot_bucket_stats(<distinct shingles>, 'shingle', cap)."""
     sh = shingles(df.select(id_col, text_col), text_col, shingle_n) \
         .select(id_col, "shingle").distinct()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("a_id"), "shingle")
-    b = sh.select(F.col(id_col).alias("b_id"), "shingle")
+    sh_capped = _cap_hot_keys(sh, "shingle", max_doc_freq)
+    a = sh_capped.select(F.col(id_col).alias("a_id"), "shingle")
+    b = sh_capped.select(F.col(id_col).alias("b_id"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("a_id") < F.col("b_id"))
@@ -135,10 +187,13 @@ def simhash(df: DataFrame, text_col: str, id_col: str, out: str = "simhash64") -
 
 def embedding_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
                            threshold: float = 0.95,
-                           n_planes: int = 8) -> DataFrame:
+                           n_planes: int = 8,
+                           max_bucket: int | None = 2000) -> DataFrame:
     """Embedding near-dup: random-hyperplane LSH bucket join (deterministic
     planes from a fixed seed) + exact cosine verification, returning pairs
-    with cos >= threshold as (a_id, b_id, cos_ppm)."""
+    with cos >= threshold as (a_id, b_id, cos_ppm).  ``max_bucket`` is the
+    hot-bucket guard (see _cap_hot_keys) — a degenerate embedding cluster
+    (e.g. the zero vector from empty docs) lands in one bucket."""
     dot = ("aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
            " 0.0D, (acc, v) -> acc + v)")
     nrm = "sqrt(" + dot.format(a="{v}", b="{v}") + ")"
@@ -154,6 +209,7 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
             for p in range(n_planes)
         ]).alias("bucket"),
     )
+    sig = _cap_hot_keys(sig, "bucket", max_bucket)
     a = sig.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"), "bucket")
     b = sig.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"), "bucket")
     pairs = a.join(b, "bucket").filter(F.col("a_id") < F.col("b_id"))

@@ -347,3 +347,41 @@ def test_tile_key_expr_sentinel_and_exactness(spark):
     assert got_vals[:-1] == [int(w) for w in want]
     with pytest.raises(ValueError):
         tile_key_expr("ck", 16, 3)
+
+
+def test_hot_bucket_guard_bounds_skewed_lsh(spark):
+    """Skew fixture: thousands of docs sharing one band (boilerplate) are
+    dropped by the cap instead of exploding the self-join quadratically;
+    genuine small dup groups still pair, and dropped mass is reported."""
+    rows = [(i, "the same boilerplate header repeated everywhere forever") for i in range(3000)]
+    rows += [(10000 + i, f"unique interesting document body number {i // 2} tail") for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    pairs = dedup.minhash_lsh_pairs(df, "text", "id", max_bucket=100)
+    got = {(r.a_id, r.b_id) for r in pairs.collect()}
+    # boilerplate buckets (3000 >> cap) contribute no pairs
+    assert not any(a < 10000 for a, _ in got)
+    # the 10 small dup pairs survive
+    for i in range(0, 20, 2):
+        assert (10000 + i, 10000 + i + 1) in got
+    stats = dedup.hot_bucket_stats(
+        dedup.lsh_bands(df, "text", "id"), "band_key", 100).collect()[0]
+    assert stats.n_dropped_keys >= 1
+    assert stats.n_dropped_rows >= 3000
+
+
+def test_ngram_jaccard_doc_freq_cap(spark):
+    """A stop-shingle present in every doc is excluded from the pair join by
+    max_doc_freq; pairs that share only the stop-shingle disappear, while
+    real near-dups (sharing rare shingles) keep their Jaccard unchanged."""
+    rows = [(i, f"common stop shingle word{i} alpha{i} beta{i}") for i in range(200)]
+    rows += [(1000, "rare one two three four five"), (1001, "rare one two three four six")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    capped = dedup.ngram_jaccard_pairs(df, "text", "id", threshold=0.3, max_doc_freq=50)
+    got = {(r.a_id, r.b_id) for r in capped.collect()}
+    assert (1000, 1001) in got
+    assert all(a == 1000 for a, _ in got)
+    # uncapped agrees on the surviving pair's value
+    uncapped = dedup.ngram_jaccard_pairs(df, "text", "id", threshold=0.3, max_doc_freq=None)
+    jac_c = {(r.a_id, r.b_id): r.jac_ppm for r in capped.collect()}
+    jac_u = {(r.a_id, r.b_id): r.jac_ppm for r in uncapped.collect()}
+    assert jac_c[(1000, 1001)] == jac_u[(1000, 1001)]
