@@ -221,3 +221,41 @@ def rowcol_cellid_sql(face_char: str, row: str, col: str, res: int,
                  f" + (CAST(floor(({col}) / {p}.0) AS BIGINT) % {n})")
         parts.append(f"chr(CAST(48 + ({digit}) AS INT))")
     return f"concat({', '.join(parts)})"
+
+
+def decode_rowcol_sql(cellid_col: str, res: int,
+                      cfg: RHEALPixConfig = DEFAULT_CONFIG) -> tuple[str, str]:
+    """Portable SQL (row, col) decoded from the cellid digit string at
+    ``res`` — inverse of rowcol_cellid_sql (shared by raster oracles)."""
+    n = cfg.n_side
+    row_terms, col_terms = [], []
+    for k in range(1, res + 1):
+        p = n ** (res - k)
+        d = f"(ascii(substring({cellid_col}, {k + 1}, 1)) - 48)"
+        row_terms.append(f"CAST(floor({d} / {n}.0) AS BIGINT) * {p}")
+        col_terms.append(f"({d} % {n}) * {p}")
+    return " + ".join(row_terms), " + ".join(col_terms)
+
+
+def cell_ul_meters_sql(cellid_col: str, res: int,
+                       cfg: RHEALPixConfig = DEFAULT_CONFIG) -> tuple[str, str]:
+    """Portable SQL for the upper-left corner (meters) of a cell decoded
+    from its cellid: face upper-left + lattice offset.  Shared by the
+    extent/centroid oracles and metrics.extent (identical text on both
+    engines keeps float results bit-identical)."""
+    from ..dggs.cells import _face_ul, HALF_SIDE
+
+    w = HALF_SIDE / cfg.n_side**res
+    row_dec, col_dec = decode_rowcol_sql(cellid_col, res, cfg)
+    uls = _face_ul(cfg)
+    face_idx = (f"CASE substring({cellid_col}, 1, 1) WHEN 'N' THEN 0 WHEN 'O' THEN 1"
+                " WHEN 'P' THEN 2 WHEN 'Q' THEN 3 WHEN 'R' THEN 4 ELSE 5 END")
+    # CAST AS DOUBLE: DuckDB types bare decimal literals as DECIMAL(18,..)
+    ulx = " ".join(f"WHEN {i} THEN CAST({float(uls[i, 0])!r} AS DOUBLE)"
+                   for i in range(6))
+    uly = " ".join(f"WHEN {i} THEN CAST({float(uls[i, 1])!r} AS DOUBLE)"
+                   for i in range(6))
+    wl = f"CAST({float(w)!r} AS DOUBLE)"
+    lx = f"CASE ({face_idx}) {ulx} END + ({col_dec}) * {wl}"
+    ty = f"CASE ({face_idx}) {uly} END - ({row_dec}) * {wl}"
+    return lx, ty

@@ -100,6 +100,39 @@ def optimize_cells(df: DataFrame, n_side: int, cellid_col: str = "cellid",
     return cells
 
 
+def subarea_pairs(fine: DataFrame, coarse: DataFrame,
+                  fine_group: str = "group_a", coarse_group: str = "group_b",
+                  cellid_col: str = "cellid") -> DataFrame:
+    """J6 relationally: for every (fine group, coarse group) pair, is the
+    fine group's cell set a subarea of the coarse group's cover?  A fine
+    cell is covered iff some coarse cell is a prefix of it (or equal) —
+    the same containment the reference decides on AUID tries
+    (auids/common.py:216-259, is_a_subarea); dggs.auids.is_a_subarea is the
+    AUID-level twin and tests assert they agree.
+
+    Distributed shape: explode each fine cell into its self+ancestor
+    prefixes (<= max_res per cell), equi-join the coarse set on the prefix,
+    compare covered counts to group sizes.  No cross join of cell tables —
+    only the tiny group-key domain is crossed."""
+    f = fine.select(fine_group, cellid_col).dropDuplicates()
+    c = coarse.select(coarse_group, cellid_col).dropDuplicates()
+    prefixes = f.select(
+        fine_group, cellid_col,
+        F.explode(F.expr(
+            f"transform(sequence(1, length({cellid_col})),"
+            f" l -> substring({cellid_col}, 1, l))")).alias("_pfx"),
+    )
+    hits = (prefixes.join(c.select(coarse_group, F.col(cellid_col).alias("_pfx")), "_pfx")
+            .select(fine_group, coarse_group, cellid_col).distinct())
+    n_a = f.groupBy(fine_group).agg(F.count("*").alias("_na"))
+    n_cov = hits.groupBy(fine_group, coarse_group).agg(F.count("*").alias("_nc"))
+    domain = n_a.crossJoin(c.select(coarse_group).distinct())
+    return (domain.join(n_cov, [fine_group, coarse_group], "left")
+            .select(fine_group, coarse_group,
+                    (F.coalesce(F.col("_nc"), F.lit(0)) == F.col("_na"))
+                    .cast("int").alias("is_subarea")))
+
+
 def is_optimal(df: DataFrame, n_side: int, cellid_col: str = "cellid") -> bool:
     """A10: optimal iff NO parent has all n_side^2 children present as pure
     leaves.  Existence of a first collapse decides it, so one pass suffices —

@@ -73,24 +73,14 @@ def rmse_bias(control: DataFrame, test: DataFrame, value_col: str = "band1",
 def extent(cells: DataFrame, res: int, cellid_col: str = "cellid",
            cfg: RHEALPixConfig = DEFAULT_CONFIG) -> DataFrame:
     """A4/A5: planar bbox + raster height/width of a (single-resolution) cell
-    table, from centroid coordinates computed by expression arithmetic."""
-    from ..operators.raster import cells_to_tiles
+    table, from cell upper-left coordinates computed by expression arithmetic
+    (the portable snippet shared with the DuckDB oracle — encode_sql.
+    cell_ul_meters_sql — so both engines agree bit-for-bit)."""
+    from ..functions.encode_sql import cell_ul_meters_sql
 
-    w = HALF_SIDE / cfg.n_side**res
-    rows = cells_to_tiles(cells.select(cellid_col), cellid_col, value_cols=[],
-                          res=res, cfg=cfg)
-    from ..dggs.cells import _face_ul
-
-    uls = _face_ul(cfg)
-    face_idx = ("CASE face WHEN 'N' THEN 0 WHEN 'O' THEN 1 WHEN 'P' THEN 2"
-                " WHEN 'Q' THEN 3 WHEN 'R' THEN 4 ELSE 5 END")
-    # float(): repr(np.float64) under numpy>=2 is not valid SQL
-    ulx = " ".join(f"WHEN {i} THEN {float(uls[i, 0])!r}" for i in range(6))
-    uly = " ".join(f"WHEN {i} THEN {float(uls[i, 1])!r}" for i in range(6))
-    pts = rows.select(
-        F.expr(f"CASE ({face_idx}) {ulx} END + col * {w!r}").alias("lx"),
-        F.expr(f"CASE ({face_idx}) {uly} END - row * {w!r}").alias("ty"),
-    )
+    w = float(HALF_SIDE / cfg.n_side**res)
+    lx_sql, ty_sql = cell_ul_meters_sql(cellid_col, res, cfg)
+    pts = cells.select(F.expr(lx_sql).alias("lx"), F.expr(ty_sql).alias("ty"))
     return pts.agg(
         F.min("lx").alias("left"),
         (F.max("lx") + w).alias("right"),
@@ -129,6 +119,29 @@ def line_error(nodes: DataFrame, cells: DataFrame, res: int,
         "err_m", _dist(F.col(lon), F.col(lat), F.col("_c.lon"), F.col("_c.lat")))
     penalty = cfg.cell_width(res)
     missed = missed.withColumn("err_m", F.lit(penalty))
+    both = matched.select("err_m").unionByName(missed.select("err_m"))
+    return both.agg(F.avg("err_m").alias("mean_node_error_m"),
+                    F.count("*").alias("n_nodes"))
+
+
+def line_error_planar(assigned: DataFrame, cells: DataFrame, res: int,
+                      cellid_col: str = "cellid",
+                      cfg: RHEALPixConfig = DEFAULT_CONFIG) -> DataFrame:
+    """A6 planar variant (oracle-checkable): ``assigned`` carries the node's
+    planar position (px_m, py_m) and its assigned cell's planar centroid
+    (cx_m, cy_m) — both produced by encode_sql.spark_encode(with_planar=True)
+    — so the node<->centroid distance is pure portable arithmetic.  Nodes
+    whose cell is absent from ``cells`` are penalized with one cell width
+    (reference vector_to_rhpx.py:596-637 miss rule)."""
+    ids = cells.select(cellid_col).distinct()
+    matched = assigned.join(ids, cellid_col, "left_semi").withColumn(
+        "err_m",
+        F.sqrt((F.col("px_m") - F.col("cx_m")) * (F.col("px_m") - F.col("cx_m"))
+               + (F.col("py_m") - F.col("cy_m")) * (F.col("py_m") - F.col("cy_m"))),
+    )
+    penalty = float(cfg.cell_width(res))
+    missed = assigned.join(ids, cellid_col, "left_anti").withColumn(
+        "err_m", F.lit(penalty))
     both = matched.select("err_m").unionByName(missed.select("err_m"))
     return both.agg(F.avg("err_m").alias("mean_node_error_m"),
                     F.count("*").alias("n_nodes"))

@@ -73,12 +73,41 @@ def checkpointed_write(df: DataFrame, root: str, batch_key: str,
 
 
 def run_batches(df: DataFrame, root: str, batch_col: str,
-                key_cols: list[str]) -> dict[str, bool]:
+                key_cols: list[str], serial: bool = False) -> dict[str, bool]:
     """Partition a DataFrame into batches by ``batch_col`` (e.g. the cell
-    prefix) and checkpoint-write each; resumable from any point."""
-    keys = [r[0] for r in df.select(batch_col).distinct().collect()]
-    results = {}
-    for k in sorted(keys):
-        part = df.filter(F.col(batch_col) == k)
-        results[k] = checkpointed_write(part, root, str(k), key_cols)
-    return results
+    prefix) and checkpoint-write them; resumable from any point.
+
+    Default (non-failure) path: ONE partitioned write job covers every
+    pending batch (data partitioned by batch key, lineage + commit markers
+    from single aggregations) — no per-batch driver loop, so 10^4 tile
+    batches cost one shuffle, not 10^4 jobs.  A crash mid-write leaves all
+    pending batches uncommitted; the replay dynamic-partition-overwrites
+    exactly those, so convergence is deterministic.  ``serial=True`` keeps
+    the one-job-per-batch path (finer-grained resume when individual
+    batches are huge or flaky)."""
+    spark = df.sparkSession
+    keys = sorted(str(r[0]) for r in df.select(batch_col).distinct().collect())
+    done = completed_batches(spark, root)
+    if serial:
+        results = {}
+        for k in keys:
+            part = df.filter(F.col(batch_col) == k)
+            results[k] = checkpointed_write(part, root, k, key_cols)
+        return results
+    pending = [k for k in keys if k not in done]
+    if pending:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        tagged = df.withColumn("batch_key", F.col(batch_col).cast("string")) \
+                   .filter(F.col("batch_key").isin(pending))
+        tagged.write.mode("overwrite").partitionBy("batch_key").parquet(f"{root}/data")
+        lin = tagged.withColumn("_pid", F.spark_partition_id()).groupBy(
+            "batch_key", "_pid").agg(
+            F.count("*").alias("n_rows"),
+            F.expr(f"bit_xor(xxhash64({', '.join(key_cols)}))").alias("checksum"),
+        ).withColumnRenamed("_pid", "partition_id") \
+         .withColumn("written_at", F.lit(int(time.time())))
+        lin.write.mode("append").parquet(f"{root}/_lineage")
+        markers = tagged.groupBy("batch_key").agg(F.count("*").alias("n_rows")) \
+            .withColumn("status", F.lit("done"))
+        markers.write.mode("append").parquet(f"{root}/_batches")
+    return {k: (k in pending) for k in keys}

@@ -440,8 +440,11 @@ ORACLES: dict[str, str] = {
 }
 
 
-# batch-2 queries live in queries2.py and are merged below
+# batch-2/3/4 queries live in queries{2,3,4}.py and are merged below
 from .queries2 import QUERIES2, ORACLES2  # noqa: E402
+from .queries3 import QUERIES3, ORACLES3  # noqa: E402
 
 QUERIES.update(QUERIES2)
 ORACLES.update(ORACLES2)
+QUERIES.update(QUERIES3)
+ORACLES.update(ORACLES3)
