@@ -49,6 +49,53 @@ def class_polygon_areas(polygons: DataFrame, class_col: str = "class",
         .groupBy(class_col).agg(F.sum("_a").alias("area_m2"))
 
 
+def area_error(polygons: DataFrame, res: int, class_col: str = "class",
+               poly_id: str = "poly_id", ring: str = "ring",
+               cfg: RHEALPixConfig = DEFAULT_CONFIG,
+               distortion_correct: bool = True) -> DataFrame:
+    """The reference's headline composed metric, calculate_vector_raster_
+    area_error (vector_to_rhpx.py:388-501; CLI vec-ras-area-error): per
+    feature class, compare the vector geometry area against the area of its
+    rasterized cells, then aggregate to ONE row
+    (rmse, bias, total_vector_area, total_cells_area) — e.g. classes
+    (21 vs 20) and (15 vs 12) give rmse sqrt(((21-20)^2 + (15-12)^2)/2) and
+    bias 2 (vector_to_rhpx.py:403-414).
+
+    Vector areas are the exact planar shoelace over the (planar-meter)
+    rings — for lon/lat rings use class_polygon_areas (A2, geodesic) as the
+    vector side instead; cell area is the true area (planar / 1.178 mean
+    areal distortion, like the reference) unless ``distortion_correct`` is
+    off.  Cells are counted once per class (distinct cellid), matching the
+    reference's burn-then-count."""
+    from .spatial_join import polygon_edges, rasterize_polygons
+
+    edges = polygon_edges(polygons.select(poly_id, class_col, ring), ring)
+    per_poly = edges.groupBy(poly_id, class_col).agg(
+        (F.abs(F.sum(F.col("x1") * F.col("y2") - F.col("x2") * F.col("y1"))) / 2.0)
+        .alias("_a"))
+    vec = per_poly.groupBy(class_col).agg(F.sum("_a").alias("_vec"))
+    cells = rasterize_polygons(polygons.select(poly_id, ring), res,
+                               poly_id, ring, cfg)
+    cls_map = polygons.select(poly_id, class_col)
+    cell_area = float(cfg.cell_area(res) if distortion_correct
+                      else cfg.cell_area_planar(res))
+    ras = (cells.join(F.broadcast(cls_map), poly_id)
+           .select(class_col, "cellid").distinct()
+           .groupBy(class_col)
+           .agg((F.count("*") * F.lit(cell_area)).alias("_ras")))
+    per_class = (vec.join(ras, class_col, "full")
+                 .select(class_col,
+                         F.coalesce("_vec", F.lit(0.0)).alias("_vec"),
+                         F.coalesce("_ras", F.lit(0.0)).alias("_ras")))
+    d = F.col("_ras") - F.col("_vec")
+    return per_class.agg(
+        F.sqrt(F.avg(d * d)).alias("rmse"),
+        F.avg(d).alias("bias"),
+        F.sum("_vec").alias("total_vector_area"),
+        F.sum("_ras").alias("total_cells_area"),
+    )
+
+
 def rmse_bias(control: DataFrame, test: DataFrame, value_col: str = "band1",
               cellid_col: str = "cellid",
               control_nodata: float | None = None,

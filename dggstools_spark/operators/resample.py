@@ -76,3 +76,79 @@ def resample_bilinear(src: DataFrame, res_src: int, res_dst: int,
     joined = corners.join(src_rc, ["face", "srow", "scol"], "inner")
     return joined.groupBy(cellid_col).agg(
         (F.sum(F.col("w") * F.col("_v")) / F.sum("w")).alias(value_col))
+
+
+def cubic_weights_sql(t: str) -> list[str]:
+    """Portable SQL Catmull-Rom (Keys, a=-0.5 — GDAL's 'cubic') weights for
+    sample offsets -1, 0, +1, +2 at fractional position ``t`` in [0, 1).
+    Shared text between the Spark expression and the DuckDB oracle."""
+    t1 = f"({t})"
+    t2 = f"({t1} * {t1})"
+    t3 = f"({t1} * {t1} * {t1})"
+    return [
+        f"(-0.5 * {t3} + {t2} - 0.5 * {t1})",
+        f"(1.5 * {t3} - 2.5 * {t2} + 1.0)",
+        f"(-1.5 * {t3} + 2.0 * {t2} + 0.5 * {t1})",
+        f"(0.5 * {t3} - 0.5 * {t2})",
+    ]
+
+
+def resample_cubic(src: DataFrame, res_src: int, res_dst: int,
+                   value_col: str = "band1",
+                   cellid_col: str = "cellid",
+                   cfg: RHEALPixConfig = DEFAULT_CONFIG) -> DataFrame:
+    """R1 cubic: 16-corner separable Catmull-Rom gather — the same
+    relational shape as bilinear with a 4x4 stencil (reference
+    tests_data.py:152-153 exercises Resampling.cubic through GDAL; Keys'
+    a=-0.5 kernel is GDAL's convolution).  Exact for quadratic fields over
+    the face interior (tests assert this); edge targets renormalize over
+    the corners that exist, like bilinear."""
+    if res_dst < res_src:
+        raise ValueError("cubic resample targets an equal or finer resolution")
+    n = cfg.n_side
+    ratio = n ** (res_dst - res_src)
+
+    src_rc = cells_to_tiles(src.select(cellid_col, value_col), cellid_col,
+                            value_cols=[value_col], tile_prefix_len=1,
+                            res=res_src, cfg=cfg) \
+        .select("face", F.col("row").alias("srow"), F.col("col").alias("scol"),
+                F.col(value_col).alias("_v"))
+
+    tgt = src.select(cellid_col)
+    k = n * n
+    for _ in range(res_dst - res_src):
+        tgt = tgt.withColumn(
+            cellid_col,
+            F.explode(F.expr(
+                f"transform(sequence(0, {k - 1}), d -> concat({cellid_col}, CAST(d AS STRING)))")),
+        )
+    tgt_rc = cells_to_tiles(tgt, cellid_col, value_cols=[], tile_prefix_len=1,
+                            res=res_dst, cfg=cfg)
+
+    tgt_rc = tgt_rc.select(
+        cellid_col, "face",
+        ((F.col("col") + 0.5) / ratio - 0.5).alias("u"),
+        ((F.col("row") + 0.5) / ratio - 0.5).alias("v"),
+    ).withColumn("i0", F.floor("u").cast("bigint")) \
+     .withColumn("j0", F.floor("v").cast("bigint")) \
+     .withColumn("fu", F.col("u") - F.col("i0")) \
+     .withColumn("fv", F.col("v") - F.col("j0"))
+
+    wx = cubic_weights_sql("fu")
+    wy = cubic_weights_sql("fv")
+    wx_case = "CASE di " + " ".join(f"WHEN {i} THEN {w}" for i, w in enumerate(wx)) + " ELSE 0.0 END"
+    wy_case = "CASE dj " + " ".join(f"WHEN {i} THEN {w}" for i, w in enumerate(wy)) + " ELSE 0.0 END"
+    corners = (
+        tgt_rc
+        .withColumn("di", F.explode(F.expr("sequence(0, 3)")))
+        .withColumn("dj", F.explode(F.expr("sequence(0, 3)")))
+        .select(
+            cellid_col, "face",
+            (F.col("i0") - 1 + F.col("di")).alias("scol"),
+            (F.col("j0") - 1 + F.col("dj")).alias("srow"),
+            (F.expr(wx_case) * F.expr(wy_case)).alias("w"),
+        )
+    )
+    joined = corners.join(src_rc, ["face", "srow", "scol"], "inner")
+    return joined.groupBy(cellid_col).agg(
+        (F.sum(F.col("w") * F.col("_v")) / F.sum("w")).alias(value_col))

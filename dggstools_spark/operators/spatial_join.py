@@ -80,6 +80,23 @@ def _corner_side(sx: str, sy: str, h: float) -> str:
             f" - (y2 - y1) * ((px {sx} {h!r}) - x1))")
 
 
+def sat_edge_rect_sql(h: float) -> str:
+    """Portable SQL: does the half-width-``h`` rectangle centered at (px, py)
+    intersect edge (x1,y1)-(x2,y2)?  Exact separating-axis test (two rect
+    normals + the edge normal).  Shared text between rasterize_polygons
+    (all_touched) and the DuckDB oracle."""
+    h = float(h)
+    return (
+        f"least(x1, x2) <= px + {h!r} AND greatest(x1, x2) >= px - {h!r}"
+        f" AND least(y1, y2) <= py + {h!r} AND greatest(y1, y2) >= py - {h!r}"
+        " AND NOT ("
+        f"  least({_corner_side('-', '-', h)}, {_corner_side('+', '-', h)},"
+        f"        {_corner_side('-', '+', h)}, {_corner_side('+', '+', h)}) > 0"
+        f"  OR greatest({_corner_side('-', '-', h)}, {_corner_side('+', '-', h)},"
+        f"        {_corner_side('-', '+', h)}, {_corner_side('+', '+', h)}) < 0)"
+    )
+
+
 def points_in_polygons(points: DataFrame, polygons: DataFrame,
                        px: str = "px", py: str = "py",
                        poly_id: str = "poly_id", ring: str = "ring",
@@ -182,19 +199,8 @@ def rasterize_polygons(polygons: DataFrame, res: int,
     )
     if all_touched:
         h = w / 2.0
-        sat = (
-            # separating axes: the two rect normals (bbox overlap) ...
-            f"least(x1, x2) <= px + {h!r} AND greatest(x1, x2) >= px - {h!r}"
-            f" AND least(y1, y2) <= py + {h!r} AND greatest(y1, y2) >= py - {h!r}"
-            # ... and the edge normal: corners not all strictly on one side
-            " AND NOT ("
-            f"  least({_corner_side('-', '-', h)}, {_corner_side('+', '-', h)},"
-            f"        {_corner_side('-', '+', h)}, {_corner_side('+', '+', h)}) > 0"
-            f"  OR greatest({_corner_side('-', '-', h)}, {_corner_side('+', '-', h)},"
-            f"        {_corner_side('-', '+', h)}, {_corner_side('+', '+', h)}) < 0)"
-        )
         touched = (
-            cand.join(own_edges, poly_id).filter(F.expr(sat))
+            cand.join(own_edges, poly_id).filter(F.expr(sat_edge_rect_sql(h)))
             .select(poly_id, "px", "py").distinct()
         )
         inside = inside.unionByName(touched).distinct()

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .dggs.config import DEFAULT_CONFIG
 from .functions import encode_sql
 from .operators import metrics
+from .operators import spatial_join as spatial_join_mod
 from .operators.auid import subarea_pairs
 from .operators.raster import rescale_to_parent, tiles_to_cells
 from .sources import synth
@@ -362,6 +363,254 @@ def _oracle_merge_resume() -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# q_resample_bilinear / q_resample_cubic — R1: the oracle replicates the
+# relational corner-gather joins themselves (weights, edge renormalization
+# and all), so the check covers the full operator semantics
+# --------------------------------------------------------------------------
+
+RS_SRC, RS_DST = 2, 3
+
+
+def _spark_src_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    grid = part.select(
+        (F.col("p_partkey") % 9).alias("row"),
+        (F.floor(F.col("p_partkey") / 9).cast("bigint") % 9).alias("col"),
+    ).distinct()
+    return grid.select(
+        F.expr(encode_sql.rowcol_cellid_sql("'Q'", "row", "col", RS_SRC)).alias("cellid"),
+        ((F.col("row") * 31 + F.col("col") * 17) % 97).cast("double").alias("band1"),
+    )
+
+
+_ORACLE_SRC_RASTER = f"""
+      SELECT {encode_sql.rowcol_cellid_sql("'Q'", "row", "col", RS_SRC)} AS cellid,
+             row AS srow, col AS scol,
+             CAST((row * 31 + col * 17) % 97 AS DOUBLE) AS v
+      FROM (SELECT DISTINCT p_partkey % 9 AS row,
+                   CAST(floor(p_partkey / 9.0) AS BIGINT) % 9 AS col FROM part)
+"""
+
+
+def q_resample_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.resample import resample_bilinear
+
+    src = _spark_src_raster(spark, sf_dir)
+    out = resample_bilinear(src, RS_SRC, RS_DST)
+    return out.select(
+        "cellid", F.round(F.col("band1") * 1e6).cast("bigint").alias("v_ppm"))
+
+
+def _oracle_resample_bilinear() -> str:
+    row_dec, col_dec = encode_sql.decode_rowcol_sql("cellid", RS_DST)
+    ratio = DEFAULT_CONFIG.n_side ** (RS_DST - RS_SRC)
+    k = DEFAULT_CONFIG.n_side ** 2
+    return f"""
+    WITH src AS ({_ORACLE_SRC_RASTER}),
+    tgt AS (SELECT concat(cellid, CAST(d AS VARCHAR)) AS cellid
+            FROM src, range({k}) t(d)),
+    uv AS (SELECT cellid,
+                  (({col_dec}) + 0.5) / {ratio} - 0.5 AS u,
+                  (({row_dec}) + 0.5) / {ratio} - 0.5 AS v
+           FROM tgt),
+    base AS (SELECT cellid, CAST(floor(u) AS BIGINT) AS i0,
+                    CAST(floor(v) AS BIGINT) AS j0,
+                    u - floor(u) AS fu, v - floor(v) AS fv FROM uv),
+    corners AS (SELECT cellid, i0 + c.di AS scol, j0 + c.dj AS srow,
+                       (CASE WHEN c.di = 1 THEN fu ELSE 1 - fu END)
+                       * (CASE WHEN c.dj = 1 THEN fv ELSE 1 - fv END) AS w
+                FROM base CROSS JOIN (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) c(di, dj)),
+    joined AS (SELECT t.cellid, t.w, s.v
+               FROM corners t JOIN src s ON t.srow = s.srow AND t.scol = s.scol)
+    SELECT cellid, CAST(round(sum(w * v) / sum(w) * 1e6) AS BIGINT) AS v_ppm
+    FROM joined GROUP BY cellid
+    """
+
+
+def q_resample_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.resample import resample_cubic
+
+    src = _spark_src_raster(spark, sf_dir)
+    out = resample_cubic(src, RS_SRC, RS_DST)
+    return out.select(
+        "cellid", F.round(F.col("band1") * 1e6).cast("bigint").alias("v_ppm"))
+
+
+def _oracle_resample_cubic() -> str:
+    from .operators.resample import cubic_weights_sql
+
+    row_dec, col_dec = encode_sql.decode_rowcol_sql("cellid", RS_DST)
+    ratio = DEFAULT_CONFIG.n_side ** (RS_DST - RS_SRC)
+    k = DEFAULT_CONFIG.n_side ** 2
+    wx = cubic_weights_sql("fu")
+    wy = cubic_weights_sql("fv")
+    wx_case = "CASE c.di " + " ".join(f"WHEN {i} THEN {w}" for i, w in enumerate(wx)) + " ELSE 0.0 END"
+    wy_case = "CASE c.dj " + " ".join(f"WHEN {i} THEN {w}" for i, w in enumerate(wy)) + " ELSE 0.0 END"
+    return f"""
+    WITH src AS ({_ORACLE_SRC_RASTER}),
+    tgt AS (SELECT concat(cellid, CAST(d AS VARCHAR)) AS cellid
+            FROM src, range({k}) t(d)),
+    uv AS (SELECT cellid,
+                  (({col_dec}) + 0.5) / {ratio} - 0.5 AS u,
+                  (({row_dec}) + 0.5) / {ratio} - 0.5 AS v
+           FROM tgt),
+    base AS (SELECT cellid, CAST(floor(u) AS BIGINT) AS i0,
+                    CAST(floor(v) AS BIGINT) AS j0,
+                    u - floor(u) AS fu, v - floor(v) AS fv FROM uv),
+    corners AS (SELECT cellid, i0 - 1 + c.di AS scol, j0 - 1 + c.dj AS srow,
+                       ({wx_case}) * ({wy_case}) AS w
+                FROM base CROSS JOIN (SELECT di, dj FROM range(4) a(di), range(4) b(dj)) c),
+    joined AS (SELECT t.cellid, t.w, s.v
+               FROM corners t JOIN src s ON t.srow = s.srow AND t.scol = s.scol)
+    SELECT cellid, CAST(round(sum(w * v) / sum(w) * 1e6) AS BIGINT) AS v_ppm
+    FROM joined GROUP BY cellid
+    """
+
+
+# --------------------------------------------------------------------------
+# q_all_touched — J2 all_touched variant: center-burn UNION edge-intersecting
+# cells (exact SAT); q_area_error — the reference's composed headline metric
+# (vec-ras-area-error).  Shared fixture: diamonds kept strictly inside the
+# equatorial band so every lattice candidate is on-cube (planar cell count ==
+# distinct (ci, ri) count in the oracle).
+# --------------------------------------------------------------------------
+
+AT_RES = 4
+
+
+def _d(x: float) -> str:
+    """Float literal pinned to DOUBLE (DuckDB types wide decimals DECIMAL)."""
+    return f"CAST({float(x)!r} AS DOUBLE)"
+
+
+def _safe_diamond_sql(key: str) -> tuple[str, str, str]:
+    from .dggs.cells import HALF_SIDE
+
+    s = float(HALF_SIDE)
+    cx = (f"({_d(-1.7 * s)} + ((CAST({key} AS BIGINT) * 7919) % 40000)"
+          f" / 40000.0 * {_d(3.4 * s)})")
+    cy = (f"({_d(-0.2 * s)} + ((CAST({key} AS BIGINT) * 104729) % 9000)"
+          f" / 9000.0 * {_d(0.4 * s)})")
+    rad = f"((0.05 + (CAST({key} AS BIGINT) % 5) * 0.04) * {_d(s)})"
+    return cx, cy, rad
+
+
+def _safe_diamonds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cx, cy, rad = _safe_diamond_sql("r_regionkey")
+    return load(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("poly_id"),
+        F.expr(
+            f"array(named_struct('x', {cx} + {rad}, 'y', {cy}),"
+            f" named_struct('x', {cx}, 'y', {cy} + {rad}),"
+            f" named_struct('x', {cx} - {rad}, 'y', {cy}),"
+            f" named_struct('x', {cx}, 'y', {cy} - {rad}))"
+        ).alias("ring"),
+    )
+
+
+def _oracle_diamond_ctes(res: int) -> str:
+    """CTEs dia/edges/bbox/cand replicating rasterize_polygons' candidate
+    lattice over the band-safe diamonds."""
+    from .dggs.cells import HALF_SIDE
+
+    cx, cy, rad = _safe_diamond_sql("r_regionkey")
+    w = float(HALF_SIDE / DEFAULT_CONFIG.n_side**res)
+    gx0 = float(-2.0 * HALF_SIDE)
+    gy0 = float(1.5 * HALF_SIDE)
+    edges = " UNION ALL ".join([
+        "SELECT poly_id, cx + rad AS x1, cy AS y1, cx AS x2, cy + rad AS y2 FROM dia",
+        "SELECT poly_id, cx, cy + rad, cx - rad, cy FROM dia",
+        "SELECT poly_id, cx - rad, cy, cx, cy - rad FROM dia",
+        "SELECT poly_id, cx, cy - rad, cx + rad, cy FROM dia",
+    ])
+    return f"""
+    dia AS (SELECT r_regionkey AS poly_id, {cx} AS cx, {cy} AS cy, {rad} AS rad
+            FROM region),
+    edges AS ({edges}),
+    bbox AS (SELECT poly_id,
+                    least(cx + rad, cx, cx - rad) AS xmin,
+                    greatest(cx + rad, cx, cx - rad) AS xmax,
+                    least(cy + rad, cy, cy - rad) AS ymin,
+                    greatest(cy + rad, cy, cy - rad) AS ymax
+             FROM dia),
+    cis AS (SELECT poly_id, ymin, ymax,
+                   unnest(range(CAST(floor((xmin - {_d(gx0)}) / {_d(w)}) AS BIGINT),
+                                CAST(floor((xmax - {_d(gx0)}) / {_d(w)}) AS BIGINT) + 1)) AS ci
+            FROM bbox),
+    ris AS (SELECT poly_id, ci,
+                   unnest(range(CAST(floor(({_d(gy0)} - ymax) / {_d(w)}) AS BIGINT),
+                                CAST(floor(({_d(gy0)} - ymin) / {_d(w)}) AS BIGINT) + 1)) AS ri
+            FROM cis),
+    cand AS (SELECT poly_id, {_d(gx0)} + (ci + 0.5) * {_d(w)} AS px,
+                    {_d(gy0)} - (ri + 0.5) * {_d(w)} AS py
+             FROM ris),
+    inside AS (SELECT c.poly_id, px, py
+               FROM cand c JOIN edges e ON c.poly_id = e.poly_id
+               WHERE {spatial_join_mod.CROSSING}
+               GROUP BY 1, 2, 3 HAVING count(*) % 2 = 1)
+    """
+
+
+def q_all_touched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    polys = _safe_diamonds(spark, sf_dir)
+    cells = spatial_join_mod.rasterize_polygons(polys, AT_RES, all_touched=True)
+    return cells.groupBy("poly_id").agg(F.count("*").alias("n_cells"))
+
+
+def _oracle_all_touched() -> str:
+    from .dggs.cells import HALF_SIDE
+
+    w = float(HALF_SIDE / DEFAULT_CONFIG.n_side**AT_RES)
+    sat = spatial_join_mod.sat_edge_rect_sql(w / 2.0)
+    return f"""
+    WITH {_oracle_diamond_ctes(AT_RES)},
+    touched AS (SELECT DISTINCT c.poly_id, px, py
+                FROM cand c JOIN edges e ON c.poly_id = e.poly_id
+                WHERE {sat}),
+    allc AS (SELECT * FROM inside UNION SELECT * FROM touched)
+    SELECT poly_id, count(*) AS n_cells FROM allc GROUP BY poly_id
+    """
+
+
+def q_area_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    polys = _safe_diamonds(spark, sf_dir).withColumn(
+        "class", (F.col("poly_id") % 2).cast("int"))
+    out = metrics.area_error(polys, AT_RES, class_col="class")
+    return out.select(
+        F.round(F.col("rmse") / 1e6).cast("bigint").alias("rmse_km2"),
+        F.round(F.col("bias") / 1e6).cast("bigint").alias("bias_km2"),
+        F.round(F.col("total_vector_area") / 1e6).cast("bigint").alias("vec_km2"),
+        F.round(F.col("total_cells_area") / 1e6).cast("bigint").alias("ras_km2"),
+    )
+
+
+def _oracle_area_error() -> str:
+    cell_area = float(DEFAULT_CONFIG.cell_area(AT_RES))
+    return f"""
+    WITH {_oracle_diamond_ctes(AT_RES)},
+    vec AS (
+      SELECT CAST(poly_id % 2 AS INT) AS class,
+             sum(area_p) AS _vec
+      FROM (SELECT poly_id, abs(sum(x1 * y2 - x2 * y1)) / 2.0 AS area_p
+            FROM edges GROUP BY poly_id)
+      GROUP BY 1),
+    ras AS (
+      SELECT class, count(*) * {_d(cell_area)} AS _ras
+      FROM (SELECT DISTINCT CAST(poly_id % 2 AS INT) AS class, px, py
+            FROM inside)
+      GROUP BY class),
+    per_class AS (
+      SELECT coalesce(v._vec, 0.0) AS _vec, coalesce(r._ras, 0.0) AS _ras
+      FROM vec v FULL JOIN ras r USING (class))
+    SELECT CAST(round(sqrt(avg((_ras - _vec) * (_ras - _vec))) / 1e6) AS BIGINT) AS rmse_km2,
+           CAST(round(avg(_ras - _vec) / 1e6) AS BIGINT) AS bias_km2,
+           CAST(round(sum(_vec) / 1e6) AS BIGINT) AS vec_km2,
+           CAST(round(sum(_ras) / 1e6) AS BIGINT) AS ras_km2
+    FROM per_class
+    """
+
+
 QUERIES3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extent": q_extent,
     "nodata_stride": q_nodata_stride,
@@ -370,6 +619,10 @@ QUERIES3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_error": q_line_error,
     "cells_io": q_cells_io,
     "merge_resume": q_merge_resume,
+    "resample_bilinear": q_resample_bilinear,
+    "resample_cubic": q_resample_cubic,
+    "all_touched": q_all_touched,
+    "area_error": q_area_error,
 }
 
 ORACLES3: dict[str, str] = {
@@ -380,4 +633,8 @@ ORACLES3: dict[str, str] = {
     "line_error": _oracle_line_error(),
     "cells_io": _oracle_cells_io(),
     "merge_resume": _oracle_merge_resume(),
+    "resample_bilinear": _oracle_resample_bilinear(),
+    "resample_cubic": _oracle_resample_cubic(),
+    "all_touched": _oracle_all_touched(),
+    "area_error": _oracle_area_error(),
 }

@@ -68,3 +68,92 @@ def test_all_touched_contains_center_burn(spark):
     t_ids = {r.cellid for r in
              spatial_join.rasterize_polygons(polys, 2, all_touched=True).collect()}
     assert c_ids and c_ids <= t_ids and len(t_ids) > len(c_ids)
+
+
+def test_cubic_constant_and_interpolating(spark):
+    from dggstools_spark.operators.resample import resample_cubic
+
+    src = spark.createDataFrame([(f"Q{i}", 7.0) for i in range(9)],
+                                "cellid string, band1 double")
+    out = resample_cubic(src, 1, 3).collect()
+    assert len(out) == 9 * 81
+    assert all(abs(r.band1 - 7.0) < 1e-12 for r in out)
+
+
+def test_cubic_reproduces_quadratic_field(spark):
+    """Keys' a=-0.5 kernel reproduces polynomials up to degree 2 exactly
+    (third-order accuracy) over the interior."""
+    from dggstools_spark.operators.resample import resample_cubic
+
+    g = grid(spark, 2, faces="Q")
+    s = HALF_SIDE
+    src = g.select("cellid", (
+        (F.col("x") / s) * 3.0 + (F.col("y") / s) * (F.col("y") / s) * 5.0
+        + (F.col("x") / s) * (F.col("y") / s) * 2.0 + 1.0).alias("band1"))
+    out = resample_cubic(src, 2, 4)
+    pdf = out.toPandas()
+    cx, cy = cellid_to_planar_centroid(pdf["cellid"].tolist())
+    want = (cx / s) * 3.0 + (cy / s) ** 2 * 5.0 + (cx / s) * (cy / s) * 2.0 + 1.0
+    got = pdf["band1"].to_numpy()
+    w1 = HALF_SIDE / 9
+    # cubic stencil reaches 2 source cells out: shrink the interior by 2w
+    interior = ((cx > 2 * w1) & (cx < HALF_SIDE - 2 * w1)
+                & (cy < HALF_SIDE / 2 - 2 * w1) & (cy > -HALF_SIDE / 2 + 2 * w1))
+    assert interior.sum() > 100
+    np.testing.assert_allclose(got[interior], want[interior], rtol=1e-9)
+
+
+def test_cubic_hits_source_samples(spark):
+    """Targets whose centroid coincides with a source centroid (col % 3 == 1
+    at ratio 3) take exactly the source value — the interpolating property."""
+    from dggstools_spark.operators.resample import resample_cubic
+    from dggstools_spark.operators.raster import cells_to_tiles
+
+    rng = np.random.default_rng(4)
+    g = grid(spark, 2, faces="Q")
+    vals = {r.cellid: float(v) for r, v in
+            zip(g.select("cellid").collect(), rng.uniform(0, 100, 81))}
+    src = spark.createDataFrame(list(vals.items()), "cellid string, band1 double")
+    out = resample_cubic(src, 2, 3)
+    rc = cells_to_tiles(out, value_cols=["band1"], res=3)
+    hits = rc.filter((F.col("row") % 3 == 1) & (F.col("col") % 3 == 1)).collect()
+    assert len(hits) == 81
+    for r in hits:
+        parent = r.cellid[:-1]
+        assert abs(r.band1 - vals[parent]) < 1e-9, (r.cellid, r.band1, vals[parent])
+
+
+def test_area_error_exact_on_aligned_squares(spark):
+    """area_error (the reference's vec-ras-area-error composition,
+    vector_to_rhpx.py:388-501): squares aligned to exact 3x3 and 2x2 cell
+    blocks -> planar vector area == planar raster area per class, so with
+    distortion correction off rmse == bias == 0 and the totals are
+    (9 + 4) * w^2; with correction on, the diff per class is
+    n * w^2 * (1/1.178 - 1) and rmse/bias follow the reference formula."""
+    from dggstools_spark.dggs.config import DEFAULT_CONFIG, MEAN_AREAL_DISTORTION
+    from dggstools_spark.operators.metrics import area_error
+
+    w = HALF_SIDE / 9
+    y_top = HALF_SIDE / 2
+
+    def square(x0_cells, y0_cells, n_cells):
+        x0, x1 = x0_cells * w, (x0_cells + n_cells) * w
+        y1, y0 = y_top - y0_cells * w, y_top - (y0_cells + n_cells) * w
+        return [{"x": x0, "y": y0}, {"x": x1, "y": y0},
+                {"x": x1, "y": y1}, {"x": x0, "y": y1}]
+
+    polys = spark.createDataFrame(
+        [(1, 0, square(1, 2, 3)), (2, 1, square(5, 4, 2))],
+        "poly_id int, class int, ring array<struct<x double, y double>>")
+    flat = area_error(polys, 2, class_col="class",
+                      distortion_correct=False).collect()[0]
+    # ~1e-16 relative float residue on ~1e13 m^2 areas
+    assert abs(flat.rmse) < 0.1 and abs(flat.bias) < 0.1
+    np.testing.assert_allclose(flat.total_vector_area, 13 * w * w, rtol=1e-12)
+    np.testing.assert_allclose(flat.total_cells_area, 13 * w * w, rtol=1e-12)
+
+    corr = area_error(polys, 2, class_col="class").collect()[0]
+    d1 = 9 * w * w / MEAN_AREAL_DISTORTION - 9 * w * w
+    d2 = 4 * w * w / MEAN_AREAL_DISTORTION - 4 * w * w
+    np.testing.assert_allclose(corr.rmse, np.sqrt((d1**2 + d2**2) / 2), rtol=1e-9)
+    np.testing.assert_allclose(corr.bias, (d1 + d2) / 2, rtol=1e-9)
