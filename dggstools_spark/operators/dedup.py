@@ -194,20 +194,16 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
     with cos >= threshold as (a_id, b_id, cos_ppm).  ``max_bucket`` is the
     hot-bucket guard (see _cap_hot_keys) — a degenerate embedding cluster
     (e.g. the zero vector from empty docs) lands in one bucket."""
+    from .similarity import signature_spark
+
     dot = ("aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
            " 0.0D, (acc, v) -> acc + v)")
     nrm = "sqrt(" + dot.format(a="{v}", b="{v}") + ")"
-    # deterministic pseudo-random planes: plane p component j = hash-based +-1
+    # deterministic integer-arithmetic planes (operators/similarity.py) —
+    # portable to the DuckDB oracle, unlike Spark's murmur3 hash()
     sig = df.select(
         id_col, vec_col,
-        F.concat(*[
-            F.when(F.expr(
-                f"aggregate(zip_with({vec_col}, transform(sequence(0, size({vec_col}) - 1),"
-                f" j -> CAST(1 - 2 * pmod(hash({p}, j), 2) AS DOUBLE)),"
-                f" (x, w) -> CAST(x AS DOUBLE) * w), 0.0D, (acc, v) -> acc + v)"
-            ) > 0, F.lit("1")).otherwise(F.lit("0"))
-            for p in range(n_planes)
-        ]).alias("bucket"),
+        F.expr(signature_spark(vec_col, n_planes)).alias("bucket"),
     )
     sig = _cap_hot_keys(sig, "bucket", max_bucket)
     a = sig.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"), "bucket")

@@ -611,6 +611,95 @@ def _oracle_area_error() -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# q_ann_topk — bucketed ANN search (LSH probes + exact rerank), the scale
+# sibling of brute-force q_embed_knn; the deterministic approximate
+# construction itself is oracle-checked, recall vs brute force is pytest'd
+# --------------------------------------------------------------------------
+
+ANN_K = 3
+ANN_PLANES = 6
+ANN_HAMMING = 2
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ann_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    out = ann_topk(emb, qs, ANN_K, n_planes=ANN_PLANES, probe_hamming=ANN_HAMMING)
+    return out.select(
+        "q_id", F.col("vec_id").alias("cand_id"),
+        F.round(F.col("sim") * 1e9).cast("bigint").alias("sim_nano"),
+        "rank")
+
+
+def _oracle_ann_topk() -> str:
+    from .operators.similarity import (DOT_DUCK, NRM_DUCK, probe_buckets_sql,
+                                       signature_duckdb)
+
+    sig = signature_duckdb("embedding", ANN_PLANES)
+    probes = ", ".join(probe_buckets_sql("bucket0", ANN_PLANES, ANN_HAMMING))
+    dot = DOT_DUCK.format(a="q_emb", b="embedding")
+    nrm_q = NRM_DUCK.format(v="q_emb")
+    nrm_c = NRM_DUCK.format(v="embedding")
+    return f"""
+    WITH csig AS (SELECT vec_id, embedding, {sig} AS bucket FROM embeddings),
+    qsig AS (SELECT vec_id AS q_id, embedding AS q_emb, {sig} AS bucket0
+             FROM embeddings WHERE vec_id % 50 = 0),
+    probes AS (SELECT q_id, q_emb, unnest([{probes}]) AS bucket FROM qsig),
+    pairs AS (
+      SELECT p.q_id, c.vec_id AS cand_id,
+             round(({dot}) / ({nrm_q} * {nrm_c}), 9) AS sim
+      FROM probes p JOIN csig c ON p.bucket = c.bucket
+      WHERE c.vec_id != p.q_id)
+    SELECT q_id, cand_id, CAST(round(sim * 1e9) AS BIGINT) AS sim_nano, rank
+    FROM (SELECT q_id, cand_id, sim,
+                 row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS rank
+          FROM pairs)
+    WHERE rank <= {ANN_K}
+    """
+
+
+# --------------------------------------------------------------------------
+# q_embed_pairs — embedding near-dup pair generation (bucket join + exact
+# cosine verify), now oracle-checked thanks to the portable planes
+# --------------------------------------------------------------------------
+
+EP_THRESHOLD = 0.15
+EP_PLANES = 6
+
+
+def q_embed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import embedding_cosine_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(emb, "embedding", "vec_id",
+                                  threshold=EP_THRESHOLD, n_planes=EP_PLANES)
+
+
+def _oracle_embed_pairs() -> str:
+    from .operators.similarity import DOT_DUCK, NRM_DUCK, signature_duckdb
+
+    sig = signature_duckdb("embedding", EP_PLANES)
+    dot = DOT_DUCK.format(a="a_vec", b="b_vec")
+    nrm_a = NRM_DUCK.format(v="a_vec")
+    nrm_b = NRM_DUCK.format(v="b_vec")
+    return f"""
+    WITH sig AS (SELECT vec_id, embedding, {sig} AS bucket FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             a.embedding AS a_vec, b.embedding AS b_vec
+      FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT a_id, b_id,
+           CAST(round(({dot}) / ({nrm_a} * {nrm_b}) * 1e6) AS BIGINT) AS cos_ppm
+    FROM pairs
+    WHERE CAST(round(({dot}) / ({nrm_a} * {nrm_b}) * 1e6) AS BIGINT)
+          >= {int(EP_THRESHOLD * 1e6)}
+    """
+
+
 QUERIES3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extent": q_extent,
     "nodata_stride": q_nodata_stride,
@@ -623,6 +712,8 @@ QUERIES3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "resample_cubic": q_resample_cubic,
     "all_touched": q_all_touched,
     "area_error": q_area_error,
+    "ann_topk": q_ann_topk,
+    "embed_pairs": q_embed_pairs,
 }
 
 ORACLES3: dict[str, str] = {
@@ -637,4 +728,6 @@ ORACLES3: dict[str, str] = {
     "resample_cubic": _oracle_resample_cubic(),
     "all_touched": _oracle_all_touched(),
     "area_error": _oracle_area_error(),
+    "ann_topk": _oracle_ann_topk(),
+    "embed_pairs": _oracle_embed_pairs(),
 }

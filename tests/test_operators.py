@@ -385,3 +385,34 @@ def test_ngram_jaccard_doc_freq_cap(spark):
     jac_c = {(r.a_id, r.b_id): r.jac_ppm for r in capped.collect()}
     jac_u = {(r.a_id, r.b_id): r.jac_ppm for r in uncapped.collect()}
     assert jac_c[(1000, 1001)] == jac_u[(1000, 1001)]
+
+
+def test_ann_topk_recall_and_plan(spark):
+    """Bucketed ANN: no cartesian/nested-loop join in the plan, and recall@3
+    vs the brute-force exact top-k is usable on the synthetic embeddings
+    (multi-probe Hamming<=1 over 8 planes)."""
+    from dggstools_spark.operators.similarity import ann_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    approx = ann_topk(emb, qs, 3)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+    from dggstools_spark.operators.similarity import DOT_SPARK, NRM_SPARK
+    from pyspark.sql.window import Window
+
+    pairs = emb.select(F.col("vec_id").alias("cand_id"),
+                       F.col("embedding").alias("c_emb")) \
+        .crossJoin(F.broadcast(qs)).filter(F.col("cand_id") != F.col("q_id"))
+    dot = DOT_SPARK.format(a="q_emb", b="c_emb")
+    nrm = NRM_SPARK.format(v="q_emb") + " * " + NRM_SPARK.format(v="c_emb")
+    pairs = pairs.withColumn("sim", F.expr(f"round(({dot}) / ({nrm}), 9)"))
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
+    exact = pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
+
+    got = {(r.q_id, r.vec_id) for r in approx.collect()}
+    want = {(r.q_id, r.cand_id) for r in exact.collect()}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.4, f"recall@3 {recall:.2f} too low"
