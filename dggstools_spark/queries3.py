@@ -700,6 +700,48 @@ def _oracle_embed_pairs() -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# q_media_codecs — REAL codecs (PNM + WAV) end to end: blobs synthesized
+# from closed forms, decoded by the actual parsers, stats oracle-checked
+# against the generating formula (no decoding needed on the oracle side)
+# --------------------------------------------------------------------------
+
+def q_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.media import media_stats, synth_blob_udf
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("_id"),
+        F.col("doc_id").cast("string").alias("doc_id"))
+    blobs = docs.withColumn("blob", synth_blob_udf()("_id")) \
+        .select("doc_id", "blob")
+    stats = media_stats(blobs)
+    return stats.select(
+        "doc_id", "kind", "n_raw",
+        F.round(F.col("mean_sig") * 1e6).cast("bigint").alias("mean_um"),
+        F.round(F.col("lo_sig") * 1e6).cast("bigint").alias("lo_um"),
+        F.round(F.col("hi_sig") * 1e6).cast("bigint").alias("hi_um"),
+    )
+
+
+_ORACLE_MEDIA_CODECS = """
+WITH px AS (SELECT doc_id, CAST((doc_id * 31 + i * 7) % 251 AS DOUBLE) / 255.0 AS v
+            FROM documents, range(64) t(i) WHERE doc_id % 2 = 0),
+wv AS (SELECT doc_id, CAST((doc_id * 13 + i * 3) % 2003 - 1001 AS DOUBLE) / 32768.0 AS v
+       FROM documents, range(32) t(i) WHERE doc_id % 2 = 1),
+u AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'image' AS kind, CAST(64 AS INT) AS n_raw,
+         avg(v) AS m, min(v) AS l, max(v) AS h FROM px GROUP BY doc_id
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR), 'audio', CAST(32 AS INT),
+         avg(v), min(v), max(v) FROM wv GROUP BY doc_id)
+SELECT doc_id, kind, n_raw,
+       CAST(round(m * 1e6) AS BIGINT) AS mean_um,
+       CAST(round(l * 1e6) AS BIGINT) AS lo_um,
+       CAST(round(h * 1e6) AS BIGINT) AS hi_um
+FROM u
+"""
+
+
 QUERIES3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extent": q_extent,
     "nodata_stride": q_nodata_stride,
@@ -714,6 +756,7 @@ QUERIES3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "area_error": q_area_error,
     "ann_topk": q_ann_topk,
     "embed_pairs": q_embed_pairs,
+    "media_codecs": q_media_codecs,
 }
 
 ORACLES3: dict[str, str] = {
@@ -730,4 +773,5 @@ ORACLES3: dict[str, str] = {
     "area_error": _oracle_area_error(),
     "ann_topk": _oracle_ann_topk(),
     "embed_pairs": _oracle_embed_pairs(),
+    "media_codecs": _ORACLE_MEDIA_CODECS,
 }

@@ -133,3 +133,41 @@ def test_media_resize_and_frames(spark):
     fr = media.sample_frames(df, every=8, n_frames=32).collect()
     assert [r.frame_idx for r in fr] == [0, 8, 16, 24]
     assert all(len(r.frame) == 32 for r in fr)
+
+
+def test_pnm_wav_real_decoders_roundtrip():
+    """The real codecs (no Spark): P5/P6 PNM and 16/8-bit WAV roundtrips."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from dggstools_spark.functions.media import (decode_media, decode_pnm,
+                                                 decode_wav)
+
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    blob = b"P5\n# a comment\n8 8\n255\n" + px.tobytes()
+    arr, meta = decode_pnm(blob)
+    assert (arr == px).all() and meta["width"] == 8 and meta["height"] == 8
+
+    rgb = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    blob6 = b"P6\n4 4\n255\n" + rgb.tobytes()
+    arr6, meta6 = decode_pnm(blob6)
+    assert (arr6 == rgb).all() and meta6["mime"].endswith("pixmap")
+
+    s = (np.arange(-16, 16) * 100).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(s.tobytes())
+    samples, wmeta = decode_wav(buf.getvalue())
+    assert (samples == s).all() and wmeta["sample_rate"] == 8000
+
+    kind, sig, _ = decode_media(blob)
+    assert kind == "image" and abs(sig.max() - 63 / 255) < 1e-12
+    kind2, sig2, _ = decode_media(buf.getvalue())
+    assert kind2 == "audio" and len(sig2) == 32
+    kind3, _, _ = decode_media(b"\x89PNG not actually decodable here")
+    assert kind3 == "opaque"
