@@ -742,6 +742,52 @@ FROM u
 """
 
 
+# --------------------------------------------------------------------------
+# q_geodesic_area — A2: geodesic polygon area per class; the Spark side is
+# the numpy-kernel pandas UDF (class_polygon_areas), the oracle an
+# independent closed-form spherical-excess SQL — a true two-implementation
+# triangulation, not a shared formula
+# --------------------------------------------------------------------------
+
+def _lonlat_diamond_sql(key: str) -> tuple[str, str, str]:
+    lon_c = f"(-150.0 + ((CAST({key} AS BIGINT) * 7919) % 3000) / 10.0)"
+    lat_c = f"(-60.0 + ((CAST({key} AS BIGINT) * 104729) % 1200) / 10.0)"
+    r = f"(2.0 + (CAST({key} AS BIGINT) % 5))"
+    return lon_c, lat_c, r
+
+
+def q_geodesic_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lon_c, lat_c, r = _lonlat_diamond_sql("n_nationkey")
+    polys = load(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey") % 2).cast("int").alias("class"),
+        F.expr(
+            f"array(named_struct('x', {lon_c} + {r}, 'y', {lat_c}),"
+            f" named_struct('x', {lon_c}, 'y', {lat_c} + {r}),"
+            f" named_struct('x', {lon_c} - {r}, 'y', {lat_c}),"
+            f" named_struct('x', {lon_c}, 'y', {lat_c} - {r}))"
+        ).alias("ring"),
+    )
+    out = metrics.class_polygon_areas(polys, class_col="class")
+    return out.select(
+        "class",
+        F.round(F.col("area_m2") / 1e6).cast("bigint").alias("area_km2"))
+
+
+def _oracle_geodesic_area() -> str:
+    from .functions import geodesy_sql
+
+    lon_c, lat_c, r = _lonlat_diamond_sql("n_nationkey")
+    verts = [(f"{lon_c} + {r}", lat_c), (lon_c, f"{lat_c} + {r}"),
+             (f"{lon_c} - {r}", lat_c), (lon_c, f"{lat_c} - {r}")]
+    inner = "SELECT CAST(n_nationkey % 2 AS INT) AS class, n_nationkey FROM nation"
+    for name, expr in geodesy_sql.polygon_area_steps(verts):
+        inner = f"SELECT *, {expr} AS {name} FROM ({inner})"
+    return f"""
+    SELECT class, CAST(round(sum(area_m2) / 1e6) AS BIGINT) AS area_km2
+    FROM ({inner}) GROUP BY class
+    """
+
+
 QUERIES3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extent": q_extent,
     "nodata_stride": q_nodata_stride,
@@ -757,6 +803,7 @@ QUERIES3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "embed_pairs": q_embed_pairs,
     "media_codecs": q_media_codecs,
+    "geodesic_area": q_geodesic_area,
 }
 
 ORACLES3: dict[str, str] = {
@@ -774,4 +821,5 @@ ORACLES3: dict[str, str] = {
     "ann_topk": _oracle_ann_topk(),
     "embed_pairs": _oracle_embed_pairs(),
     "media_codecs": _ORACLE_MEDIA_CODECS,
+    "geodesic_area": _oracle_geodesic_area(),
 }
