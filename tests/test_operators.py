@@ -416,3 +416,24 @@ def test_ann_topk_recall_and_plan(spark):
     want = {(r.q_id, r.cand_id) for r in exact.collect()}
     recall = len(got & want) / len(want)
     assert recall >= 0.4, f"recall@3 {recall:.2f} too low"
+
+
+def test_salted_topk_matches_naive(spark):
+    """salted_topk_per_key is exact: equals the single-window top-k on a
+    skewed fixture (one hot key + uniform tail)."""
+    from dggstools_spark.operators.skew import salted_topk_per_key, topk_per_key
+
+    df = (spark.range(20000)
+          .select(F.col("id").alias("doc_id"),
+                  F.when(F.pmod("id", F.lit(10)) < 9, F.lit(1))
+                  .otherwise(F.pmod("id", F.lit(50))).alias("tile"),
+                  F.pmod(F.col("id") * 40503, F.lit(99991)).alias("score")))
+    order = [F.col("score").desc(), F.col("doc_id")]
+    a = {tuple(r) for r in topk_per_key(df, ["tile"], order, 25)
+         .select("tile", "doc_id", "rank").collect()}
+    b = {tuple(r) for r in salted_topk_per_key(df, ["tile"], order, 25, n_salt=8,
+                                               salt_src="doc_id")
+         .select("tile", "doc_id", "rank").collect()}
+    c = {tuple(r) for r in salted_topk_per_key(df, ["tile"], order, 25, n_salt=8)
+         .select("tile", "doc_id", "rank").collect()}
+    assert a == b == c and len(a) > 25
