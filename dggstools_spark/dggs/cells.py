@@ -187,6 +187,42 @@ def cellid_to_vertices(cellids, cfg: RHEALPixConfig = DEFAULT_CONFIG):
     return out
 
 
+def cellid_to_geodetic_vertices(cellids, cfg: RHEALPixConfig = DEFAULT_CONFIG,
+                                trim_dart: bool = True) -> list:
+    """cellids -> list of vertex rings [(lon, lat), ...] in degrees —
+    Cell.vertices(plane=False, trim_dart=...) (reference uses it to build
+    EPSG:4326 geometry, rhpx_gdf_helper.py:358-365).
+
+    Cap cells with a corner at the face center project that corner TO the
+    pole; the two planar corners nearest the center can collapse to the
+    same geodetic point ("dart" cells).  ``trim_dart`` drops consecutive
+    duplicate vertices (closing edge included), like the upstream flag, so
+    rings stay valid polygons."""
+    planar = cellid_to_vertices(cellids, cfg)
+    n = planar.shape[0]
+    lon, lat = projection.inverse(planar[:, :, 0].reshape(-1),
+                                  planar[:, :, 1].reshape(-1),
+                                  cfg.north_square, cfg.south_square)
+    lon = lon.reshape(n, 4)
+    lat = lat.reshape(n, 4)
+    out = []
+    for i in range(n):
+        ring = list(zip(lon[i], lat[i]))
+        if trim_dart:
+            trimmed = []
+            for j, (lo, la) in enumerate(ring):
+                prev = trimmed[-1] if trimmed else ring[-1]
+                # at the poles longitude is degenerate: same point iff same lat
+                same = (abs(la - prev[1]) < 1e-9
+                        and (abs(la) > 90 - 1e-9
+                             or abs((lo - prev[0] + 180) % 360 - 180) < 1e-9))
+                if not same:
+                    trimmed.append((lo, la))
+            ring = trimmed
+        out.append(ring)
+    return out
+
+
 # --------------------------------------------------------------------------
 # packed integer cell keys (shuffle-friendly: 8-byte longs instead of UTF8
 # strings; no Python object creation in the Arrow path)

@@ -173,3 +173,48 @@ class TestCellEncoding:
         assert n[0].startswith("N") and s[0].startswith("S")
         # the pole is the center of the cap square -> central child chain "4"
         assert n[0] == "N44" and s[0] == "S44"
+
+
+def test_geodetic_vertices_whole_earth_contract():
+    """Geodetic cell polygons (Cell.vertices(plane=False) analogue;
+    reference builds EPSG:4326 geometry from it, rhpx_gdf_helper.py:358-365,
+    and generates the whole-earth grid in tests_data.py:400-434):
+    every res-1/2 cell ring is a valid 4-vertex lon/lat polygon, equatorial
+    rings roundtrip through the forward projection, and the N-face center
+    cell contains the pole.  With n_side=3 no cell corner can sit on the
+    cap-face center, so trim_dart is a documented no-op (it guards the
+    even-n_side dart case)."""
+    import itertools
+
+    from dggstools_spark.dggs import projection
+    from dggstools_spark.dggs.cells import (cellid_to_geodetic_vertices,
+                                            cellid_to_lonlat_centroid,
+                                            cellid_to_vertices)
+
+    for res in (1, 2):
+        n = 3**res
+        ids = [f + "".join(str((r // 3**(res-k) % 3) * 3 + (c // 3**(res-k) % 3))
+                           for k in range(1, res + 1))
+               for f in "NOPQRS" for r, c in itertools.product(range(n), range(n))]
+        rings = cellid_to_geodetic_vertices(ids)
+        untrimmed = cellid_to_geodetic_vertices(ids, trim_dart=False)
+        assert all(len(r) == 4 for r in rings)
+        assert rings == untrimmed  # no darts with odd n_side
+        for ring in rings:
+            for lo, la in ring:
+                assert -180.0001 <= lo <= 180.0001 and -90.0001 <= la <= 90.0001
+
+    # equatorial rings roundtrip: inverse then forward returns the planar vertex
+    eq_ids = ["O4", "P0", "Q8", "R3"]
+    planar = cellid_to_vertices(eq_ids)
+    rings = cellid_to_geodetic_vertices(eq_ids)
+    for i, ring in enumerate(rings):
+        lon = np.array([v[0] for v in ring])
+        lat = np.array([v[1] for v in ring])
+        x, y = projection.forward(lon, lat)
+        np.testing.assert_allclose(x, planar[i, :, 0], atol=1e-6)
+        np.testing.assert_allclose(y, planar[i, :, 1], atol=1e-6)
+
+    # the N-face center cell holds the pole: its centroid is lat 90
+    lon_c, lat_c = cellid_to_lonlat_centroid(["N4"])
+    assert abs(lat_c[0] - 90.0) < 1e-9
