@@ -22,7 +22,16 @@ def main() -> None:
     sf = "/root/testdata/sf0.01"
 
     picks = ["cell_counts", "cell_counts_expr", "cells_by_revenue",
-             "pip_polygons", "knn_cells", "prefix_rollup", "embed_knn"]
+             "pip_polygons", "knn_cells", "prefix_rollup", "embed_knn",
+             "ann_topk", "embed_pairs", "resample_cubic", "all_touched",
+             "rescale_modes", "subarea", "span_cells"]
+    # queries whose joins must stay broadcast (dimension-sized side): a
+    # SortMergeJoin here is plan creep and fails the script.  embed_pairs'
+    # bucket self-join and rescale_modes' agg-agg joins legitimately shuffle
+    # at scale, so they are audited but not gated.
+    expect_no_smj = {"cells_by_revenue", "pip_polygons", "knn_cells",
+                     "embed_knn", "ann_topk", "all_touched"}
+    violations = []
     out = ["# PLANS — physical-plan review of headline queries\n",
            "Checked properties: column-pruned scans (`ReadSchema`), pushed filters,",
            "broadcast joins for dimension sides, whole-stage codegen coverage,",
@@ -41,6 +50,8 @@ def main() -> None:
         # summary signals
         n_bhj = tree.count("BroadcastHashJoin")
         n_smj = tree.count("SortMergeJoin")
+        if name in expect_no_smj and n_smj > 0:
+            violations.append(name)
         n_arrow = tree.count("ArrowEvalPython")
         pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
         schemas = re.findall(r"ReadSchema: ([^\n]*)", plan)
@@ -56,6 +67,9 @@ def main() -> None:
     with open("PLANS.md", "w") as f:
         f.write("\n".join(out) + "\n")
     print("wrote PLANS.md")
+    if violations:
+        print("SORT-MERGE-JOIN CREEP in broadcast-expected queries:", violations)
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":
