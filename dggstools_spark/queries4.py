@@ -1,0 +1,229 @@
+"""Driver-contract queries, batch 4: the last pytest-only operators
+converted to oracle-checked rows — tile-array assembly (S7/S8), grid
+generation (R7), the A10 optimality check, and Structured-Streaming ingest
+(complete-mode memory sink + availableNow = a deterministic, oracle-able
+streaming run)."""
+
+from __future__ import annotations
+
+import shutil
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .dggs.config import DEFAULT_CONFIG
+from .functions import encode_sql
+from .queries3 import _docs_cells, _oracle_docs_cells, load
+
+
+# --------------------------------------------------------------------------
+# q_tile_arrays — S7/S8: per-tile dense 2-D array assembly (grouped-map);
+# verified via shape + non-nodata mass per tile
+# --------------------------------------------------------------------------
+
+TA_RES = 4
+TA_PREFIX = 2
+
+
+def q_tile_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.raster import assemble_tile_arrays, cells_to_tiles
+
+    enc = _docs_cells(spark, sf_dir, TA_RES, keep=["doc_id"])
+    cells = enc.groupBy("cellid").agg(F.count("*").cast("double").alias("band1"))
+    rows = cells_to_tiles(cells, value_cols=["band1"], tile_prefix_len=TA_PREFIX,
+                          res=TA_RES)
+    tiles = assemble_tile_arrays(rows, TA_RES, value_col="band1")
+    return tiles.select(
+        "tile", "height", "width",
+        F.expr("aggregate(flatten(data), 0.0D,"
+               " (a, v) -> a + (CASE WHEN isnan(v) THEN 0.0 ELSE v END))")
+        .cast("bigint").alias("sum_v"),
+        F.expr("aggregate(flatten(data), 0L,"
+               " (a, v) -> a + (CASE WHEN isnan(v) THEN 0 ELSE 1 END))")
+        .cast("bigint").alias("n_filled"),
+    )
+
+
+def _oracle_tile_arrays() -> str:
+    enc = _oracle_docs_cells(TA_RES, [])
+    side = DEFAULT_CONFIG.n_side ** (TA_RES - (TA_PREFIX - 1))
+    return f"""
+    WITH cells AS (SELECT cellid, count(*) AS n FROM ({enc}) GROUP BY cellid)
+    SELECT substring(cellid, 1, {TA_PREFIX}) AS tile,
+           CAST({side} AS INT) AS height, CAST({side} AS INT) AS width,
+           CAST(sum(n) AS BIGINT) AS sum_v,
+           count(*) AS n_filled
+    FROM cells GROUP BY 1
+    """
+
+
+# --------------------------------------------------------------------------
+# q_grid — R7: distributed whole-face grid generation with planar centroids
+# --------------------------------------------------------------------------
+
+GRID_RES = 2
+GRID_FACES = "NQ"
+
+
+def q_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.raster import grid
+
+    g = grid(spark, GRID_RES, faces=GRID_FACES)
+    return g.agg(
+        F.count("*").alias("n_cells"),
+        F.min("cellid").alias("min_cell"),
+        F.max("cellid").alias("max_cell"),
+        F.round(F.sum("x")).cast("bigint").alias("sum_x_m"),
+        F.round(F.sum("y")).cast("bigint").alias("sum_y_m"),
+    )
+
+
+def _oracle_grid() -> str:
+    from .dggs.cells import HALF_SIDE, _face_ul
+
+    n_cells = DEFAULT_CONFIG.n_side**GRID_RES
+    w = float(HALF_SIDE / n_cells)
+    uls = _face_ul(DEFAULT_CONFIG)
+    face_idx = {"N": 0, "O": 1, "P": 2, "Q": 3, "R": 4, "S": 5}
+    blocks = []
+    for f in GRID_FACES:
+        cellid = encode_sql.rowcol_cellid_sql(f"'{f}'", "row", "col", GRID_RES)
+        ulx = float(uls[face_idx[f], 0])
+        uly = float(uls[face_idx[f], 1])
+        blocks.append(f"""
+        SELECT {cellid} AS cellid,
+               CAST({ulx!r} AS DOUBLE) + (col + 0.5) * CAST({w!r} AS DOUBLE) AS x,
+               CAST({uly!r} AS DOUBLE) - (row + 0.5) * CAST({w!r} AS DOUBLE) AS y
+        FROM (SELECT CAST(i // {n_cells} AS BIGINT) AS row,
+                     CAST(i % {n_cells} AS BIGINT) AS col
+              FROM range({n_cells * n_cells}) t(i))""")
+    union = " UNION ALL ".join(blocks)
+    return f"""
+    SELECT count(*) AS n_cells, min(cellid) AS min_cell, max(cellid) AS max_cell,
+           CAST(round(sum(x)) AS BIGINT) AS sum_x_m,
+           CAST(round(sum(y)) AS BIGINT) AS sum_y_m
+    FROM ({union})
+    """
+
+
+# --------------------------------------------------------------------------
+# q_is_optimal — A10: single-pass optimality check; the raw seeded cover is
+# collapsible (checked by an independent SQL existence test), the compacted
+# one is optimal by construction (the oracle pins the invariant)
+# --------------------------------------------------------------------------
+
+OPT_RES = 3
+
+
+def _seeded_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = _docs_cells(spark, sf_dir, OPT_RES).dropDuplicates()
+    k = DEFAULT_CONFIG.n_side ** 2
+    seeded = cells.select(F.substring("cellid", 1, OPT_RES).alias("cellid")) \
+        .distinct().withColumn("cellid", F.explode(F.expr(
+            f"transform(sequence(0, {k - 1}), d -> concat(cellid, CAST(d AS STRING)))")))
+    return cells.unionByName(seeded).dropDuplicates(["cellid"]) \
+        .localCheckpoint(eager=True)
+
+
+def q_is_optimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.auid import is_optimal, optimize_cells
+
+    both = _seeded_cover(spark, sf_dir)
+    raw_opt = is_optimal(both, DEFAULT_CONFIG.n_side)
+    compacted = optimize_cells(both, DEFAULT_CONFIG.n_side)
+    comp_opt = is_optimal(compacted, DEFAULT_CONFIG.n_side)
+    return spark.createDataFrame(
+        [(int(raw_opt), int(comp_opt))],
+        "raw_is_optimal int, compacted_is_optimal int")
+
+
+def _oracle_is_optimal() -> str:
+    enc = _oracle_docs_cells(OPT_RES, [])
+    k = DEFAULT_CONFIG.n_side ** 2
+    return f"""
+    WITH cover AS MATERIALIZED (SELECT DISTINCT cellid FROM ({enc})),
+    seeded AS (SELECT DISTINCT concat(substring(cellid, 1, {OPT_RES}),
+                                      CAST(d AS VARCHAR)) AS cellid
+               FROM cover, range({k}) t(d)),
+    cells AS MATERIALIZED (SELECT cellid FROM cover UNION SELECT cellid FROM seeded),
+    anc AS (SELECT DISTINCT substring(cellid, 1, CAST(l AS INT)) AS cellid
+            FROM cells, range(1, {OPT_RES + 1}) t(l) WHERE l < length(cellid)),
+    pure AS (SELECT cellid FROM cells WHERE cellid NOT IN (SELECT cellid FROM anc)),
+    tot AS (SELECT substring(cellid, 1, length(cellid) - 1) AS p, count(*) AS nt
+            FROM cells WHERE length(cellid) > 1 GROUP BY 1),
+    pur AS (SELECT substring(cellid, 1, length(cellid) - 1) AS p, count(*) AS np
+            FROM pure WHERE length(cellid) > 1 GROUP BY 1)
+    SELECT CAST(NOT EXISTS (SELECT 1 FROM tot JOIN pur USING (p)
+                            WHERE nt = {k} AND np = {k}) AS INT) AS raw_is_optimal,
+           CAST(1 AS INT) AS compacted_is_optimal
+    """
+
+
+# --------------------------------------------------------------------------
+# q_stream_ingest — Structured Streaming: file source -> pandas-UDF encode ->
+# watermarked windowed per-tile counts; complete-mode memory sink +
+# availableNow makes the run deterministic (all windows, final counts)
+# --------------------------------------------------------------------------
+
+STREAM_RES = 5
+STREAM_TILE = 2
+STREAM_SRC = "/tmp/dggs_q_stream_in"
+STREAM_CKPT = "/tmp/dggs_q_stream_ckpt"
+STREAM_EPOCH = 1700000000
+
+
+def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources import synth
+    from .streaming import ingest
+
+    shutil.rmtree(STREAM_SRC, ignore_errors=True)
+    shutil.rmtree(STREAM_CKPT, ignore_errors=True)
+    docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "lon", "lat",
+        F.timestamp_seconds(F.lit(STREAM_EPOCH) + F.col("doc_id") % 600)
+        .alias("event_time"))
+    docs.write.mode("overwrite").parquet(STREAM_SRC)
+    stream = ingest.read_doc_stream(
+        spark, STREAM_SRC,
+        schema="doc_id bigint, lon double, lat double, event_time timestamp")
+    counts = ingest.tile_counts_stream(stream, res=STREAM_RES,
+                                       tile_res=STREAM_TILE, window="1 minute")
+    try:  # a prior run in this session leaves the memory table behind
+        spark.catalog.dropTempView("dggs_stream_tiles")
+    except Exception:
+        pass
+    q = (counts.writeStream.format("memory").queryName("dggs_stream_tiles")
+         .outputMode("complete").option("checkpointLocation", STREAM_CKPT)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    tbl = spark.table("dggs_stream_tiles")
+    return tbl.select(
+        "tile",
+        F.unix_timestamp(F.col("win.start")).alias("win_start"),
+        "n_docs")
+
+
+def _oracle_stream_ingest() -> str:
+    enc = _oracle_docs_cells(STREAM_RES, ["doc_id"])
+    return f"""
+    SELECT substring(cellid, 1, {STREAM_TILE + 1}) AS tile,
+           CAST(({STREAM_EPOCH} + doc_id % 600) // 60 * 60 AS BIGINT) AS win_start,
+           count(*) AS n_docs
+    FROM ({enc})
+    GROUP BY 1, 2
+    """
+
+
+QUERIES4: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "tile_arrays": q_tile_arrays,
+    "grid": q_grid,
+    "is_optimal": q_is_optimal,
+    "stream_ingest": q_stream_ingest,
+}
+
+ORACLES4: dict[str, str] = {
+    "tile_arrays": _oracle_tile_arrays(),
+    "grid": _oracle_grid(),
+    "is_optimal": _oracle_is_optimal(),
+    "stream_ingest": _oracle_stream_ingest(),
+}
