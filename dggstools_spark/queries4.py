@@ -33,13 +33,16 @@ def q_tile_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = cells_to_tiles(cells, value_cols=["band1"], tile_prefix_len=TA_PREFIX,
                           res=TA_RES)
     tiles = assemble_tile_arrays(rows, TA_RES, value_col="band1")
+    # nodata slots surface as NULL (Arrow turns NaN inside nested lists into
+    # null on the pandas->Arrow hop) or NaN — treat both as empty
+    empty = "(v IS NULL OR isnan(v))"
     return tiles.select(
         "tile", "height", "width",
-        F.expr("aggregate(flatten(data), 0.0D,"
-               " (a, v) -> a + (CASE WHEN isnan(v) THEN 0.0 ELSE v END))")
+        F.expr(f"aggregate(flatten(data), 0.0D,"
+               f" (a, v) -> a + (CASE WHEN {empty} THEN 0.0 ELSE v END))")
         .cast("bigint").alias("sum_v"),
-        F.expr("aggregate(flatten(data), 0L,"
-               " (a, v) -> a + (CASE WHEN isnan(v) THEN 0 ELSE 1 END))")
+        F.expr(f"aggregate(flatten(data), 0L,"
+               f" (a, v) -> a + (CASE WHEN {empty} THEN 0 ELSE 1 END))")
         .cast("bigint").alias("n_filled"),
     )
 
