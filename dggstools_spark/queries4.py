@@ -217,11 +217,65 @@ def _oracle_stream_ingest() -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# q_auid_roundtrip — A7/A8 verifiable: build the AUID per group INSIDE the
+# executor (trie -> BP -> zlib -> b64), decode it back, and emit an md5 of
+# the canonical cuid list — which the oracle recomputes from plain SQL.
+# zlib/blake2b themselves have no SQL twin (auid_groups stays rows-only for
+# the b64 value), but encode->decode FIDELITY is now oracle-gated.
+# --------------------------------------------------------------------------
+
+AUID_RT_RES = 3
+
+
+def q_auid_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.types import (IntegerType, StringType, StructField,
+                                   StructType)
+
+    from .dggs import auids as auids_core
+
+    cells = _docs_cells(spark, sf_dir, AUID_RT_RES, keep=["source"])
+
+    schema = StructType([
+        StructField("group_key", StringType()),
+        StructField("n_cuids", IntegerType()),
+        StructField("cuids_md5", StringType()),
+    ])
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        cuids = pdf["cellid"].dropna().tolist()
+        comp_b64, _ = auids_core.generate_auid_hash_b64(cuids)
+        back = auids_core.cuids_from_auid_b64(comp_b64)
+        joined = ",".join(back)  # decode returns the canonical sorted set
+        return pd.DataFrame({
+            "group_key": [str(pdf["source"].iloc[0])],
+            "n_cuids": [len(back)],
+            "cuids_md5": [hashlib.md5(joined.encode()).hexdigest()],
+        })
+
+    return cells.groupBy("source").applyInPandas(build, schema)
+
+
+def _oracle_auid_roundtrip() -> str:
+    enc = _oracle_docs_cells(AUID_RT_RES, ["source"])
+    return f"""
+    WITH cells AS (SELECT DISTINCT source, cellid FROM ({enc}))
+    SELECT source AS group_key,
+           CAST(count(*) AS INT) AS n_cuids,
+           md5(string_agg(cellid, ',' ORDER BY cellid)) AS cuids_md5
+    FROM cells GROUP BY source
+    """
+
+
 QUERIES4: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_arrays": q_tile_arrays,
     "grid": q_grid,
     "is_optimal": q_is_optimal,
     "stream_ingest": q_stream_ingest,
+    "auid_roundtrip": q_auid_roundtrip,
 }
 
 ORACLES4: dict[str, str] = {
@@ -229,4 +283,5 @@ ORACLES4: dict[str, str] = {
     "grid": _oracle_grid(),
     "is_optimal": _oracle_is_optimal(),
     "stream_ingest": _oracle_stream_ingest(),
+    "auid_roundtrip": _oracle_auid_roundtrip(),
 }
