@@ -72,3 +72,19 @@ def shingle_minhash(text: str, seed: int) -> str:
     whitespace tokens.  Expressed portably downstream via explode/unnest;
     this helper only builds the per-token hash expression."""
     return f"md5(concat('{seed}:', tok))"
+
+
+BPE_PIECE_PATTERN = "[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9 ]"
+
+
+def token_count_bpe_spark(text: str) -> str:
+    """Spark SQL: subword-ish token count — letter pieces of <= 4 chars,
+    single digits, single punctuation marks (a deterministic BPE-inflation
+    proxy; greedy leftmost matching gives identical piece counts in any
+    regex engine for this pattern class)."""
+    return f"size(regexp_extract_all({text}, '{BPE_PIECE_PATTERN}', 0))"
+
+
+def token_count_bpe_duckdb(text: str) -> str:
+    """DuckDB twin of token_count_bpe_spark."""
+    return f"len(regexp_extract_all({text}, '{BPE_PIECE_PATTERN}'))"

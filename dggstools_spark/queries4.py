@@ -285,3 +285,39 @@ ORACLES4: dict[str, str] = {
     "stream_ingest": _oracle_stream_ingest(),
     "auid_roundtrip": _oracle_auid_roundtrip(),
 }
+
+
+# --------------------------------------------------------------------------
+# q_token_stats — whitespace vs BPE-ish subword token counts per source
+# (training-data budgeting: subword inflation ratio)
+# --------------------------------------------------------------------------
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import text as T
+
+    docs = load(spark, sf_dir, "documents")
+    return (docs
+            .withColumn("ws", F.expr(T.token_count("text")))
+            .withColumn("bpe", F.expr(T.token_count_bpe_spark("text")))
+            .groupBy("source")
+            .agg(F.sum("ws").cast("bigint").alias("ws_tokens"),
+                 F.sum("bpe").cast("bigint").alias("bpe_tokens"),
+                 F.round(F.sum("bpe") * 1e6 / F.sum("ws")).cast("bigint")
+                 .alias("inflation_ppm")))
+
+
+def _oracle_token_stats() -> str:
+    from .functions import text as T
+
+    return f"""
+    SELECT source,
+           CAST(sum({T.token_count('text')}) AS BIGINT) AS ws_tokens,
+           CAST(sum({T.token_count_bpe_duckdb('text')}) AS BIGINT) AS bpe_tokens,
+           CAST(round(sum({T.token_count_bpe_duckdb('text')}) * 1e6
+                      / sum({T.token_count('text')})) AS BIGINT) AS inflation_ppm
+    FROM documents GROUP BY source
+    """
+
+
+QUERIES4["token_stats"] = q_token_stats
+ORACLES4["token_stats"] = _oracle_token_stats()
