@@ -321,3 +321,60 @@ def _oracle_token_stats() -> str:
 
 QUERIES4["token_stats"] = q_token_stats
 ORACLES4["token_stats"] = _oracle_token_stats()
+
+
+# --------------------------------------------------------------------------
+# q_stream_stateful — applyInPandasWithState custom stateful operator:
+# per-tile running totals whose state crosses micro-batches; the final
+# totals (and the number of batches each tile's state saw) are
+# batch-order-independent and oracle-checked
+# --------------------------------------------------------------------------
+
+SS_SRC = "/tmp/dggs_q_stateful_in"
+SS_CKPT = "/tmp/dggs_q_stateful_ckpt"
+SS_RES = 5
+SS_TILE = 2
+
+
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources import synth
+    from .streaming import stateful
+
+    shutil.rmtree(SS_SRC, ignore_errors=True)
+    shutil.rmtree(SS_CKPT, ignore_errors=True)
+    docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id") \
+        .select("doc_id", "lon", "lat")
+    # two files split by key parity -> two micro-batches under
+    # maxFilesPerTrigger=1, so the state genuinely crosses batches
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(SS_SRC)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1) \
+        .write.mode("append").parquet(SS_SRC)
+    stream = (spark.readStream.schema("doc_id bigint, lon double, lat double")
+              .option("maxFilesPerTrigger", 1).parquet(SS_SRC))
+    running = stateful.running_tile_counts(stream, res=SS_RES, tile_res=SS_TILE)
+    try:
+        spark.catalog.dropTempView("dggs_stream_stateful")
+    except Exception:
+        pass
+    q = (running.writeStream.format("memory").queryName("dggs_stream_stateful")
+         .outputMode("update").option("checkpointLocation", SS_CKPT)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    tbl = spark.table("dggs_stream_stateful")
+    return tbl.groupBy("tile").agg(
+        F.max("total_docs").cast("bigint").alias("total_docs"),
+        F.max("n_batches").cast("int").alias("n_batches"))
+
+
+def _oracle_stream_stateful() -> str:
+    enc = _oracle_docs_cells(SS_RES, ["doc_id"])
+    return f"""
+    SELECT substring(cellid, 1, {SS_TILE + 1}) AS tile,
+           count(*) AS total_docs,
+           CAST(count(DISTINCT doc_id % 2) AS INT) AS n_batches
+    FROM ({enc}) GROUP BY 1
+    """
+
+
+QUERIES4["stream_stateful"] = q_stream_stateful
+ORACLES4["stream_stateful"] = _oracle_stream_stateful()

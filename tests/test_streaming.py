@@ -40,3 +40,42 @@ def test_stream_tile_counts_match_batch(spark, tmp_path):
         joined = per_tile_stream.join(batch, "tile")
         bad = joined.filter(F.col("ns") > F.col("n")).count()
         assert bad == 0
+
+
+def test_stateful_running_counts(spark, tmp_path):
+    """applyInPandasWithState running totals: state survives micro-batches
+    (maxFilesPerTrigger=1 forces several), and the final running total per
+    tile equals the batch group-count."""
+    from dggstools_spark.streaming import ingest, stateful
+
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    from dggstools_spark.sources.synth import interleaved_docs
+
+    docs = interleaved_docs(spark, 300, 2).select("doc_id", "lon", "lat")
+    # two separate files -> at least two micro-batches with maxFilesPerTrigger=1
+    docs.filter(F.abs(F.hash("doc_id")) % 2 == 0).coalesce(1).write.parquet(src)
+    docs.filter(F.abs(F.hash("doc_id")) % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema("doc_id string, lon double, lat double")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    running = stateful.running_tile_counts(stream, res=5, tile_res=2)
+    q = (running.writeStream.format("memory").queryName("t_stateful")
+         .outputMode("update").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    final = (spark.table("t_stateful").groupBy("tile")
+             .agg(F.max("total_docs").alias("total"),
+                  F.max("n_batches").alias("nb")))
+    from dggstools_spark.functions.encode import cellid_from_lonlat_udf
+
+    enc = cellid_from_lonlat_udf(5)
+    batch = (docs.withColumn("cellid", enc("lon", "lat"))
+             .withColumn("tile", F.substring("cellid", 1, 3))
+             .groupBy("tile").agg(F.count("*").alias("n")))
+    got = {r.tile: r.total for r in final.collect()}
+    nb = {r.tile: r.nb for r in final.collect()}
+    want = {r.tile: r.n for r in batch.collect()}
+    assert got == want
+    assert max(nb.values()) >= 2  # state really crossed micro-batches
