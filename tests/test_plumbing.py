@@ -171,3 +171,57 @@ def test_pnm_wav_real_decoders_roundtrip():
     assert kind2 == "audio" and len(sig2) == 32
     kind3, _, _ = decode_media(b"\x89PNG not actually decodable here")
     assert kind3 == "opaque"
+
+
+def test_cli_roundtrip(spark, tmp_path):
+    """CLI parity with the reference's 7 commands: burn a polygon table,
+    print its metadata, vectorize to geodetic rings, re-rasterize, and run
+    the area-error command — all through __main__.main(argv)."""
+    import io as _io
+    import json as _json
+    from contextlib import redirect_stdout
+
+    from dggstools_spark.__main__ import main
+    from dggstools_spark.dggs.cells import HALF_SIDE
+
+    w = HALF_SIDE / 9
+    ring = [{"x": 1 * w, "y": HALF_SIDE / 2 - 5 * w},
+            {"x": 4 * w, "y": HALF_SIDE / 2 - 5 * w},
+            {"x": 4 * w, "y": HALF_SIDE / 2 - 2 * w},
+            {"x": 1 * w, "y": HALF_SIDE / 2 - 2 * w}]
+    polys = spark.createDataFrame(
+        [(1, 7, ring)], "poly_id int, class int, ring array<struct<x double, y double>>")
+    vec_in = str(tmp_path / "polys.parquet")
+    polys.write.parquet(vec_in)
+
+    burn = str(tmp_path / "cells")
+    main(["vec-to-rhpx-ras", "--input", vec_in, "--output", burn, "--res", "2"])
+    cells = spark.read.parquet(f"{burn}/data")
+    assert cells.count() == 9  # the 3x3 aligned square
+    assert {r.band1 for r in cells.collect()} == {7.0}
+
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        main(["print-ras-rhpx-metadata", "--input", burn])
+    attrs = _json.loads(buf.getvalue())
+    assert attrs["res_idx"] == 2 and attrs["rhealpixdggs"]["n_side"] == 3
+
+    vec_out = str(tmp_path / "vec_rhpx")
+    main(["ras-rhpx-to-vec-rhpx", "--input", burn, "--output", vec_out])
+    rings = spark.read.parquet(vec_out)
+    assert rings.count() == 9
+    first = rings.select("ring").first()[0]
+    assert len(first) == 4 and all(-180 <= v.x <= 180 and -90 <= v.y <= 90
+                                   for v in first)
+
+    ras2 = str(tmp_path / "cells2")
+    main(["vec-rhpx-to-ras-rhpx", "--input", vec_out, "--output", ras2])
+    back = spark.read.parquet(f"{ras2}/data")
+    assert {r.cellid for r in back.collect()} == {r.cellid for r in cells.collect()}
+
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        main(["vec-ras-area-error", "--vector", vec_in, "--res", "2"])
+    err = _json.loads(buf.getvalue())
+    # aligned square: planar areas match; distortion correction shifts ras
+    assert err["total_vector_area"] > 0 and err["total_cells_area"] > 0
