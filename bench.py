@@ -81,13 +81,14 @@ def flagship(spark, n_docs: int) -> float:
             )
         )
 
-    # JIT warm-up: run the identical plan shape on a small slice so the
-    # generated classes + Python workers are hot before the timed run (a
-    # cold JVM measures C2-compiler queueing, not the job; steady state
-    # otherwise needs ~5 full-size runs to emerge)
+    # JIT warm-up: FULL-SIZE untimed runs — limit() slices warm the codegen
+    # classes but not the full shuffle/agg paths, and steady state measured
+    # ~4-6 full runs in (first full runs 20-28 s vs steady 1.9-4 s).  Two
+    # full warm-ups put even the first timed run near steady state.
     if not getattr(flagship, "_warmed", False):
+        plan(narrow.limit(500_000)).write.format("noop").mode("overwrite").save()
         for _ in range(2):
-            plan(narrow.limit(500_000)).write.format("noop").mode("overwrite").save()
+            plan(narrow).write.format("noop").mode("overwrite").save()
         flagship._warmed = True
 
     t0 = time.time()

@@ -77,6 +77,11 @@ def cmd_ras_to_rhpx_ras(a) -> None:
     cells = tiles_to_cells(tiles, a.res, nodata=a.nodata, cfg=cfg)
     res = a.res
     if a.dst_res is not None and a.dst_res != a.res:
+        if a.dst_res < a.res and a.resampling in ("bilinear", "cubic"):
+            raise SystemExit(
+                "bilinear/cubic target an equal-or-finer --dst-res; for"
+                " coarsening use --resampling nearest (first-child) or roll"
+                " up with operators.raster.rescale_to_parent(agg='avg')")
         if a.resampling == "bilinear":
             cells = resample_bilinear(cells, a.res, a.dst_res, cfg=cfg)
         elif a.resampling == "cubic":
@@ -106,8 +111,13 @@ def cmd_ras_rhpx_to_vec_rhpx(a) -> None:
     from .sources import cells_io
 
     spark = _spark("ras-rhpx-to-vec-rhpx")
-    cfg = parse_rdggs(a.rdggs)
     cells, attrs = cells_io.read_cells(spark, a.input)
+    # like the reference, the DGGS comes from the dataset's own metadata;
+    # --rdggs is only the fallback for tables without a sidecar
+    rd = attrs.get("rhealpixdggs")
+    cfg = (RHEALPixConfig(n_side=rd["n_side"], north_square=rd["north_square"],
+                          south_square=rd["south_square"])
+           if rd else parse_rdggs(a.rdggs))
     ring_t = ArrayType(StructType([StructField("x", DoubleType()),
                                    StructField("y", DoubleType())]))
 
@@ -131,7 +141,10 @@ def cmd_vec_rhpx_to_ras_rhpx(a) -> None:
     cfg = parse_rdggs(a.rdggs)
     vec = spark.read.parquet(a.input)
     cells = vec.drop("ring")
-    res = len(cells.select("cellid").first()[0]) - 1
+    sample = cells.select("cellid").first()
+    if sample is None:
+        raise SystemExit(f"{a.input} holds no cells — nothing to rasterize")
+    res = len(sample[0]) - 1
     attrs = cells_io.build_attrs(res, 1, None, cfg,
                                  extra={"input": a.input, "kind": "vector-cells"})
     cells_io.write_cells(cells, a.output, attrs)

@@ -226,7 +226,11 @@ def rowcol_cellid_sql(face_char: str, row: str, col: str, res: int,
 def decode_rowcol_sql(cellid_col: str, res: int,
                       cfg: RHEALPixConfig = DEFAULT_CONFIG) -> tuple[str, str]:
     """Portable SQL (row, col) decoded from the cellid digit string at
-    ``res`` — inverse of rowcol_cellid_sql (shared by raster oracles)."""
+    ``res`` — inverse of rowcol_cellid_sql.  THE shared generator: the
+    raster operators and every raster oracle must emit this exact text
+    (CLAUDE.md rule 5 — identical snippets keep engines bit-identical)."""
+    if res == 0:  # a base cell is the whole face: row = col = 0
+        return "CAST(0 AS BIGINT)", "CAST(0 AS BIGINT)"
     n = cfg.n_side
     row_terms, col_terms = [], []
     for k in range(1, res + 1):

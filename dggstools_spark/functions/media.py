@@ -80,7 +80,11 @@ def decode_pnm(blob: bytes) -> tuple[np.ndarray, dict]:
     magic, w, h, maxval = tokens[0], int(tokens[1]), int(tokens[2]), int(tokens[3])
     if magic not in (b"P5", b"P6"):
         raise ValueError(f"not a binary PNM: {magic!r}")
+    if not (0 < maxval <= 255):
+        raise ValueError(f"unsupported PNM maxval {maxval} (only 8-bit)")
     ch = 1 if magic == b"P5" else 3
+    if len(blob) - i < w * h * ch:
+        raise ValueError("truncated PNM raster")
     data = np.frombuffer(blob, dtype=np.uint8, count=w * h * ch, offset=i)
     arr = data.reshape((h, w) if ch == 1 else (h, w, ch))
     return arr, {"kind": "image", "mime": f"image/x-portable-{'graymap' if ch == 1 else 'pixmap'}",
@@ -103,20 +107,28 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, dict]:
         samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
     else:
         raise ValueError(f"unsupported sample width {width}")
+    meta["sampwidth"] = width
     return samples, meta
 
 
 def decode_media(blob: bytes) -> tuple[str, np.ndarray, dict]:
     """Codec dispatcher: magic-byte sniff -> (kind, normalized float64 1-D
     signal in [-1, 1], meta).  PNM pixels normalize by maxval, WAV samples
-    by 2^15; unknown formats take the deterministic fake path."""
-    if blob and blob[:2] in (b"P5", b"P6"):
-        arr, meta = decode_pnm(blob)
-        flat = arr.reshape(-1).astype(np.float64)
-        return "image", flat / float(meta["maxval"]), meta
-    if blob and blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
-        samples, meta = decode_wav(blob)
-        return "audio", samples.astype(np.float64) / 32768.0, meta
+    by full scale for their sample width (2^15 / 2^7).  Unknown formats AND
+    malformed/truncated/unsupported blobs take the deterministic fake path —
+    one bad blob must never fail a mapInPandas task (corpora at scale
+    always contain garbage)."""
+    try:
+        if blob and blob[:2] in (b"P5", b"P6"):
+            arr, meta = decode_pnm(blob)
+            flat = arr.reshape(-1).astype(np.float64)
+            return "image", flat / float(meta["maxval"]), meta
+        if blob and blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+            samples, meta = decode_wav(blob)
+            full_scale = 32768.0 if meta["sampwidth"] == 2 else 128.0
+            return "audio", samples.astype(np.float64) / full_scale, meta
+    except Exception:
+        pass  # malformed media -> opaque fallback below
     return "opaque", deterministic_fake_decode(blob, 64).astype(np.float64), \
         {"kind": "opaque", "mime": "application/octet-stream"}
 

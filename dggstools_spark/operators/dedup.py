@@ -80,14 +80,11 @@ def _cap_hot_keys(df: DataFrame, key: str, max_bucket: int | None,
 
 def hot_bucket_stats(df: DataFrame, key: str, max_bucket: int) -> DataFrame:
     """Dropped-mass report for the hot-bucket guard: one row per dropped key
-    (n_rows > max_bucket) plus the total row mass dropped — log/persist this
-    next to the dedup output so truncation is never silent."""
-    hot = (df.groupBy(key).agg(F.count("*").alias("n_rows"))
-           .filter(F.col("n_rows") > max_bucket))
-    return hot.agg(
-        F.count("*").alias("n_dropped_keys"),
-        F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n_dropped_rows"),
-    )
+    (``key``, n_rows) with n_rows > max_bucket — log/persist this next to
+    the dedup output so truncation is never silent.  Total mass:
+    ``hot_bucket_stats(...).agg(F.count('*'), F.sum('n_rows'))``."""
+    return (df.groupBy(key).agg(F.count("*").alias("n_rows"))
+            .filter(F.col("n_rows") > max_bucket))
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,

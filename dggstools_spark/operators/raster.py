@@ -64,18 +64,14 @@ def cells_to_tiles(cells: DataFrame, cellid_col: str = "cellid",
         if sample is None:
             return cells.sparkSession.createDataFrame([], "tile string, face string, row bigint, col bigint")
         res = sample["l"] - 1
-    n = cfg.n_side
-    row_terms, col_terms = [], []
-    for k in range(1, res + 1):
-        p = n ** (res - k)
-        d = f"(ascii(substring({cellid_col}, {k + 1}, 1)) - 48)"
-        row_terms.append(f"CAST(floor({d} / {n}.0) AS BIGINT) * {p}")
-        col_terms.append(f"({d} % {n}) * {p}")
+    from ..functions.encode_sql import decode_rowcol_sql
+
+    row_sql, col_sql = decode_rowcol_sql(cellid_col, res, cfg)
     return cells.select(
         F.substring(cellid_col, 1, tile_prefix_len).alias("tile"),
         F.substring(cellid_col, 1, 1).alias("face"),
-        F.expr(" + ".join(row_terms)).alias("row"),
-        F.expr(" + ".join(col_terms)).alias("col"),
+        F.expr(row_sql).alias("row"),
+        F.expr(col_sql).alias("col"),
         cellid_col,
         *value_cols,
     )

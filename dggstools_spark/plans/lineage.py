@@ -64,12 +64,30 @@ def checkpointed_write(df: DataFrame, root: str, batch_key: str,
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     tagged = df.withColumn("batch_key", F.lit(batch_key))
     tagged.write.mode("overwrite").partitionBy("batch_key").parquet(f"{root}/data")
-    lineage_rows(df, batch_key, key_cols).write.mode("append").parquet(f"{root}/_lineage")
-    n = df.count()
-    spark.createDataFrame([(batch_key, n, "done")],
+    # lineage + marker from a read-back of the COMMITTED partition: the
+    # (possibly expensive) upstream is evaluated exactly once, and
+    # n_rows/checksum/partition_id describe what is actually on disk rather
+    # than a separate re-evaluation of the pipeline
+    written = spark.read.parquet(f"{root}/data") \
+        .filter(F.col("batch_key") == batch_key)
+    lin = _lineage_agg(written, key_cols).localCheckpoint(eager=True)
+    lin.write.mode("append").parquet(f"{root}/_lineage")
+    n = lin.agg(F.coalesce(F.sum("n_rows"), F.lit(0))).first()[0]
+    spark.createDataFrame([(batch_key, int(n), "done")],
                           "batch_key string, n_rows long, status string") \
         .write.mode("append").parquet(f"{root}/_batches")
     return True
+
+
+def _lineage_agg(tagged: DataFrame, key_cols: list[str]) -> DataFrame:
+    """(batch_key, partition_id, n_rows, checksum, written_at) from a
+    batch_key-tagged DataFrame (one row per physical partition)."""
+    return tagged.withColumn("_pid", F.spark_partition_id()).groupBy(
+        "batch_key", "_pid").agg(
+        F.count("*").alias("n_rows"),
+        F.expr(f"bit_xor(xxhash64({', '.join(key_cols)}))").alias("checksum"),
+    ).withColumnRenamed("_pid", "partition_id") \
+     .withColumn("written_at", F.lit(int(time.time())))
 
 
 def run_batches(df: DataFrame, root: str, batch_col: str,
@@ -100,14 +118,13 @@ def run_batches(df: DataFrame, root: str, batch_col: str,
         tagged = df.withColumn("batch_key", F.col(batch_col).cast("string")) \
                    .filter(F.col("batch_key").isin(pending))
         tagged.write.mode("overwrite").partitionBy("batch_key").parquet(f"{root}/data")
-        lin = tagged.withColumn("_pid", F.spark_partition_id()).groupBy(
-            "batch_key", "_pid").agg(
-            F.count("*").alias("n_rows"),
-            F.expr(f"bit_xor(xxhash64({', '.join(key_cols)}))").alias("checksum"),
-        ).withColumnRenamed("_pid", "partition_id") \
-         .withColumn("written_at", F.lit(int(time.time())))
+        # one upstream evaluation total: lineage + markers come from a cheap
+        # columnar read-back of the committed files (see checkpointed_write)
+        written = spark.read.parquet(f"{root}/data") \
+            .filter(F.col("batch_key").isin(pending))
+        lin = _lineage_agg(written, key_cols).localCheckpoint(eager=True)
         lin.write.mode("append").parquet(f"{root}/_lineage")
-        markers = tagged.groupBy("batch_key").agg(F.count("*").alias("n_rows")) \
+        markers = lin.groupBy("batch_key").agg(F.sum("n_rows").alias("n_rows")) \
             .withColumn("status", F.lit("done"))
         markers.write.mode("append").parquet(f"{root}/_batches")
     return {k: (k in pending) for k in keys}

@@ -249,19 +249,8 @@ def _oracle_prefix_rollup() -> str:
 RASTER_RES = 5
 
 
-def _decode_rowcol_sql(res: int, n: int) -> tuple[str, str]:
-    row_terms, col_terms = [], []
-    for k in range(1, res + 1):
-        p = n ** (res - k)
-        d = f"(ascii(substring(cellid, {k + 1}, 1)) - 48)"
-        row_terms.append(f"CAST(floor({d} / {n}.0) AS BIGINT) * {p}")
-        col_terms.append(f"({d} % {n}) * {p}")
-    return " + ".join(row_terms), " + ".join(col_terms)
-
-
 def q_raster_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")
-    n = DEFAULT_CONFIG.n_side
     df = part.select(
         F.col("p_partkey"),
         (F.lit(100) + (F.col("p_partkey") % 81)).alias("row"),
@@ -269,7 +258,7 @@ def q_raster_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("p_retailprice") * 100).cast("bigint").alias("val_cents"),
     )
     df = df.withColumn("cellid", F.expr(encode_sql.rowcol_cellid_sql("'Q'", "row", "col", RASTER_RES)))
-    row_dec, col_dec = _decode_rowcol_sql(RASTER_RES, n)
+    row_dec, col_dec = encode_sql.decode_rowcol_sql("cellid", RASTER_RES)
     return df.select(
         "cellid",
         F.expr(row_dec).alias("row_dec"),
@@ -279,8 +268,7 @@ def q_raster_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_raster_roundtrip() -> str:
-    n = DEFAULT_CONFIG.n_side
-    row_dec, col_dec = _decode_rowcol_sql(RASTER_RES, n)
+    row_dec, col_dec = encode_sql.decode_rowcol_sql("cellid", RASTER_RES)
     cellid = encode_sql.rowcol_cellid_sql("'Q'", "row", "col", RASTER_RES)
     return f"""
     WITH grid AS (

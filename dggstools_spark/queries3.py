@@ -628,7 +628,12 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
-    out = ann_topk(emb, qs, ANN_K, n_planes=ANN_PLANES, probe_hamming=ANN_HAMMING)
+    # max_bucket=None: the oracle replicates the UNguarded construction —
+    # the hot-bucket cap is an operator default covered by skew pytest
+    # fixtures, and replicating it in SQL would re-implement the guard
+    # rather than independently check the search
+    out = ann_topk(emb, qs, ANN_K, n_planes=ANN_PLANES, probe_hamming=ANN_HAMMING,
+                   max_bucket=None)
     return out.select(
         "q_id", F.col("vec_id").alias("cand_id"),
         F.round(F.col("sim") * 1e9).cast("bigint").alias("sim_nano"),
@@ -675,8 +680,11 @@ def q_embed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import embedding_cosine_pairs
 
     emb = load(spark, sf_dir, "embeddings")
+    # max_bucket=None: oracle equivalence needs the unguarded construction
+    # (see q_ann_topk note); the cap is pytest-covered
     return embedding_cosine_pairs(emb, "embedding", "vec_id",
-                                  threshold=EP_THRESHOLD, n_planes=EP_PLANES)
+                                  threshold=EP_THRESHOLD, n_planes=EP_PLANES,
+                                  max_bucket=None)
 
 
 def _oracle_embed_pairs() -> str:

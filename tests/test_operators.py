@@ -363,10 +363,10 @@ def test_hot_bucket_guard_bounds_skewed_lsh(spark):
     # the 10 small dup pairs survive
     for i in range(0, 20, 2):
         assert (10000 + i, 10000 + i + 1) in got
-    stats = dedup.hot_bucket_stats(
-        dedup.lsh_bands(df, "text", "id"), "band_key", 100).collect()[0]
-    assert stats.n_dropped_keys >= 1
-    assert stats.n_dropped_rows >= 3000
+    dropped = dedup.hot_bucket_stats(
+        dedup.lsh_bands(df, "text", "id"), "band_key", 100).collect()
+    assert len(dropped) >= 1  # one row per dropped band key
+    assert sum(r.n_rows for r in dropped) >= 3000
 
 
 def test_ngram_jaccard_doc_freq_cap(spark):

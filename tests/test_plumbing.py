@@ -225,3 +225,33 @@ def test_cli_roundtrip(spark, tmp_path):
     err = _json.loads(buf.getvalue())
     # aligned square: planar areas match; distortion correction shifts ras
     assert err["total_vector_area"] > 0 and err["total_cells_area"] > 0
+
+
+def test_decode_media_malformed_falls_back():
+    """One bad blob must never fail a task: malformed/truncated/unsupported
+    P5/P6/RIFF blobs take the opaque fallback; 8-bit WAV normalizes by its
+    own full scale (2^7), not 2^15."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from dggstools_spark.functions.media import decode_media
+
+    for blob in (b"P5 is a chess opening, not an image",
+                 b"P5\n8 8\n255\n" + b"\x01" * 10,          # truncated raster
+                 b"P5\n2 2\n65535\n" + b"\x00" * 8,          # 16-bit maxval
+                 b"RIFFxxxxWAVEnot really a wav"):
+        kind, sig, _ = decode_media(blob)
+        assert kind == "opaque" and len(sig) == 64
+
+    s8 = (np.arange(-128, 128, 8, dtype=np.int16) + 128).astype(np.uint8)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(1)
+        wf.setframerate(8000)
+        wf.writeframes(s8.tobytes())
+    kind, sig, meta = decode_media(buf.getvalue())
+    assert kind == "audio" and meta["sampwidth"] == 1
+    assert abs(sig.min() + 1.0) < 0.01  # full-scale 8-bit reaches ~-1.0
