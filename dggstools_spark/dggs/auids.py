@@ -75,8 +75,14 @@ def generate_bp_auid_from_cuids(
     nil_name: str = DEFAULT_NIL_NAME,
     with_trailing_pars: bool = False,
 ) -> str:
-    """cuids -> BP AUID string (reference common.py:180-213, opening pars off)."""
+    """cuids -> BP AUID string (reference common.py:180-213, opening pars off).
+
+    The empty set has a well-defined canonical form: just the root (the
+    reference never feeds an empty set; rfind would otherwise slice the
+    string to '' and the decoder would choke on it)."""
     trie = _build_trie(cuids)
+    if not trie:
+        return root_name
     auid = root_name + _bp_from_trie(trie, pars, nil_name) + pars[1]
     if not with_trailing_pars:
         auid = auid[: auid.rfind(nil_name) + 1]
@@ -191,8 +197,15 @@ def is_optimal_cuids(cuids: Sequence[str], n_side: int) -> bool:
 def is_a_subarea(auid1_comp_b64: str, auid2_comp_b64: str,
                  nil_name: str = DEFAULT_NIL_NAME) -> bool:
     """Substring-containment subarea test on BP strings, split per base cell
-    (reference is_a_subarea_rhealpix, rhpx.py:11-50).  Exact for optimal
-    inputs; may give false negatives otherwise, like the reference."""
+    (reference is_a_subarea_rhealpix, rhpx.py:11-50).  May give false
+    negatives for non-optimal inputs, like the reference.
+
+    Documented deviation (bug fix): the reference matches each face's
+    subtree text WITHOUT the face character, so the digits of face N also
+    match identical digits under face O (verified: AUID(['N0']) reported as
+    subarea of AUID(['O0'])) — a cross-face false positive.  The needle
+    here is anchored with its face character, which is exactly why the
+    reference splits per face in the first place (rhpx.py:33-37)."""
     import re
 
     auid1 = decompress_id_bytes(decode64(auid1_comp_b64))
@@ -200,6 +213,7 @@ def is_a_subarea(auid1_comp_b64: str, auid2_comp_b64: str,
     pieces = re.split(r"([NOPQRS])", auid1)
     result = True
     for idx in range(1, len(pieces), 2):
+        face = pieces[idx]
         sub = pieces[idx + 1]
-        result = result and (sub[: sub.rfind(nil_name)] in auid2)
+        result = result and (face + sub[: sub.rfind(nil_name)] in auid2)
     return result

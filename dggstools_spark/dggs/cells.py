@@ -92,8 +92,9 @@ def _assemble_cellids(face: np.ndarray, row: np.ndarray, col: np.ndarray, res: i
         buf[:, level] = ord("0") + digit.astype(np.uint8)
         r //= n
         c //= n
-    out = buf.view(f"S{res + 1}").ravel().astype(object)
-    out = np.array([s.decode("ascii") for s in out], dtype=object)
+    # bytes -> str fully vectorized (S -> U is a bulk ASCII decode); a
+    # per-row .decode() loop here costs real CPU in every Arrow encode batch
+    out = buf.view(f"S{res + 1}").ravel().astype(f"U{res + 1}").astype(object)
     out[face < 0] = None
     return out
 

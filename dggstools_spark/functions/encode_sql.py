@@ -36,9 +36,6 @@ def encode_steps(lon: str, lat: str, res: int,
     """Ordered (column_name, sql_expression) steps computing ``out`` =
     rHEALPix cellid at resolution ``res`` from lon/lat degree columns.
     Intermediate columns are prefixed with ``_rhp_``."""
-    if cfg.n_side != 3 and res > 0:
-        # digit math below is generic in n_side; keep the guard explicit
-        pass
     n = cfg.n_side
     ns, ss = cfg.north_square, cfg.south_square
     e, e2, qp = WGS84_E, WGS84_E2, Q_P

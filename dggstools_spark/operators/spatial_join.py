@@ -106,8 +106,13 @@ def points_in_polygons(points: DataFrame, polygons: DataFrame,
 
     points x edges is pruned by a per-polygon bbox pre-filter before the
     crossing predicate; the polygon side is broadcast when small (the usual
-    case: dimension-table-sized polygon sets against web-scale points)."""
-    edges = polygon_edges(polygons, ring)
+    case: dimension-table-sized polygon sets against web-scale points).
+
+    Rows are identified by a synthetic row id, so duplicate point rows each
+    report independently (grouping by point VALUES would merge them and
+    flip the crossing parity); only (poly_id, ring) travel from the polygon
+    side, so shared column names can't turn ambiguous."""
+    edges = polygon_edges(polygons.select(poly_id, ring), ring)
     bbox = edges.groupBy(poly_id).agg(
         F.least(F.min("x1"), F.min("x2")).alias("_bxmin"),
         F.greatest(F.max("x1"), F.max("x2")).alias("_bxmax"),
@@ -117,8 +122,9 @@ def points_in_polygons(points: DataFrame, polygons: DataFrame,
     edges = edges.join(bbox, poly_id)
     if broadcast_polys:
         edges = F.broadcast(edges)
-    pts = points.withColumn("px", F.col(px)).withColumn("py", F.col(py)) \
-        if px != "px" or py != "py" else points
+    pts = points.withColumn("_rid", F.monotonically_increasing_id())
+    if px != "px" or py != "py":
+        pts = pts.withColumn("px", F.col(px)).withColumn("py", F.col(py))
     cand = pts.join(
         edges,
         (F.col("px") >= F.col("_bxmin")) & (F.col("px") <= F.col("_bxmax"))
@@ -127,10 +133,11 @@ def points_in_polygons(points: DataFrame, polygons: DataFrame,
     crossings = cand.filter(F.expr(CROSSING))
     point_cols = [c for c in points.columns]
     inside = (
-        crossings.groupBy(*point_cols, poly_id)
-        .agg(F.count("*").alias("_n_cross"))
+        crossings.groupBy("_rid", poly_id)
+        .agg(*[F.first(c).alias(c) for c in point_cols],
+             F.count("*").alias("_n_cross"))
         .filter(F.col("_n_cross") % 2 == 1)
-        .drop("_n_cross")
+        .select(*point_cols, poly_id)
     )
     return inside
 
@@ -246,7 +253,7 @@ def knn_join_exact(points: DataFrame, queries: DataFrame, k: int,
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def knn_join_pruned(points: DataFrame, queries: DataFrame, k: int, res: int,
+def knn_join_pruned(points: DataFrame, queries: DataFrame, k: int,
                     block_res: int,
                     px: str = "px", py: str = "py",
                     qid: str = "q_id", qx: str = "qx", qy: str = "qy",

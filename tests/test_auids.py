@@ -126,3 +126,22 @@ class TestSubarea:
 
         a1 = self._auid(["N1", "N21", "N22", "N23", "N25", "S12", "S13", "O1434"])
         assert not auids.is_a_subarea(a1, a2)
+
+
+def test_subarea_not_fooled_across_faces():
+    """Cross-face false positive (fixed reference bug, rhpx.py:33-49): the
+    digits of face N must not match identical digits under face O."""
+    a_n0, _ = auids.generate_auid_hash_b64(["N0"])
+    a_o0, _ = auids.generate_auid_hash_b64(["O0"])
+    assert not auids.is_a_subarea(a_n0, a_o0)
+    assert not auids.is_a_subarea(a_o0, a_n0)
+    # genuine containment (same cells present) still holds
+    small, _ = auids.generate_auid_hash_b64(["N0", "N1"])
+    big, _ = auids.generate_auid_hash_b64(["N0", "N1", "O2"])
+    assert auids.is_a_subarea(small, big)
+    assert not auids.is_a_subarea(big, small)
+
+
+def test_empty_cuid_set_roundtrip():
+    comp, h = auids.generate_auid_hash_b64([])
+    assert auids.cuids_from_auid_b64(comp) == []

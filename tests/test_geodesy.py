@@ -53,3 +53,19 @@ def test_polygon_area_small_square():
     # 1-degree square at the equator: ~111.32 km x ~110.57 km = ~1.2309e10 m^2
     area = geodesy.geodesic_polygon_area([0, 1, 1, 0], [0, 0, 1, 1])
     assert area == pytest.approx(1.2309e10, rel=1e-3)
+
+
+def test_antipodal_fallback():
+    """Vincenty diverges near the antipode; the great-circle fallback keeps
+    the error bounded (~0.2%) instead of a silent ~100 km shortfall."""
+    import numpy as np
+
+    from dggstools_spark.dggs.geodesy import geodesic_distance
+
+    d = float(geodesic_distance(np.array([0.0]), np.array([0.0]),
+                                np.array([180.0]), np.array([0.0]))[0])
+    meridian = 20003931.458625447
+    assert abs(d - meridian) / meridian < 0.005
+    d2 = float(geodesic_distance(np.array([0.0]), np.array([0.0]),
+                                 np.array([179.5]), np.array([0.5]))[0])
+    assert abs(d2 - meridian) / meridian < 0.005

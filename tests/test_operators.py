@@ -100,7 +100,7 @@ def test_knn_pruned_matches_exact(spark):
          enumerate(zip(rng.uniform(2e5, 8e5, 10), rng.uniform(2e5, 8e5, 10)))],
         "q_id long, qx double, qy double")
     exact = spatial_join.knn_join_exact(pts, qs, 5).select("q_id", "pid", "rank")
-    pruned = spatial_join.knn_join_pruned(pts, qs, 5, res=8, block_res=4) \
+    pruned = spatial_join.knn_join_pruned(pts, qs, 5, block_res=4) \
         .select("q_id", "pid", "rank")
     e = {(r.q_id, r.pid, r.rank) for r in exact.collect()}
     p = {(r.q_id, r.pid, r.rank) for r in pruned.collect()}
@@ -122,7 +122,7 @@ def test_knn_pruned_sparse_region_expands_not_crossjoins(spark):
         [(0, 9.0e5, 9.0e5), (1, -8.0e5, 4.0e5), (2, 5.0e4, 5.0e4)],
         "q_id long, qx double, qy double")
     exact = spatial_join.knn_join_exact(pts, qs, 4).select("q_id", "pid", "rank")
-    pruned = spatial_join.knn_join_pruned(pts, qs, 4, res=8, block_res=4)
+    pruned = spatial_join.knn_join_pruned(pts, qs, 4, block_res=4)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     e = {(r.q_id, r.pid, r.rank) for r in exact.collect()}
@@ -137,7 +137,7 @@ def test_knn_pruned_fewer_points_than_k(spark):
         [(1, 10.0, 10.0), (2, 2.0e6, 1.0e6)], "pid long, px double, py double")
     qs = spark.createDataFrame([(0, 0.0, 0.0)], "q_id long, qx double, qy double")
     exact = spatial_join.knn_join_exact(pts, qs, 5).select("q_id", "pid", "rank")
-    pruned = spatial_join.knn_join_pruned(pts, qs, 5, res=8, block_res=4) \
+    pruned = spatial_join.knn_join_pruned(pts, qs, 5, block_res=4) \
         .select("q_id", "pid", "rank")
     assert ({tuple(r) for r in exact.collect()}
             == {tuple(r) for r in pruned.collect()})
@@ -437,3 +437,17 @@ def test_salted_topk_matches_naive(spark):
     c = {tuple(r) for r in salted_topk_per_key(df, ["tile"], order, 25, n_salt=8)
          .select("tile", "doc_id", "rank").collect()}
     assert a == b == c and len(a) > 25
+
+
+def test_points_in_polygons_duplicates_and_shared_columns(spark):
+    """Duplicate point rows each report independently (value-grouping would
+    double the crossing parity and drop them), and a column name shared with
+    the polygon table must not turn ambiguous."""
+    polys = _square_poly(spark, 1, 0.0, 0.0, 10.0).withColumn(
+        "source", F.lit("polyside"))
+    pts = spark.createDataFrame(
+        [(1, 5.0, 5.0, "a"), (1, 5.0, 5.0, "a"), (2, 20.0, 20.0, "b")],
+        "pid int, px double, py double, source string")
+    got = spatial_join.points_in_polygons(pts, polys).collect()
+    assert len(got) == 2  # both duplicate copies, not zero
+    assert all(r.pid == 1 and r.source == "a" for r in got)
