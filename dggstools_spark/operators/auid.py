@@ -143,9 +143,12 @@ def is_optimal(df: DataFrame, n_side: int, cellid_col: str = "cellid") -> bool:
     k = n_side * n_side
     cells = df.select(cellid_col).dropDuplicates()
     # ancestors of every cell (proper prefixes of length >= 1)
+    # guard: sequence(1, 0) DESCENDS in Spark, so a base cell would explode
+    # to [itself, ''] and wrongly leave the pure-leaf set
     anc = cells.select(F.explode(F.expr(
-        f"transform(sequence(1, length({cellid_col}) - 1),"
-        f" l -> substring({cellid_col}, 1, l))")).alias(cellid_col)).dropDuplicates()
+        f"CASE WHEN length({cellid_col}) <= 1 THEN array()"
+        f" ELSE transform(sequence(1, length({cellid_col}) - 1),"
+        f" l -> substring({cellid_col}, 1, l)) END")).alias(cellid_col)).dropDuplicates()
     pure = cells.join(anc, cellid_col, "left_anti")
     parent = F.substring(cellid_col, 1, F.length(cellid_col) - 1)
     totals = (cells.filter(F.length(cellid_col) > 1)

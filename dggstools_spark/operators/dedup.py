@@ -40,9 +40,13 @@ def shingles(df: DataFrame, text_col: str, n: int = 3, out: str = "shingle") -> 
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Groups of byte-identical (normalized) content; keeps min id as canonical."""
+    """Groups of byte-identical (normalized) content; keeps min id as
+    canonical.  NULL texts are excluded up front — md5(NULL) is NULL and
+    groupBy would otherwise merge all null-text docs into one bogus
+    duplicate group."""
     return (
-        df.withColumn("fp", F.md5(F.lower(F.trim(F.col(text_col)))))
+        df.filter(F.col(text_col).isNotNull())
+        .withColumn("fp", F.md5(F.lower(F.trim(F.col(text_col)))))
         .groupBy("fp")
         .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("canonical_id"),
              F.collect_list(id_col).alias("member_ids"))
@@ -174,7 +178,6 @@ def simhash(df: DataFrame, text_col: str, id_col: str, out: str = "simhash64") -
             h = pd.util.hash_array(np.asarray(toks, dtype=object)).astype(np.uint64)
             bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
             votes = (2 * bits - 1).sum(axis=0)
-            val = np.uint64(0)
             val = (votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
             out_vals[i] = np.bitwise_or.reduce(val).astype(np.int64)
         return pd.Series(out_vals)

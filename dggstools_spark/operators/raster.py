@@ -31,8 +31,8 @@ def tiles_to_cells(tiles: DataFrame, res: int, face_col: str = "face",
 
     The nodata filter keeps a pixel iff ANY band differs from nodata, unless
     store_nodata (reference rhpx_gdf_helper.py:88-91,232)."""
-    value_cols = value_cols or [c for c in tiles.columns
-                                if c.startswith("band")]
+    if value_cols is None:  # [] means genuinely no value columns
+        value_cols = [c for c in tiles.columns if c.startswith("band")]
     df = tiles.withColumn(
         "cellid", F.expr(rowcol_cellid_sql(face_col, row_col, col_col, res, cfg)))
     if nodata is not None and not store_nodata:
@@ -58,12 +58,17 @@ def cells_to_tiles(cells: DataFrame, cellid_col: str = "cellid",
     Pass ``res`` when the caller knows it (hot paths: extent, resample) —
     the fallback sniff runs an extra Spark job materializing the upstream
     plan just to read one cellid length."""
-    value_cols = value_cols or [c for c in cells.columns if c.startswith("band")]
+    if value_cols is None:  # [] means genuinely no value columns
+        value_cols = [c for c in cells.columns if c.startswith("band")]
     if res is None:
         sample = cells.select(F.length(cellid_col).alias("l")).first()
         if sample is None:
-            return cells.sparkSession.createDataFrame([], "tile string, face string, row bigint, col bigint")
-        res = sample["l"] - 1
+            # empty input: fall through with a nominal res so the output
+            # keeps the FULL schema (tile/face/row/col/cellid/values) —
+            # a truncated schema breaks downstream selects and unions
+            res = 1
+        else:
+            res = sample["l"] - 1
     from ..functions.encode_sql import decode_rowcol_sql
 
     row_sql, col_sql = decode_rowcol_sql(cellid_col, res, cfg)
@@ -121,7 +126,8 @@ def rescale_to_parent(cells: DataFrame, levels: int, agg: str = "avg",
     """R2 downscale: roll cell values up ``levels`` resolutions.
     agg in {avg, first, min, max, mode}; 'first' = lowest digit child
     (nearest-neighbour analogue), 'mode' = majority class value."""
-    value_cols = value_cols or [c for c in cells.columns if c.startswith("band")]
+    if value_cols is None:  # [] means genuinely no value columns
+        value_cols = [c for c in cells.columns if c.startswith("band")]
     parent = F.expr(f"substring({cellid_col}, 1, length({cellid_col}) - {levels})")
     if agg == "mode":
         counted = (cells.groupBy(parent.alias(cellid_col), *value_cols)
@@ -132,7 +138,9 @@ def rescale_to_parent(cells: DataFrame, levels: int, agg: str = "avg",
             F.col("_n").desc(), *[F.col(c) for c in value_cols])
         return (counted.withColumn("_rk", F.row_number().over(w))
                 .filter(F.col("_rk") == 1).drop("_n", "_rk"))
-    fns = {"avg": F.avg, "min": F.min, "max": F.max, "first": F.min_by}
+    if agg not in ("avg", "min", "max", "mode", "first"):
+        raise ValueError(f"unknown agg {agg!r}")
+    fns = {"avg": F.avg, "min": F.min, "max": F.max}
     if agg == "first":
         aggs = [F.min_by(c, F.col(cellid_col + "_child")).alias(c) for c in value_cols]
         return (cells.withColumn(cellid_col + "_child", F.col(cellid_col))

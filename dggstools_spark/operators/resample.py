@@ -19,6 +19,40 @@ from ..dggs.config import RHEALPixConfig, DEFAULT_CONFIG
 from .raster import cells_to_tiles
 
 
+
+def _src_rc(src, res_src: int, value_col: str, cellid_col: str,
+            cfg: RHEALPixConfig):
+    """Source cells -> (face, srow, scol, _v) lattice rows (shared by the
+    bilinear and cubic gathers)."""
+    return cells_to_tiles(src.select(cellid_col, value_col), cellid_col,
+                          value_cols=[value_col], tile_prefix_len=1,
+                          res=res_src, cfg=cfg) \
+        .select("face", F.col("row").alias("srow"), F.col("col").alias("scol"),
+                F.col(value_col).alias("_v"))
+
+
+def _tgt_fractions(src, res_src: int, res_dst: int, cellid_col: str,
+                   cfg: RHEALPixConfig):
+    """All res_dst descendants of the source cells with their position in
+    SOURCE lattice units: u/v = (col|row + .5)/ratio - .5, plus the integer
+    base (i0, j0) and fractions (fu, fv) — shared by both interpolators."""
+    from .raster import explode_to_children
+
+    ratio = cfg.n_side ** (res_dst - res_src)
+    tgt = explode_to_children(src.select(cellid_col), res_dst - res_src,
+                              cfg.n_side, cellid_col)
+    tgt_rc = cells_to_tiles(tgt, cellid_col, value_cols=[], tile_prefix_len=1,
+                            res=res_dst, cfg=cfg)
+    return tgt_rc.select(
+        cellid_col, "face",
+        ((F.col("col") + 0.5) / ratio - 0.5).alias("u"),
+        ((F.col("row") + 0.5) / ratio - 0.5).alias("v"),
+    ).withColumn("i0", F.floor("u").cast("bigint")) \
+     .withColumn("j0", F.floor("v").cast("bigint")) \
+     .withColumn("fu", F.col("u") - F.col("i0")) \
+     .withColumn("fv", F.col("v") - F.col("j0"))
+
+
 def resample_bilinear(src: DataFrame, res_src: int, res_dst: int,
                       value_col: str = "band1",
                       cellid_col: str = "cellid",
@@ -29,36 +63,8 @@ def resample_bilinear(src: DataFrame, res_src: int, res_dst: int,
     Exact for linear fields over the face interior (tests assert this)."""
     if res_dst < res_src:
         raise ValueError("bilinear resample targets an equal or finer resolution")
-    n = cfg.n_side
-    ratio = n ** (res_dst - res_src)
-
-    src_rc = cells_to_tiles(src.select(cellid_col, value_col), cellid_col,
-                            value_cols=[value_col], tile_prefix_len=1,
-                            res=res_src, cfg=cfg) \
-        .select("face", F.col("row").alias("srow"), F.col("col").alias("scol"),
-                F.col(value_col).alias("_v"))
-
-    # target grid = all res_dst descendants of the source cells
-    tgt = src.select(cellid_col)
-    k = n * n
-    for _ in range(res_dst - res_src):
-        tgt = tgt.withColumn(
-            cellid_col,
-            F.explode(F.expr(
-                f"transform(sequence(0, {k - 1}), d -> concat({cellid_col}, CAST(d AS STRING)))")),
-        )
-    tgt_rc = cells_to_tiles(tgt, cellid_col, value_cols=[], tile_prefix_len=1,
-                            res=res_dst, cfg=cfg)
-
-    # target centroid in source lattice units: u = (col + .5)/ratio - .5
-    tgt_rc = tgt_rc.select(
-        cellid_col, "face",
-        ((F.col("col") + 0.5) / ratio - 0.5).alias("u"),
-        ((F.col("row") + 0.5) / ratio - 0.5).alias("v"),
-    ).withColumn("i0", F.floor("u").cast("bigint")) \
-     .withColumn("j0", F.floor("v").cast("bigint")) \
-     .withColumn("fu", F.col("u") - F.col("i0")) \
-     .withColumn("fv", F.col("v") - F.col("j0"))
+    src_rc = _src_rc(src, res_src, value_col, cellid_col, cfg)
+    tgt_rc = _tgt_fractions(src, res_src, res_dst, cellid_col, cfg)
 
     corners = tgt_rc.select(
         cellid_col, "face", "i0", "j0", "fu", "fv",
@@ -105,34 +111,8 @@ def resample_cubic(src: DataFrame, res_src: int, res_dst: int,
     the corners that exist, like bilinear."""
     if res_dst < res_src:
         raise ValueError("cubic resample targets an equal or finer resolution")
-    n = cfg.n_side
-    ratio = n ** (res_dst - res_src)
-
-    src_rc = cells_to_tiles(src.select(cellid_col, value_col), cellid_col,
-                            value_cols=[value_col], tile_prefix_len=1,
-                            res=res_src, cfg=cfg) \
-        .select("face", F.col("row").alias("srow"), F.col("col").alias("scol"),
-                F.col(value_col).alias("_v"))
-
-    tgt = src.select(cellid_col)
-    k = n * n
-    for _ in range(res_dst - res_src):
-        tgt = tgt.withColumn(
-            cellid_col,
-            F.explode(F.expr(
-                f"transform(sequence(0, {k - 1}), d -> concat({cellid_col}, CAST(d AS STRING)))")),
-        )
-    tgt_rc = cells_to_tiles(tgt, cellid_col, value_cols=[], tile_prefix_len=1,
-                            res=res_dst, cfg=cfg)
-
-    tgt_rc = tgt_rc.select(
-        cellid_col, "face",
-        ((F.col("col") + 0.5) / ratio - 0.5).alias("u"),
-        ((F.col("row") + 0.5) / ratio - 0.5).alias("v"),
-    ).withColumn("i0", F.floor("u").cast("bigint")) \
-     .withColumn("j0", F.floor("v").cast("bigint")) \
-     .withColumn("fu", F.col("u") - F.col("i0")) \
-     .withColumn("fv", F.col("v") - F.col("j0"))
+    src_rc = _src_rc(src, res_src, value_col, cellid_col, cfg)
+    tgt_rc = _tgt_fractions(src, res_src, res_dst, cellid_col, cfg)
 
     wx = cubic_weights_sql("fu")
     wy = cubic_weights_sql("fv")

@@ -50,13 +50,22 @@ def write_cells(df: DataFrame, path: str, attrs: dict,
 
 
 def read_cells(spark: SparkSession, path: str,
-               prefix: str | None = None) -> tuple[DataFrame, dict]:
-    """Read a cell table (+attrs).  ``prefix`` prunes partitions."""
+               prefix: str | None = None,
+               cellid_col: str = "cellid") -> tuple[DataFrame, dict]:
+    """Read a cell table (+attrs).  ``prefix`` prunes partitions; a prefix
+    FINER than the stored partition prefix_len additionally row-filters on
+    the cellid (a bare startswith on the partition column would silently
+    return nothing: 'N1'.startswith('N12') is false for every partition)."""
     df = spark.read.parquet(f"{path}/data")
-    if prefix:
-        df = df.filter(F.col("cell_prefix").startswith(prefix))
     with open(f"{path}/_meta.json") as f:
         meta = json.load(f)
+    if prefix:
+        plen = int(meta.get("prefix_len", 2))
+        if len(prefix) <= plen:
+            df = df.filter(F.col("cell_prefix").startswith(prefix))
+        else:
+            df = df.filter((F.col("cell_prefix") == prefix[:plen])
+                           & F.col(cellid_col).startswith(prefix))
     return df.drop("cell_prefix"), meta["attrs"]
 
 
