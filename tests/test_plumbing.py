@@ -255,3 +255,29 @@ def test_decode_media_malformed_falls_back():
     kind, sig, meta = decode_media(buf.getvalue())
     assert kind == "audio" and meta["sampwidth"] == 1
     assert abs(sig.min() + 1.0) < 0.01  # full-scale 8-bit reaches ~-1.0
+
+
+def test_read_cells_fine_prefix(spark, tmp_path):
+    """A read prefix FINER than the stored partition prefix_len must
+    row-filter on the cellid, not silently return nothing."""
+    from dggstools_spark.sources import cells_io
+
+    cells = spark.createDataFrame(
+        [("N120", 1.0), ("N121", 2.0), ("N200", 3.0), ("Q000", 4.0)],
+        "cellid string, band1 double")
+    path = str(tmp_path / "cells")
+    cells_io.write_cells(cells, path, cells_io.build_attrs(3, 1, None),
+                         prefix_len=2)
+    fine, _ = cells_io.read_cells(spark, path, prefix="N12")
+    assert {r.cellid for r in fine.collect()} == {"N120", "N121"}
+    coarse, _ = cells_io.read_cells(spark, path, prefix="N")
+    assert coarse.count() == 3
+
+
+def test_cells_to_tiles_empty_keeps_schema(spark):
+    from dggstools_spark.operators.raster import cells_to_tiles
+
+    empty = spark.createDataFrame([], "cellid string, band1 double")
+    out = cells_to_tiles(empty)
+    assert out.count() == 0
+    assert set(out.columns) == {"tile", "face", "row", "col", "cellid", "band1"}
