@@ -12,6 +12,9 @@
   least one shingle (bounded self-join).
 """
 
+import itertools
+import logging
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -19,6 +22,37 @@ from pyspark.sql.types import LongType
 
 N_MINHASHES = 8
 BAND_SIZE = 2  # 4 bands of 2 hashes each
+
+logger = logging.getLogger(__name__)
+
+#: (name, Observation) for every hot-bucket guard attached this session
+#: (bounded ring; see guard_metrics)
+_GUARD_OBS: list = []
+_GUARD_SEQ = itertools.count()
+_GUARD_OBS_MAX = 64
+
+
+def guard_metrics() -> dict:
+    """Dropped-mass metrics for every hot-bucket guard whose query has
+    already run an action, WITHOUT a second query: each guard attaches a
+    Spark ``observe`` node (metrics are aggregated for free while the rows
+    stream through the plan).  Returns {guard_name: {"dropped_rows": n,
+    "max_bucket_n": m} | None} — None means that plan has not executed yet.
+    Guards whose query dropped rows are also logged at WARNING here."""
+    out = {}
+    for name, obs in _GUARD_OBS:
+        jo = obs._jo
+        # getRowOrEmpty is the non-blocking readiness probe (getOrEmpty NPEs
+        # on Spark 4.1 when the collected row carries no schema)
+        if jo is None or jo.getRowOrEmpty().isEmpty():
+            out[name] = None
+            continue
+        m = obs.get
+        out[name] = m
+        if m.get("dropped_rows"):
+            logger.warning("hot-bucket guard %s dropped %s rows (largest bucket %s)",
+                           name, m["dropped_rows"], m.get("max_bucket_n"))
+    return out
 
 
 def tokens(df: DataFrame, text_col: str, out: str = "tok") -> DataFrame:
@@ -71,14 +105,29 @@ def _cap_hot_keys(df: DataFrame, key: str, max_bucket: int | None,
     ``min_bucket`` rows (they produce no pairs) or more than ``max_bucket``
     rows (a single boilerplate key would otherwise make the self-join
     quadratic — 10^5 docs in one bucket is 10^10 pairs in one task at
-    100 TB).  One window count over the same partitioning the join needs;
-    dropped mass is observable via hot_bucket_stats."""
+    100 TB).  One window count over the same partitioning the join needs.
+
+    Truncation is never silent: when ``max_bucket`` is set, an ``observe``
+    node counts the dropped rows DURING the caller's own action (zero extra
+    jobs) — read them with guard_metrics(), which also logs a WARNING for
+    any guard that dropped rows.  hot_bucket_stats remains the per-key
+    drill-down."""
+    from pyspark.sql import Observation
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(key)
-    out = df.withColumn("_bn", F.count("*").over(w)).filter(F.col("_bn") >= min_bucket)
+    out = df.withColumn("_bn", F.count("*").over(w))
     if max_bucket is not None:
+        obs = Observation(f"hot_bucket_guard:{key}:{next(_GUARD_SEQ)}")
+        out = out.observe(
+            obs,
+            F.sum(F.when(F.col("_bn") > max_bucket, 1).otherwise(0)).alias("dropped_rows"),
+            F.max("_bn").alias("max_bucket_n"),
+        )
+        _GUARD_OBS.append((obs._name, obs))
+        del _GUARD_OBS[:-_GUARD_OBS_MAX]
         out = out.filter(F.col("_bn") <= max_bucket)
+    out = out.filter(F.col("_bn") >= min_bucket)
     return out.drop("_bn")
 
 

@@ -26,14 +26,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Column, functions as F
 
 
+def _salt_expr(df: DataFrame, n_salt: int, salt_src: str | None) -> Column:
+    """Deterministic salt: hash of ``salt_src`` if given, else hash of ALL
+    columns.  Never monotonically_increasing_id — on a cluster a shuffle
+    fetch failure recomputes some map partitions but not others, and a
+    nondeterministic salt then duplicates/loses rows across the retry
+    boundary (the SPARK-23207 round-robin hazard class)."""
+    cols = [F.col(salt_src)] if salt_src else [F.col(c) for c in df.columns]
+    return F.pmod(F.hash(*cols), F.lit(n_salt))
+
+
 def salted_repartition(df: DataFrame, keys: list[str], n_salt: int = 32,
                        salt_src: str | None = None) -> DataFrame:
     """Repartition by (keys..., salt) so a hot key's rows spread over
     ``n_salt`` tasks.  Layout-compatible with a partitionBy(keys) write
     (the salt only affects task assignment, not file paths); downstream
     per-key aggs still work (partial aggregation re-combines)."""
-    salt = (F.pmod(F.hash(F.col(salt_src)), F.lit(n_salt)) if salt_src
-            else F.pmod(F.monotonically_increasing_id(), F.lit(n_salt)))
+    salt = _salt_expr(df, n_salt, salt_src)
     return (df.withColumn("_salt", salt)
             .repartition(*[F.col(c) for c in keys], F.col("_salt"))
             .drop("_salt"))
@@ -60,13 +69,12 @@ def salted_topk_per_key(df: DataFrame, keys: list[str], order_by: list[Column],
     key's rows / n_salt instead of all of them.
 
     ``salt_src`` names a column to derive the salt from (hash % n_salt);
-    default is a per-row monotonic id — deterministic output either way
-    because phase 2's ranking only depends on the global order_by (which
-    must be a total order, e.g. include a unique tiebreaker)."""
+    default is a hash of all columns (deterministic under stage retry, see
+    _salt_expr).  Output only depends on the global order_by either way
+    (which must be a total order, e.g. include a unique tiebreaker)."""
     from pyspark.sql.window import Window
 
-    salt = (F.pmod(F.hash(F.col(salt_src)), F.lit(n_salt)) if salt_src
-            else F.pmod(F.monotonically_increasing_id(), F.lit(n_salt)))
+    salt = _salt_expr(df, n_salt, salt_src)
     salted = df.withColumn("_salt", salt)
     w1 = Window.partitionBy(*keys, "_salt").orderBy(*order_by)
     survivors = (salted.withColumn("_r1", F.row_number().over(w1))
