@@ -45,6 +45,15 @@ def main() -> int:
     from dggstools_spark.session import get_spark
     from dggstools_spark.queries import TABLES
 
+    # deploy-artifact freshness gate: the py-files zip must match the source
+    # tree byte-for-byte (deterministic build); rebuild it if it diverged so
+    # a green gate run always leaves a current artifact on disk.
+    from make_pyfiles_zip import ensure_fresh, ZIP_PATH
+    if ensure_fresh():
+        print(f"deploy zip was STALE — rebuilt {ZIP_PATH}", flush=True)
+    else:
+        print(f"deploy zip fresh: {ZIP_PATH}", flush=True)
+
     spark = get_spark("check-entry")
 
     print("== entry(spark) smoke ==", flush=True)

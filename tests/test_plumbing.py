@@ -281,3 +281,24 @@ def test_cells_to_tiles_empty_keeps_schema(spark):
     out = cells_to_tiles(empty)
     assert out.count() == 0
     assert set(out.columns) == {"tile", "face", "row", "col", "cellid", "band1"}
+
+
+def test_deploy_zip_freshness_gate(tmp_path):
+    """The py-files zip build is deterministic, and ensure_fresh detects +
+    repairs any divergence from the source tree (the round-1/2 stale-deploy
+    failure mode)."""
+    import sys
+    sys.path.insert(0, "/root/repo/scripts")
+    import make_pyfiles_zip as mz
+
+    p = str(tmp_path / "a.zip")
+    mz.build(p)
+    b1 = open(p, "rb").read()
+    mz.build(p)
+    assert open(p, "rb").read() == b1          # deterministic bytes
+    assert not mz.is_stale(p)
+    with open(p, "ab") as fh:                  # corrupt => stale
+        fh.write(b"x")
+    assert mz.is_stale(p)
+    assert mz.ensure_fresh(p)                  # repaired
+    assert not mz.is_stale(p)
