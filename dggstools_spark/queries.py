@@ -428,10 +428,11 @@ ORACLES: dict[str, str] = {
 }
 
 
-# batch-2/3/4 queries live in queries{2,3,4}.py and are merged below
+# batch-2/3/4/5 queries live in queries{2,3,4,5}.py and are merged below
 from .queries2 import QUERIES2, ORACLES2  # noqa: E402
 from .queries3 import QUERIES3, ORACLES3  # noqa: E402
 from .queries4 import QUERIES4, ORACLES4  # noqa: E402
+from .queries5 import QUERIES5, ORACLES5  # noqa: E402
 
 QUERIES.update(QUERIES2)
 ORACLES.update(ORACLES2)
@@ -439,3 +440,5 @@ QUERIES.update(QUERIES3)
 ORACLES.update(ORACLES3)
 QUERIES.update(QUERIES4)
 ORACLES.update(ORACLES4)
+QUERIES.update(QUERIES5)
+ORACLES.update(ORACLES5)

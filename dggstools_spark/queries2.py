@@ -12,7 +12,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .dggs.cells import HALF_SIDE
 from .functions import encode_sql
-from .operators import auid as auid_ops
 from .operators import spatial_join
 from .sources import synth
 
@@ -252,27 +251,8 @@ def _oracle_rmse() -> str:
 
 # --------------------------------------------------------------------------
 # rows-only queries (no SQL-expressible oracle; pytest covers semantics)
+# auid_groups/auid_optimize moved to queries5.py with value-level oracles
 # --------------------------------------------------------------------------
-
-def q_auid_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7: canonical AUID per source group (zlib/blake2b in executors)."""
-    docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id")
-    cells = encode_sql.spark_encode(docs, "lon", "lat", 3).select("source", "cellid")
-    return auid_ops.auid_per_group(cells, "source", optimize_n_side=3)
-
-
-def q_auid_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A9: distributed compaction of the docs' res-4 cell cover."""
-    docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id")
-    cells = encode_sql.spark_encode(docs, "lon", "lat", 4).select("cellid")
-    # make complete sibling sets likely: union all children of res-2 covers
-    k = 9
-    seeded = cells.select(F.substring("cellid", 1, 3).alias("cellid")).distinct() \
-        .withColumn("cellid", F.explode(F.expr(
-            f"transform(sequence(0, {k - 1}), d -> concat(cellid, CAST(d AS STRING)))")))
-    both = cells.unionByName(seeded).dropDuplicates(["cellid"])
-    return auid_ops.optimize_cells(both, 3)
-
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synthesize binary blobs from doc text (stand-in
@@ -297,8 +277,6 @@ QUERIES2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash": q_minhash,
     "class_encode": q_class_encode,
     "rmse": q_rmse,
-    "auid_groups": q_auid_groups,
-    "auid_optimize": q_auid_optimize,
     "media_features": q_media_features,
 }
 

@@ -1,0 +1,226 @@
+"""Driver-contract queries, batch 5: value-level AUID oracles (round-3
+VERDICT item 2) — retires the last ``no_oracle`` AUID rows.
+
+Two SQL constructions make the AUID pipeline value-checkable in DuckDB:
+
+1. **Collapse unroll** (`_collapse_sql`): the distributed compaction
+   fixpoint (operators/auid.optimize_cells, reference auids/rhpx.py:108-181)
+   walks levels deepest-first, and the fixture depth is bounded, so the
+   whole fixpoint unrolls into a generated CTE chain — one
+   (children / deeper / pure / totals / parents / next-set) block per level.
+
+2. **LCP serialization of the BP string**: an optimized cuid set is
+   PREFIX-FREE (collapse only replaces complete pure-leaf sibling sets, and
+   the uniform-length input has no prefix pairs), so the trie's NIL-first
+   case never fires and the balanced-parenthesis serialization
+   (dggs/auids.generate_bp_auid_from_cuids, reference common.py:180-213)
+   has a closed form over the SORTED cuid list:
+
+       bp = '^' + c1 + '$' + sum_i[ '?' * (len(c_{i-1}) - lcp_i + 1)
+                                    + c_i[lcp_i:] + '$' ]
+
+   where lcp_i is the longest-common-prefix length of consecutive cuids —
+   exactly a lag window + string_agg.  (Derivation: after finishing cuid
+   c_{i-1}, the DFS pops one ')' for its NIL leaf plus one per trie level
+   from depth len(c_{i-1}) down to the fork at depth lcp_i, then descends
+   emitting the new suffix; the final trailing ')'s are stripped after the
+   last '$' by contract.)
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .dggs.config import DEFAULT_CONFIG
+from .operators import auid as auid_ops
+from .queries3 import _docs_cells, _oracle_docs_cells
+
+
+# --------------------------------------------------------------------------
+# SQL generators
+# --------------------------------------------------------------------------
+
+def _lcp_case(a: str, b: str, max_k: int) -> str:
+    """CASE expression: length of the longest common prefix of `a` and `b`
+    (both cellid strings), valid for prefix-free pairs up to length
+    ``max_k + 1``."""
+    arms = "\n".join(
+        f"WHEN substring({a}, 1, {k}) = substring({b}, 1, {k}) THEN {k}"
+        for k in range(max_k, 0, -1))
+    return f"(CASE {arms} ELSE 0 END)"
+
+
+def _collapse_sql(keys: list[str], max_len: int, k: int) -> str:
+    """CTE chain replicating optimize_cells on a set named ``s{max_len}``
+    (columns: *keys, cellid; already DISTINCT), producing ``s1``.
+
+    One block per level L = max_len..2, deepest first, matching the
+    distributed fixpoint exactly: a level-L child collapses into its parent
+    iff all ``k`` siblings exist at level L and none is a proper prefix of a
+    surviving deeper cell; collapses cascade upward because level L-1 is
+    examined after level L."""
+    kc = "".join(f"{c}, " for c in keys)  # "source, " or ""
+
+    def keq(l: str, r: str) -> str:
+        conds = [f"{l}.{c} = {r}.{c}" for c in keys]
+        return "".join(f"{c} AND " for c in conds)
+
+    # every derived set is MATERIALIZED: each level references the previous
+    # set three times, and DuckDB would otherwise inline the whole chain
+    # into an exponentially-growing expression tree (CLAUDE.md constraint 7)
+    blocks = []
+    for L in range(max_len, 1, -1):
+        blocks.append(f"""
+    ch{L} AS MATERIALIZED (SELECT {kc}cellid FROM s{L} WHERE length(cellid) = {L}),
+    dp{L} AS (SELECT DISTINCT {kc}substring(cellid, 1, {L}) AS cellid
+              FROM s{L} WHERE length(cellid) > {L}),
+    pr{L} AS (SELECT {''.join(f'c.{c}, ' for c in keys)}c.cellid
+              FROM ch{L} c LEFT JOIN dp{L} d
+                ON {keq('c', 'd')}c.cellid = d.cellid
+              WHERE d.cellid IS NULL),
+    tt{L} AS (SELECT {kc}substring(cellid, 1, {L - 1}) AS p, count(*) AS nt
+              FROM ch{L} GROUP BY ALL),
+    pp{L} AS (SELECT {kc}substring(cellid, 1, {L - 1}) AS p, count(*) AS np
+              FROM pr{L} GROUP BY ALL),
+    pa{L} AS (SELECT {''.join(f't.{c}, ' for c in keys)}t.p
+              FROM tt{L} t JOIN pp{L} u ON {keq('t', 'u')}t.p = u.p
+              WHERE t.nt = {k} AND u.np = {k}),
+    s{L - 1} AS MATERIALIZED (SELECT DISTINCT {kc}cellid FROM (
+        SELECT {''.join(f's.{c}, ' for c in keys)}s.cellid FROM s{L} s
+        LEFT JOIN pa{L} a ON {keq('s', 'a')}length(s.cellid) = {L}
+            AND substring(s.cellid, 1, {L - 1}) = a.p
+        WHERE a.p IS NULL
+        UNION ALL SELECT {kc}p AS cellid FROM pa{L}))""")
+    return ",".join(blocks)
+
+
+def _bp_agg_sql(group_col: str, max_lcp: int) -> str:
+    """SELECT building (group_key, n_cuids, bp_auid) from a prefix-free set
+    ``s1`` via the LCP closed form (module docstring)."""
+    lcp = _lcp_case("prev", "cellid", max_lcp)
+    return f"""
+    pieces AS (
+        SELECT {group_col}, cellid,
+               lag(cellid) OVER (PARTITION BY {group_col} ORDER BY cellid) AS prev
+        FROM s1)
+    SELECT {group_col} AS group_key,
+           CAST(count(*) AS INT) AS n_cuids,
+           '^' || string_agg(
+               CASE WHEN prev IS NULL THEN cellid || '$'
+                    ELSE repeat('?', length(prev) - {lcp} + 1)
+                         || substring(cellid, {lcp} + 1, 16) || '$' END,
+               '' ORDER BY cellid) AS bp_auid,
+           CAST(1 AS INT) AS codec_ok
+    FROM pieces GROUP BY {group_col}
+    """
+
+
+# --------------------------------------------------------------------------
+# q_auid_groups — A7 value-checked: per-group optimized cuids -> BP string
+# (oracle recomputes collapse + BP in SQL); the zlib/b64/blake2b layer is
+# asserted inside the executor (codec_ok) and covered by auid_roundtrip.
+# --------------------------------------------------------------------------
+
+AG_RES = 3  # length-4 cellids
+
+
+def q_auid_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: canonical AUID per source group.  Emits the pre-compression BP
+    string (value-checked by the oracle) plus codec_ok = full
+    compress/encode/decode/hash roundtrip fidelity checked in-executor."""
+    import pandas as pd
+    from pyspark.sql.types import (IntegerType, StringType, StructField,
+                                   StructType)
+
+    from .dggs import auids as auids_core
+
+    cells = _docs_cells(spark, sf_dir, AG_RES, keep=["source"])
+    n_side = DEFAULT_CONFIG.n_side
+
+    schema = StructType([
+        StructField("group_key", StringType()),
+        StructField("n_cuids", IntegerType()),
+        StructField("bp_auid", StringType()),
+        StructField("codec_ok", IntegerType()),
+    ])
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        cuids = auids_core.optimize_cuids(pdf["cellid"].dropna().tolist(), n_side)
+        bp = auids_core.generate_bp_auid_from_cuids(cuids)
+        comp_b64, hash_b64 = auids_core.generate_auid_hash_b64(cuids)
+        ok = int(
+            auids_core.decompress_id_bytes(auids_core.decode64(comp_b64)) == bp
+            and auids_core.cuids_from_auid_b64(comp_b64) == sorted(cuids)
+            and auids_core.hash_id(bp)[1] == hash_b64)
+        return pd.DataFrame({
+            "group_key": [str(pdf["source"].iloc[0])],
+            "n_cuids": [len(cuids)],
+            "bp_auid": [bp],
+            "codec_ok": [ok],
+        })
+
+    return cells.groupBy("source").applyInPandas(build, schema)
+
+
+def _oracle_auid_groups() -> str:
+    enc = _oracle_docs_cells(AG_RES, ["source"])
+    k = DEFAULT_CONFIG.n_side ** 2
+    max_len = AG_RES + 1
+    # MATERIALIZED: the collapse CTEs filter on length(cellid), which DuckDB
+    # would otherwise push into the ~50k-node encode projection (CLAUDE.md
+    # constraint 7)
+    return f"""
+    WITH s{max_len} AS MATERIALIZED (
+        SELECT DISTINCT source, cellid FROM ({enc})),
+    {_collapse_sql(['source'], max_len, k)},
+    {_bp_agg_sql('source', max_len - 1)}
+    """
+
+
+# --------------------------------------------------------------------------
+# q_auid_optimize — A9 value-checked: the optimized cuid SET itself is
+# compared (collapse unroll in SQL), not just row counts.
+# --------------------------------------------------------------------------
+
+AO_RES = 4  # length-5 cellids; seeds add length-4 ancestors' sibling sets
+
+
+def q_auid_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: distributed compaction of the docs' res-4 cell cover, seeded so
+    complete sibling sets (and len-4/len-5 mixes) actually occur."""
+    cells = _docs_cells(spark, sf_dir, AO_RES).select("cellid")
+    k = DEFAULT_CONFIG.n_side ** 2
+    seeded = cells.select(F.substring("cellid", 1, 3).alias("cellid")).distinct() \
+        .withColumn("cellid", F.explode(F.expr(
+            f"transform(sequence(0, {k - 1}), d -> concat(cellid, CAST(d AS STRING)))")))
+    both = cells.unionByName(seeded).dropDuplicates(["cellid"])
+    return auid_ops.optimize_cells(both, DEFAULT_CONFIG.n_side)
+
+
+def _oracle_auid_optimize() -> str:
+    enc = _oracle_docs_cells(AO_RES, [])
+    k = DEFAULT_CONFIG.n_side ** 2
+    max_len = AO_RES + 1
+    return f"""
+    WITH enc AS MATERIALIZED (SELECT DISTINCT cellid FROM ({enc})),
+    seeded AS (SELECT DISTINCT substring(cellid, 1, 3) || CAST(d AS VARCHAR) AS cellid
+               FROM enc, range({k}) t(d)),
+    s{max_len} AS MATERIALIZED (
+        SELECT DISTINCT cellid FROM (
+            SELECT cellid FROM enc UNION ALL SELECT cellid FROM seeded)),
+    {_collapse_sql([], max_len, k)}
+    SELECT cellid FROM s1
+    """
+
+
+QUERIES5: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "auid_groups": q_auid_groups,
+    "auid_optimize": q_auid_optimize,
+}
+
+ORACLES5: dict[str, str] = {
+    "auid_groups": _oracle_auid_groups(),
+    "auid_optimize": _oracle_auid_optimize(),
+}

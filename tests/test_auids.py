@@ -145,3 +145,48 @@ def test_subarea_not_fooled_across_faces():
 def test_empty_cuid_set_roundtrip():
     comp, h = auids.generate_auid_hash_b64([])
     assert auids.cuids_from_auid_b64(comp) == []
+
+
+def test_collapse_sql_and_bp_formula_match_kernel():
+    """The DuckDB oracle constructions in queries5 (unrolled collapse chain,
+    LCP-based BP serialization) agree with the stdlib kernel on randomized
+    sets, including mixed-length seeds and complete sibling cascades."""
+    import random
+
+    import duckdb
+
+    from dggstools_spark.dggs import auids as core
+    from dggstools_spark.queries5 import _bp_agg_sql, _collapse_sql
+
+    random.seed(13)
+    for trial in range(8):
+        max_len = random.choice([3, 4, 5])
+        cu = {random.choice("NOPQRS")
+              + "".join(random.choice("012345678") for _ in range(max_len - 1))
+              for _ in range(random.randint(5, 60))}
+        for _ in range(random.randint(1, 4)):  # force collapsible sets
+            p = random.choice(list(cu))[:max_len - 1]
+            cu |= {p + d for d in "012345678"}
+        if trial % 2 == 0:  # mixed lengths, like the auid_optimize seeds
+            p = random.choice(list(cu))[:max_len - 2] or "N"
+            cu |= {p + d for d in "012345678"}
+        cu = sorted(cu)
+        expect = core.optimize_cuids(cu, 3)
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE s_in(cellid VARCHAR)")
+        con.executemany("INSERT INTO s_in VALUES (?)", [(c,) for c in cu])
+        ml = max(len(c) for c in cu)
+        got = [r[0] for r in con.execute(
+            f"WITH s{ml} AS MATERIALIZED (SELECT DISTINCT cellid FROM s_in),"
+            f"{_collapse_sql([], ml, 9)} SELECT cellid FROM s1 ORDER BY cellid"
+        ).fetchall()]
+        assert got == expect, f"collapse mismatch (trial {trial})"
+
+        con.execute("CREATE TABLE s1x(g VARCHAR, cellid VARCHAR)")
+        con.executemany("INSERT INTO s1x VALUES ('g', ?)", [(c,) for c in expect])
+        row = con.execute(
+            f"WITH s1 AS (SELECT g AS source, cellid FROM s1x),"
+            f"{_bp_agg_sql('source', ml - 1)}").fetchone()
+        assert row[2] == core.generate_bp_auid_from_cuids(expect), \
+            f"bp mismatch (trial {trial})"
