@@ -253,8 +253,87 @@ def knn_join_exact(points: DataFrame, queries: DataFrame, k: int,
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+#: driver-side stats of the last knn_join_pruned call: {"block_res": int,
+#: "resolved_per_level": {lvl: n_queries}, "fallback_n": int}.  Free to
+#: record — every value is a count the algorithm already computes.
+last_knn_stats: dict = {}
+
+
+def choose_block_res(points: DataFrame, queries: DataFrame, k: int,
+                     px: str = "px", py: str = "py",
+                     qid: str = "q_id", qx: str = "qx", qy: str = "qy",
+                     cfg: RHEALPixConfig = DEFAULT_CONFIG,
+                     fine_res: int = 6, safety: float = 2.0,
+                     frac: float = 0.9, n_q: int | None = None,
+                     level_step: int = 2) -> int:
+    """Density pre-pass for the kNN starting level.  Histogram the points
+    into blocks at ``fine_res`` — ONE codegen agg over the point table (at
+    cluster scale this is the per-prefix histogram the flagship pipeline
+    already maintains, so it would be read, not recomputed) — then, per
+    candidate level, join each query's 3x3 neighborhood against the
+    rolled-up histogram (tiny broadcast joins; the full point table is never
+    rescanned) and pick the FINEST level where at least ``frac`` of the
+    queries see ``safety * k`` candidates, i.e. are expected to resolve at
+    level 0.
+
+    Query-centric on purpose: a point-density statistic alone mispredicts
+    when queries land in sparse regions (measured: median-occupied-block
+    chose res 5 for the nation-vs-docs fixture and every query expanded
+    twice).  The choice only affects performance, never correctness —
+    unresolved queries still expand level by level."""
+    import math
+
+    # probed levels share the loop's parity (…, 4, 2 for level_step=2) so a
+    # straggler query still reaches level 0 inside the loop instead of the
+    # exact-fallback broadcast scan (measured: an off-parity choice of 1 sent
+    # one query to the fallback and cost 2x)
+    levels = list(range(fine_res, 0, -level_step))
+    hist_w = HALF_SIDE / cfg.n_side**fine_res
+    hist = (points.groupBy(
+        F.floor(F.col(px) / hist_w).cast("bigint").alias("_bc"),
+        F.floor(F.col(py) / hist_w).cast("bigint").alias("_br"))
+        .agg(F.count("*").alias("_n")))
+    # chain the rollups lazily and union them with a level tag: ONE probe job
+    # total (plus nothing else — the point table is scanned exactly once)
+    shrink = cfg.n_side ** level_step  # block-index divisor between probed levels
+    tagged = [hist.withColumn("_lvl", F.lit(fine_res))]
+    for lvl in levels[1:]:
+        hist = (hist.groupBy(
+            (F.floor(F.col("_bc") / shrink)).cast("bigint").alias("_bc"),
+            (F.floor(F.col("_br") / shrink)).cast("bigint").alias("_br"))
+            .agg(F.sum("_n").alias("_n")))
+        tagged.append(hist.withColumn("_lvl", F.lit(lvl)))
+    all_h = tagged[0]
+    for t in tagged[1:]:
+        all_h = all_h.unionByName(t)
+
+    qs = queries.select(qid, qx, qy)
+    if n_q is None:
+        n_q = qs.count()
+    lvl_w = F.lit(HALF_SIDE) / F.pow(F.lit(float(cfg.n_side)), F.col("_lvl"))
+    neigh = (qs
+             .withColumn("_lvl", F.explode(F.array(*[F.lit(l) for l in levels])))
+             .withColumn("_dc", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])))
+             .withColumn("_dr", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])))
+             .select(F.col(qid), "_lvl",
+                     (F.floor(F.col(qx) / lvl_w).cast("bigint") + F.col("_dc")).alias("_bc"),
+                     (F.floor(F.col(qy) / lvl_w).cast("bigint") + F.col("_dr")).alias("_br")))
+    per = (all_h.join(F.broadcast(neigh), ["_lvl", "_bc", "_br"])
+           .groupBy(qid, "_lvl").agg(F.sum("_n").alias("_cand"))
+           .collect())  # tiny: |queries| x |levels| rows
+    need_n = safety * k
+    sat: dict[int, int] = {}
+    for r in per:
+        if r["_cand"] >= need_n:
+            sat[r["_lvl"]] = sat.get(r["_lvl"], 0) + 1
+    for lvl in levels:  # finest first
+        if sat.get(lvl, 0) >= math.ceil(frac * n_q):
+            return lvl
+    return 0
+
+
 def knn_join_pruned(points: DataFrame, queries: DataFrame, k: int,
-                    block_res: int,
+                    block_res: int | None = None,
                     px: str = "px", py: str = "py",
                     qid: str = "q_id", qx: str = "qx", qy: str = "qy",
                     cfg: RHEALPixConfig = DEFAULT_CONFIG,
@@ -279,7 +358,10 @@ def knn_join_pruned(points: DataFrame, queries: DataFrame, k: int,
     correct algorithm must scan near-globally; only those queries join.  At
     cluster scale each level is one narrow pass over the point table (the
     query side is broadcast; points never shuffle), and the common case is
-    one level."""
+    one level.
+
+    ``block_res=None`` (default) picks the starting level adaptively via
+    choose_block_res's density pre-pass."""
     from pyspark.sql.window import Window
 
     point_cols = list(points.columns)
@@ -289,6 +371,18 @@ def knn_join_pruned(points: DataFrame, queries: DataFrame, k: int,
     wdw = Window.partitionBy(qid).orderBy("dist_m", px, py)
 
     remaining = queries.select(qid, qx, qy)
+    # one count of the (typically small) query side lets every level decide
+    # "all resolved?" from the checkpointed topk alone — in the common case
+    # (level 0 resolves everything) no remaining anti-join, checkpoint, or
+    # isEmpty job ever runs (round-2 regression: those two materializations
+    # were pure overhead on the happy path)
+    n_unresolved = remaining.count()
+    if block_res is None:
+        block_res = choose_block_res(points, remaining, k, px, py, qid, qx, qy,
+                                     cfg, n_q=n_unresolved, level_step=level_step)
+    stats = {"block_res": block_res, "resolved_per_level": {}, "fallback_n": 0}
+    global last_knn_stats
+    last_knn_stats = stats
     parts: list[DataFrame] = []
     for lvl in range(block_res, min_block_res - 1, -level_step):
         w_m = HALF_SIDE / cfg.n_side**lvl
@@ -313,12 +407,19 @@ def knn_join_pruned(points: DataFrame, queries: DataFrame, k: int,
                                       F.max("dist_m").alias("_dmax"))
         ok_q = per_q.filter((F.col("_n") >= k) & (F.col("_dmax") <= w_m)).select(qid)
         parts.append(topk.join(F.broadcast(ok_q), qid, "inner").select(*out_cols))
-        remaining = remaining.join(F.broadcast(ok_q), qid, "left_anti") \
-                             .localCheckpoint(eager=True)
-        if remaining.isEmpty():
+        # ok_q is unique per qid and a subset of remaining, so counting it
+        # (one tiny job over the checkpointed topk) tells us whether any
+        # query is still unresolved without touching the query lineage
+        n_ok = ok_q.count()
+        stats["resolved_per_level"][lvl] = n_ok
+        n_unresolved -= n_ok
+        if n_unresolved <= 0:
             remaining = None
             break
-    if remaining is not None and not remaining.isEmpty():
+        remaining = remaining.join(F.broadcast(ok_q), qid, "left_anti") \
+                             .localCheckpoint(eager=True)
+    if remaining is not None:
+        stats["fallback_n"] = n_unresolved
         fallback = knn_join_exact(points, remaining, k, px, py, qid, qx, qy)
         parts.append(fallback.select(*out_cols))
     out = parts[0]

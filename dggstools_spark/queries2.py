@@ -120,7 +120,8 @@ def q_knn_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = load(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 10).select(
         F.col("n_nationkey").alias("q_id"),
         F.expr(qx).alias("qx"), F.expr(qy).alias("qy"))
-    topk = spatial_join.knn_join_pruned(pts, qs, KNN_CELLS_K, block_res=4)
+    # block_res chosen adaptively from the point-density pre-pass
+    topk = spatial_join.knn_join_pruned(pts, qs, KNN_CELLS_K)
     return topk.select("q_id", "doc_id", F.col("rank").alias("rank_k"))
 
 

@@ -451,3 +451,27 @@ def test_points_in_polygons_duplicates_and_shared_columns(spark):
     got = spatial_join.points_in_polygons(pts, polys).collect()
     assert len(got) == 2  # both duplicate copies, not zero
     assert all(r.pid == 1 and r.source == "a" for r in got)
+
+
+def test_knn_adaptive_block_res_and_stats(spark):
+    """block_res=None picks a level from the density pre-pass; results match
+    the exact join and last_knn_stats records the expansion profile."""
+    import random
+
+    from dggstools_spark.operators import spatial_join
+
+    random.seed(5)
+    pts = spark.createDataFrame(
+        [(i, random.uniform(0, 5e5), random.uniform(0, 5e5)) for i in range(800)],
+        "pid int, px double, py double")
+    qs = spark.createDataFrame(
+        [(q, random.uniform(0, 5e5), random.uniform(0, 5e5)) for q in range(6)],
+        "q_id int, qx double, qy double")
+    pruned = spatial_join.knn_join_pruned(pts, qs, 5) \
+        .select("q_id", "pid", "rank").collect()
+    exact = spatial_join.knn_join_exact(pts, qs, 5) \
+        .select("q_id", "pid", "rank").collect()
+    assert {tuple(r) for r in pruned} == {tuple(r) for r in exact}
+    st = spatial_join.last_knn_stats
+    assert st["block_res"] >= 0
+    assert sum(st["resolved_per_level"].values()) + st["fallback_n"] == 6
