@@ -37,12 +37,19 @@ MEDIA_META = StructType([
     StructField("sample_rate", IntegerType()),
 ])
 
-FEATURE_SCHEMA = StructType([
-    StructField("doc_id", StringType()),
-    StructField("media_ref", StringType()),
-    StructField("feature", ArrayType(FloatType())),
-    StructField("feat_dim", IntegerType()),
-])
+def feature_schema(dtype: str = "float32") -> StructType:
+    elem = FloatType() if dtype == "float32" else DoubleType()
+    return StructType([
+        StructField("doc_id", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("kind", StringType()),
+        StructField("fake_decoded", IntegerType()),
+        StructField("feature", ArrayType(elem)),
+        StructField("feat_dim", IntegerType()),
+    ])
+
+
+FEATURE_SCHEMA = feature_schema()
 
 
 def deterministic_fake_decode(blob: bytes, out_pixels: int = 64) -> np.ndarray:
@@ -129,8 +136,15 @@ def decode_media(blob: bytes) -> tuple[str, np.ndarray, dict]:
             return "audio", samples.astype(np.float64) / full_scale, meta
     except Exception:
         pass  # malformed media -> opaque fallback below
-    return "opaque", deterministic_fake_decode(blob, 64).astype(np.float64), \
-        {"kind": "opaque", "mime": "application/octet-stream"}
+    # float64 end to end (not via the float32 stub) so quantized oracle
+    # comparisons see the same correctly-rounded doubles SQL computes
+    if blob is None or len(blob) == 0:
+        sig = np.zeros(64, dtype=np.float64)
+    else:
+        arr = np.frombuffer(blob, dtype=np.uint8)
+        reps = int(np.ceil(64 / arr.size))
+        sig = (np.tile(arr, reps)[:64].astype(np.float64) - 127.5) / 127.5
+    return "opaque", sig, {"kind": "opaque", "mime": "application/octet-stream"}
 
 
 MEDIA_STATS_SCHEMA = StructType([
@@ -168,27 +182,55 @@ def media_stats(df: DataFrame, blob_col: str = "blob",
     return df.mapInPandas(run, MEDIA_STATS_SCHEMA)
 
 
+def pool_signal(sig: np.ndarray, feat_dim: int) -> np.ndarray:
+    """Segment-mean pooling of a 1-D signal to exactly ``feat_dim`` values:
+    segment i covers sig[floor(i*n/d) : floor((i+1)*n/d)); empty segments
+    (signal shorter than feat_dim) yield 0.0.  Deterministic and, for
+    segment lengths <= 1, division-free — which keeps the oracle closed
+    forms integer-exact."""
+    n = len(sig)
+    out = np.zeros(feat_dim, dtype=np.float64)
+    if n == 0:
+        return out
+    bounds = (np.arange(feat_dim + 1, dtype=np.int64) * n) // feat_dim
+    for i in range(feat_dim):
+        a, b = bounds[i], bounds[i + 1]
+        if b > a:
+            out[i] = sig[a:b].mean()
+    return out
+
+
 def extract_features(df: DataFrame, blob_col: str = "blob",
                      id_col: str = "doc_id", ref_col: str = "media_ref",
-                     feat_dim: int = 64) -> DataFrame:
-    """mapInPandas feature extraction: decode (stub) + mean-pool per batch.
-    Arrow batches in, Arrow batches out; no per-row Python beyond the codec
-    call itself (which a real codec also requires)."""
+                     feat_dim: int = 64, dtype: str = "float32") -> DataFrame:
+    """mapInPandas feature extraction: REAL codec decode (PNM/WAV via
+    decode_media; anything else takes the fake fallback, flagged per row by
+    ``fake_decoded`` so production truncation/garbage is observable) +
+    segment-mean pooling to ``feat_dim``.  Arrow batches in, Arrow batches
+    out; no per-row Python beyond the codec call itself (which a real codec
+    also requires).  ``dtype='float64'`` keeps full precision for
+    quantized oracle comparison; float32 is the storage default."""
+    schema = feature_schema(dtype)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                deterministic_fake_decode(b, feat_dim).tolist()
-                for b in pdf[blob_col]
-            ]
+            kinds, flags, feats = [], [], []
+            for b in pdf[blob_col]:
+                kind, sig, _ = decode_media(b)
+                kinds.append(kind)
+                flags.append(int(kind == "opaque"))
+                pooled = pool_signal(sig, feat_dim)
+                feats.append(pooled.astype(dtype).tolist())
             yield pd.DataFrame({
                 "doc_id": pdf[id_col].astype(str),
                 "media_ref": pdf[ref_col].astype(str),
+                "kind": kinds,
+                "fake_decoded": np.asarray(flags, dtype=np.int32),
                 "feature": feats,
                 "feat_dim": feat_dim,
             })
 
-    return df.mapInPandas(run, FEATURE_SCHEMA)
+    return df.mapInPandas(run, schema)
 
 
 def resize_images(df: DataFrame, blob_col: str = "blob",

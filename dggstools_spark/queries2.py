@@ -1,8 +1,7 @@
 """Driver-contract queries, batch 2: polygon PIP join, cell-keyed kNN,
-MinHash signatures, first-seen class encoding, RMSE — all oracle-checked —
-plus rows-only AUID and multimodal queries (not SQL-expressible: zlib/blake2b
-and the stub codec have no DuckDB equivalents; pytest covers them against the
-kernel instead)."""
+MinHash signatures, first-seen class encoding, RMSE, and real-codec
+multimodal features — all oracle-checked.  (AUID queries live in
+queries5.py, also oracle-checked.)"""
 
 from __future__ import annotations
 
@@ -251,25 +250,78 @@ def _oracle_rmse() -> str:
 
 
 # --------------------------------------------------------------------------
-# rows-only queries (no SQL-expressible oracle; pytest covers semantics)
-# auid_groups/auid_optimize moved to queries5.py with value-level oracles
+# q_media_features — multimodal features, REAL codecs + observable fallback
+# (auid_groups/auid_optimize moved to queries5.py with value-level oracles)
 # --------------------------------------------------------------------------
 
-def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: synthesize binary blobs from doc text (stand-in
-    for image bytes), run the mapInPandas feature extractor (stub codec)."""
-    from .functions.media import extract_features
+#: quantization scale for media features: 255 * 32768.  Every oracle value
+#: becomes integer-exact — PGM pixels k/255 * Q = k*32768, WAV samples
+#: v/32768 * Q = v*255, fake-fallback bytes (b-127.5)/127.5 * Q =
+#: (2b-255)*32768 — so engine rounding-mode differences can never flip a bit.
+MEDIA_Q = 8355840.0
 
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal features over REAL codec blobs: even docs get a P5 PGM,
+    odd docs a 16-bit WAV (closed forms from media.synth_blob_udf), and
+    every 10th doc an opaque blob that exercises the fake-decode fallback —
+    observably, via the per-row fake_decoded flag the oracle pins to 1."""
+    from .functions.media import extract_features, synth_blob_udf
+
+    synth_blob = synth_blob_udf()
     docs = load(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("doc_id"),
         F.concat(F.lit("blob://"), F.md5("text")).alias("media_ref"),
-        F.encode(F.md5("text"), "utf-8").alias("blob"),
+        F.when(F.col("doc_id") % 10 == 0, F.encode(F.md5("text"), "utf-8"))
+         .otherwise(synth_blob(F.col("doc_id"))).alias("blob"),
     )
-    feats = extract_features(docs)
+    feats = extract_features(docs, dtype="float64")
     return feats.select(
-        "doc_id", "media_ref", "feat_dim",
-        F.round(F.element_at("feature", 1) * 1e6).cast("bigint").alias("f0_um"),
+        "doc_id", "kind", "fake_decoded", "feat_dim",
+        F.expr(f"CAST(round(feature[0] * {MEDIA_Q!r}D) AS BIGINT)").alias("f0_q"),
+        F.expr(f"aggregate(feature, 0L,"
+               f" (a, x) -> a + CAST(round(x * {MEDIA_Q!r}D) AS BIGINT))").alias("fsum_q"),
     )
+
+
+def _oracle_media_features() -> str:
+    q = repr(MEDIA_Q)
+    img_v = f"CAST(round((CAST((31 * d.doc_id + 7 * t.j) % 251 AS DOUBLE) / 255.0) * {q}) AS BIGINT)"
+    wav_v = (f"CAST(round(((CAST((13 * d.doc_id + 3 * t.j) % 2003 AS DOUBLE) - 1001.0)"
+             f" / 32768.0) * {q}) AS BIGINT)")
+    opq_v = (f"CAST(round(((CAST(unicode(substring(d.h, CAST(t.j AS INT) + 1, 1)) AS DOUBLE)"
+             f" - 127.5) / 127.5) * {q}) AS BIGINT)")
+    return f"""
+    WITH docs AS (SELECT doc_id, md5(text) AS h FROM documents),
+    img AS (
+      SELECT d.doc_id, 'image' AS kind, 0 AS fake_decoded,
+             max(CASE WHEN t.j = 0 THEN {img_v} END) AS f0_q,
+             CAST(sum({img_v}) AS BIGINT) AS fsum_q
+      FROM docs d, range(64) t(j)
+      WHERE d.doc_id % 2 = 0 AND d.doc_id % 10 <> 0
+      GROUP BY d.doc_id),
+    -- WAV: 32 samples pooled to 64 slots -> slot 0 is an empty segment (0),
+    -- each sample lands in exactly one odd slot
+    wav AS (
+      SELECT d.doc_id, 'audio' AS kind, 0 AS fake_decoded,
+             CAST(0 AS BIGINT) AS f0_q,
+             CAST(sum({wav_v}) AS BIGINT) AS fsum_q
+      FROM docs d, range(32) t(j)
+      WHERE d.doc_id % 2 = 1
+      GROUP BY d.doc_id),
+    -- fake fallback: 32 md5-hex bytes tiled twice to 64
+    opq AS (
+      SELECT d.doc_id, 'opaque' AS kind, 1 AS fake_decoded,
+             max(CASE WHEN t.j = 0 THEN {opq_v} END) AS f0_q,
+             CAST(2 * sum({opq_v}) AS BIGINT) AS fsum_q
+      FROM docs d, range(32) t(j)
+      WHERE d.doc_id % 10 = 0
+      GROUP BY d.doc_id)
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, kind,
+           CAST(fake_decoded AS INT) AS fake_decoded,
+           CAST(64 AS INT) AS feat_dim, f0_q, fsum_q
+    FROM (SELECT * FROM img UNION ALL SELECT * FROM wav UNION ALL SELECT * FROM opq)
+    """
 
 
 QUERIES2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -282,6 +334,7 @@ QUERIES2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES2: dict[str, str] = {
+    "media_features": _oracle_media_features(),
     "pip_polygons": _oracle_pip_polygons(),
     "knn_cells": _oracle_knn_cells(),
     "minhash": _oracle_minhash(),

@@ -124,6 +124,25 @@ def test_media_feature_extraction(spark):
     assert by_id["d1"].feat_dim == 64 and len(by_id["d1"].feature) == 64
     assert by_id["d1"].feature == by_id["d3"].feature  # deterministic
     assert all(v == 0.0 for v in by_id["d2"].feature)  # empty blob -> zeros
+    # non-media bytes take the fallback, and the flag says so
+    assert all(r.fake_decoded == 1 and r.kind == "opaque" for r in feats)
+
+
+def test_media_features_real_codec_path(spark):
+    """PNM/WAV blobs run the REAL decoders inside extract_features:
+    fake_decoded=0 and the pooled features carry the closed-form values."""
+    from dggstools_spark.functions.media import synth_blob_udf
+
+    ids = spark.createDataFrame([(2,), (3,)], "doc_id long")
+    df = ids.select("doc_id", F.lit("r").alias("media_ref"),
+                    synth_blob_udf()(F.col("doc_id")).alias("blob"))
+    rows = {r.doc_id: r for r in media.extract_features(df, dtype="float64").collect()}
+    img, wav = rows["2"], rows["3"]
+    assert img.kind == "image" and img.fake_decoded == 0
+    assert wav.kind == "audio" and wav.fake_decoded == 0
+    assert abs(img.feature[0] - ((2 * 31) % 251) / 255.0) < 1e-12
+    assert wav.feature[0] == 0.0  # 32 samples in 64 slots: slot 0 empty
+    assert abs(wav.feature[1] - ((3 * 13) % 2003 - 1001) / 32768.0) < 1e-12
 
 
 def test_media_resize_and_frames(spark):
