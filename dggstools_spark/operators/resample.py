@@ -84,6 +84,53 @@ def resample_bilinear(src: DataFrame, res_src: int, res_dst: int,
         (F.sum(F.col("w") * F.col("_v")) / F.sum("w")).alias(value_col))
 
 
+def resample_area(src: DataFrame, res_src: int,
+                  scale_x: float, scale_y: float | None = None,
+                  offset_x: float = 0.0, offset_y: float = 0.0,
+                  value_col: str = "band1", cellid_col: str = "cellid",
+                  cfg: RHEALPixConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Anti-aliased (area-weighted average) downscale onto an ARBITRARY
+    per-face target grid: target cell (face, trow, tcol) covers the
+    source-lattice box [offset + t*scale, offset + (t+1)*scale).  Each
+    source cell contributes its fractional overlap area as weight; the
+    result is sum(w*v)/sum(w) plus ``coverage`` = sum(w)/(scale_x*scale_y)
+    so partial coverage is observable (GDAL ``Resampling.average`` under an
+    unaligned warp, reference resampling surface utils/rasterutils.py:
+    122-172; for integer scale and zero offset this equals the exact
+    parent rollup — property-tested against rescale_to_parent).
+
+    Scale shape: ONE explode of the source table into its covering target
+    keys (ceil(scale)+1 per axis at most) and ONE hash aggregation — no
+    join at all, cheaper than the bilinear/cubic gather."""
+    if scale_y is None:
+        scale_y = scale_x
+    if scale_x <= 0 or scale_y <= 0:
+        raise ValueError("scale must be positive")
+    rc = _src_rc(src, res_src, value_col, cellid_col, cfg)
+
+    def axis(s_col: str, scale: float, off: float, t_out: str, w_out: str):
+        # generous target-index bounds, then exact-overlap filter; the
+        # overlap expression mirrors the oracle SQL op-for-op (least/greatest
+        # of identically-computed doubles) for bit-identical weights
+        lo = F.floor((F.col(s_col) - F.lit(off)) / F.lit(scale)).cast("bigint") - 1
+        hi = F.floor((F.col(s_col) + 1 - F.lit(off)) / F.lit(scale)).cast("bigint") + 1
+        t = F.explode(F.sequence(lo, hi)).alias(t_out)
+        w = (F.least(F.lit(off) + (F.col(t_out) + 1) * F.lit(scale), F.col(s_col) + 1)
+             - F.greatest(F.lit(off) + F.col(t_out) * F.lit(scale), F.col(s_col)))
+        return t, w.alias(w_out)
+
+    tc, wx = axis("scol", scale_x, offset_x, "tcol", "_wx")
+    out = rc.select("face", "srow", "scol", "_v", tc).select("*", wx) \
+            .filter(F.col("_wx") > 0)
+    tr, wy = axis("srow", scale_y, offset_y, "trow", "_wy")
+    out = out.select("face", "srow", "tcol", "_wx", "_v", tr) \
+             .select("*", wy).filter(F.col("_wy") > 0)
+    w = F.col("_wx") * F.col("_wy")
+    return out.groupBy("face", "trow", "tcol").agg(
+        (F.sum(w * F.col("_v")) / F.sum(w)).alias(value_col),
+        (F.sum(w) / F.lit(scale_x * scale_y)).alias("coverage"))
+
+
 def cubic_weights_sql(t: str) -> list[str]:
     """Portable SQL Catmull-Rom (Keys, a=-0.5 — GDAL's 'cubic') weights for
     sample offsets -1, 0, +1, +2 at fractional position ``t`` in [0, 1).

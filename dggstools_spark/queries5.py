@@ -224,3 +224,60 @@ ORACLES5: dict[str, str] = {
     "auid_groups": _oracle_auid_groups(),
     "auid_optimize": _oracle_auid_optimize(),
 }
+
+
+# --------------------------------------------------------------------------
+# q_resample_area — R1/R2 anti-aliased area-weighted downscale onto an
+# UNALIGNED target grid (fractional source-cell coverage per target); the
+# oracle replicates the overlap-weight computation op-for-op
+# --------------------------------------------------------------------------
+
+RA_SCALE = 2.5
+RA_OFF = 0.25
+
+
+def q_resample_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.resample import resample_area
+    from .queries3 import _spark_src_raster
+
+    src = _spark_src_raster(spark, sf_dir)
+    out = resample_area(src, 2, RA_SCALE, offset_x=RA_OFF, offset_y=RA_OFF)
+    return out.select(
+        "face", "trow", "tcol",
+        F.round(F.col("band1") * 1e6).cast("bigint").alias("v_ppm"),
+        F.round(F.col("coverage") * 1e6).cast("bigint").alias("cov_ppm"))
+
+
+def _oracle_resample_area() -> str:
+    from .queries3 import _ORACLE_SRC_RASTER
+
+    s, o = repr(RA_SCALE), repr(RA_OFF)
+
+    def ospan(sc: str, t: str):
+        lo = f"CAST(floor(({sc} - {o}) / {s}) AS BIGINT) - 1"
+        hi = f"CAST(floor(({sc} + 1 - {o}) / {s}) AS BIGINT) + 1"
+        w = (f"(least({o} + ({t} + 1) * {s}, {sc} + 1)"
+             f" - greatest({o} + {t} * {s}, {sc}))")
+        return lo, hi, w
+
+    xlo, xhi, wx = ospan("scol", "tcol")
+    ylo, yhi, wy = ospan("srow", "trow")
+    return f"""
+    WITH src AS ({_ORACLE_SRC_RASTER}),
+    tx AS (SELECT srow, v, tcol, {wx} AS wx FROM (
+        SELECT srow, scol, v,
+               unnest(generate_series({xlo}, {xhi})) AS tcol FROM src)
+        WHERE {wx} > 0),
+    ty AS (SELECT tcol, wx, v, trow, {wy} AS wy FROM (
+        SELECT tcol, wx, v, srow,
+               unnest(generate_series({ylo}, {yhi})) AS trow FROM tx)
+        WHERE {wy} > 0)
+    SELECT 'Q' AS face, trow, tcol,
+           CAST(round(sum(wx * wy * v) / sum(wx * wy) * 1e6) AS BIGINT) AS v_ppm,
+           CAST(round(sum(wx * wy) / {RA_SCALE * RA_SCALE!r} * 1e6) AS BIGINT) AS cov_ppm
+    FROM ty GROUP BY trow, tcol
+    """
+
+
+QUERIES5["resample_area"] = q_resample_area
+ORACLES5["resample_area"] = _oracle_resample_area()

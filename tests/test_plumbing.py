@@ -321,3 +321,30 @@ def test_deploy_zip_freshness_gate(tmp_path):
     assert mz.is_stale(p)
     assert mz.ensure_fresh(p)                  # repaired
     assert not mz.is_stale(p)
+
+
+def test_jdbc_cells_roundtrip_and_gating(spark):
+    """S5: real JDBC roundtrip (cells + attrs companion) against the Derby
+    driver Spark ships; driver gating raises actionable errors for missing
+    jars (the PostGIS path differs only by url/driver string)."""
+    import pytest
+
+    from dggstools_spark.sources import cells_io, external
+
+    cells = spark.createDataFrame(
+        [("N120", 1.5), ("N121", 2.5), ("Q003", 3.5)],
+        "cellid string, band1 double")
+    attrs = cells_io.build_attrs(3, 1, None)
+    url = "jdbc:derby:memory:cellsdb;create=true"
+    external.write_cells_jdbc(cells, attrs, url, "cells",
+                              external.DERBY_DRIVER, mode="overwrite")
+    back, attrs2 = external.read_cells_jdbc(spark, url, "cells",
+                                            external.DERBY_DRIVER)
+    assert {(r.cellid, r.band1) for r in back.collect()} == \
+        {("N120", 1.5), ("N121", 2.5), ("Q003", 3.5)}
+    assert attrs2["res_idx"] == 3 and attrs2["rhealpixdggs"]["n_side"] == 3
+
+    with pytest.raises(RuntimeError, match="not on the Spark classpath"):
+        external.require_jdbc_driver(spark, "org.postgresql.Driver")
+    with pytest.raises(RuntimeError, match="s3a connector"):
+        external.read_parquet_uri(spark, "s3a://bucket/key.parquet")

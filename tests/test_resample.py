@@ -157,3 +157,46 @@ def test_area_error_exact_on_aligned_squares(spark):
     d2 = 4 * w * w / MEAN_AREAL_DISTORTION - 4 * w * w
     np.testing.assert_allclose(corr.rmse, np.sqrt((d1**2 + d2**2) / 2), rtol=1e-9)
     np.testing.assert_allclose(corr.bias, (d1 + d2) / 2, rtol=1e-9)
+
+
+def test_resample_area_integer_scale_equals_parent_rollup(spark):
+    """scale = n_side^levels with zero offset reproduces the exact avg
+    parent rollup (same cells, same values)."""
+    from dggstools_spark.functions import encode_sql
+    from dggstools_spark.operators.raster import cells_to_tiles, rescale_to_parent
+    from dggstools_spark.operators.resample import resample_area
+
+    src = spark.createDataFrame(
+        [(r, c, float((r * 7 + c * 13) % 23)) for r in range(9) for c in range(9)],
+        "row long, col long, band1 double").select(
+        F.expr(encode_sql.rowcol_cellid_sql("'Q'", "row", "col", 2)).alias("cellid"),
+        "band1")
+    area = resample_area(src, 2, 3.0)  # one level: 3x3 children per parent
+    rolled = rescale_to_parent(src, 1, agg="avg")
+    rolled_rc = cells_to_tiles(rolled, res=1).select(
+        "face", F.col("row").alias("trow"), F.col("col").alias("tcol"), "band1")
+    a = {(r.face, r.trow, r.tcol): r.band1 for r in area.collect()}
+    b = {(r.face, r.trow, r.tcol): r.band1 for r in rolled_rc.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-12
+    assert all(abs(r.coverage - 1.0) < 1e-12 for r in area.collect())
+
+
+def test_resample_area_fractional_constant_field(spark):
+    """Piecewise-constant field: every covered target cell gets exactly the
+    constant; interior coverage is 1, border cells fractional."""
+    from dggstools_spark.functions import encode_sql
+    from dggstools_spark.operators.resample import resample_area
+
+    src = spark.createDataFrame(
+        [(r, c, 5.0) for r in range(6) for c in range(6)],
+        "row long, col long, band1 double").select(
+        F.expr(encode_sql.rowcol_cellid_sql("'Q'", "row", "col", 2)).alias("cellid"),
+        "band1")
+    out = resample_area(src, 2, 2.5, offset_x=0.25, offset_y=0.25).collect()
+    assert out and all(abs(r.band1 - 5.0) < 1e-12 for r in out)
+    # total weight conserves total source area (36 cells)
+    assert abs(sum(r.coverage * 6.25 for r in out) - 36.0) < 1e-9
+    assert any(r.coverage < 1.0 - 1e-9 for r in out)       # borders
+    assert any(abs(r.coverage - 1.0) < 1e-12 for r in out)  # interior
