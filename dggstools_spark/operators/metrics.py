@@ -52,7 +52,8 @@ def class_polygon_areas(polygons: DataFrame, class_col: str = "class",
 def area_error(polygons: DataFrame, res: int, class_col: str = "class",
                poly_id: str = "poly_id", ring: str = "ring",
                cfg: RHEALPixConfig = DEFAULT_CONFIG,
-               distortion_correct: bool = True) -> DataFrame:
+               distortion_correct: bool = True,
+               overlap: str = "last") -> DataFrame:
     """The reference's headline composed metric, calculate_vector_raster_
     area_error (vector_to_rhpx.py:388-501; CLI vec-ras-area-error): per
     feature class, compare the vector geometry area against the area of its
@@ -65,8 +66,15 @@ def area_error(polygons: DataFrame, res: int, class_col: str = "class",
     rings — for lon/lat rings use class_polygon_areas (A2, geodesic) as the
     vector side instead; cell area is the true area (planar / 1.178 mean
     areal distortion, like the reference) unless ``distortion_correct`` is
-    off.  Cells are counted once per class (distinct cellid), matching the
-    reference's burn-then-count."""
+    off.
+
+    ``overlap`` controls cross-class cell resolution: the reference burns a
+    raster, so a pixel covered by polygons of two classes keeps ONE value —
+    the last feature drawn wins.  ``overlap='last'`` (default) mirrors that:
+    each cell resolves to the class of the highest ``poly_id`` covering it
+    (poly_id order standing in for burn order).  ``overlap='all'`` counts a
+    cell once per covering class instead (a coverage metric, not the
+    reference's burn semantics — it double-counts cross-class overlaps)."""
     from .spatial_join import polygon_edges, rasterize_polygons
 
     edges = polygon_edges(polygons.select(poly_id, class_col, ring), ring)
@@ -79,9 +87,15 @@ def area_error(polygons: DataFrame, res: int, class_col: str = "class",
     cls_map = polygons.select(poly_id, class_col)
     cell_area = float(cfg.cell_area(res) if distortion_correct
                       else cfg.cell_area_planar(res))
-    ras = (cells.join(F.broadcast(cls_map), poly_id)
-           .select(class_col, "cellid").distinct()
-           .groupBy(class_col)
+    covered = cells.join(F.broadcast(cls_map), poly_id)
+    if overlap == "last":
+        resolved = covered.groupBy("cellid").agg(
+            F.max_by(class_col, F.col(poly_id)).alias(class_col))
+    elif overlap == "all":
+        resolved = covered.select(class_col, "cellid").distinct()
+    else:
+        raise ValueError(f"unknown overlap mode {overlap!r}")
+    ras = (resolved.groupBy(class_col)
            .agg((F.count("*") * F.lit(cell_area)).alias("_ras")))
     per_class = (vec.join(ras, class_col, "full")
                  .select(class_col,

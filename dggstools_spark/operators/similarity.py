@@ -84,6 +84,41 @@ def probe_buckets_sql(bucket: str, n_planes: int,
     return probes
 
 
+def _flip_dyn(src: str, idx: str, n: int) -> str:
+    """Flip the 0-based bit ``idx`` (a COLUMN, not a literal) of bucket
+    string ``src`` — constant expression size regardless of n_planes."""
+    return (f"concat(substring({src}, 1, {idx}),"
+            f" CASE WHEN substring({src}, {idx} + 1, 1) = '1'"
+            f" THEN '0' ELSE '1' END,"
+            f" substring({src}, {idx} + 2, {n} - {idx} - 1))")
+
+
+def probe_frame(qsig: DataFrame, n_planes: int, probe_hamming: int,
+                bucket_src: str = "_qb", out: str = "bucket") -> DataFrame:
+    """Multi-probe expansion as STAGED column flips: explode the flip index
+    and operate on the materialized distance-1 column, so expression size
+    stays O(1) per stage instead of the O(n_planes^2) nested-text growth of
+    probe_buckets_sql (which is kept for the bounded-plane oracle SQL —
+    CLAUDE.md constraint-2 disease class at larger plane counts)."""
+    d0 = qsig.withColumn(out, F.col(bucket_src))
+    if probe_hamming < 1:
+        return d0
+    idx = F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1)))
+    d1 = qsig.withColumn("_i", idx) \
+             .withColumn("_p1", F.expr(_flip_dyn(bucket_src, "_i", n_planes)))
+    parts = [d0, d1.withColumn(out, F.col("_p1")).drop("_i", "_p1")]
+    if probe_hamming >= 2:
+        d2 = (d1.withColumn("_j", idx)
+              .filter(F.col("_j") > F.col("_i"))
+              .withColumn(out, F.expr(_flip_dyn("_p1", "_j", n_planes)))
+              .drop("_i", "_j", "_p1"))
+        parts.append(d2)
+    outdf = parts[0]
+    for p in parts[1:]:
+        outdf = outdf.unionByName(p)
+    return outdf
+
+
 def ann_topk(cands: DataFrame, queries: DataFrame, k: int,
              vec_col: str = "embedding", id_col: str = "vec_id",
              qid_col: str = "q_id", q_vec: str = "q_emb",
@@ -117,9 +152,11 @@ def ann_topk(cands: DataFrame, queries: DataFrame, k: int,
         csig = _cap_hot_keys(csig, "bucket", max_bucket, min_bucket=1)
     qsig = queries.select(qid_col, q_vec).withColumn(
         "_qb", F.expr(signature_spark(q_vec, n_planes)))
-    probes = probe_buckets_sql("_qb", n_planes, probe_hamming)
-    qprobe = qsig.withColumn(
-        "bucket", F.explode(F.array(*[F.expr(p) for p in probes])))
+    # materialize the (small, broadcast-bound) signed query side once, so
+    # the staged probe expansion references a plain column instead of
+    # re-inlining the signature expression per union branch
+    qsig = qsig.localCheckpoint(eager=False)
+    qprobe = probe_frame(qsig, n_planes, probe_hamming).drop("_qb")
     pairs = csig.join(F.broadcast(qprobe), "bucket") \
         .filter(F.col(id_col) != F.col(qid_col))
     dot = DOT_SPARK.format(a=q_vec, b=vec_col)

@@ -595,10 +595,12 @@ def _oracle_area_error() -> str:
       FROM (SELECT poly_id, abs(sum(x1 * y2 - x2 * y1)) / 2.0 AS area_p
             FROM edges GROUP BY poly_id)
       GROUP BY 1),
+    -- burn-overwrite: a cell covered by several polygons keeps ONE class —
+    -- the last-drawn (highest poly_id) wins, mirroring metrics.area_error
     ras AS (
       SELECT class, count(*) * {_d(cell_area)} AS _ras
-      FROM (SELECT DISTINCT CAST(poly_id % 2 AS INT) AS class, px, py
-            FROM inside)
+      FROM (SELECT px, py, CAST(max(poly_id) % 2 AS INT) AS class
+            FROM inside GROUP BY px, py)
       GROUP BY class),
     per_class AS (
       SELECT coalesce(v._vec, 0.0) AS _vec, coalesce(r._ras, 0.0) AS _ras

@@ -475,3 +475,41 @@ def test_knn_adaptive_block_res_and_stats(spark):
     st = spatial_join.last_knn_stats
     assert st["block_res"] >= 0
     assert sum(st["resolved_per_level"].values()) + st["fallback_n"] == 6
+
+
+def test_probe_frame_matches_nested_text_probes(spark):
+    """The staged-column probe expansion produces exactly the nested-text
+    probe set, including at plane counts where the textual form would blow
+    up quadratically."""
+    from dggstools_spark.operators.similarity import (probe_buckets_sql,
+                                                      probe_frame)
+
+    n = 12
+    qsig = spark.createDataFrame([(1, "110100101101")], "q_id int, _qb string")
+    staged = {r.bucket for r in probe_frame(qsig, n, 2).collect()}
+    nested = {r[0] for r in qsig.select(
+        F.explode(F.array(*[F.expr(p) for p in probe_buckets_sql("_qb", n, 2)]))
+    ).collect()}
+    assert staged == nested
+    assert len(staged) == 1 + n + n * (n - 1) // 2
+
+
+def test_area_error_cross_class_overlap_burns_last(spark):
+    """A cell covered by polygons of two classes counts ONCE, for the
+    last-drawn (highest poly_id) class — raster burn-overwrite semantics."""
+    from dggstools_spark.dggs.cells import HALF_SIDE
+    from dggstools_spark.operators.metrics import area_error
+
+    s = HALF_SIDE
+    # two identical squares on face Q, different classes: burn-last keeps
+    # only class 1's cells; 'all' mode double-counts
+    ring = [(0.1 * s, 0.1 * s), (0.4 * s, 0.1 * s),
+            (0.4 * s, 0.4 * s), (0.1 * s, 0.4 * s)]
+    polys = spark.createDataFrame(
+        [(0, 0, ring), (1, 1, ring)],
+        "poly_id int, class int, ring array<struct<x double, y double>>")
+    last = area_error(polys, 3).first()
+    both = area_error(polys, 3, overlap="all").first()
+    assert abs(both.total_cells_area - 2 * last.total_cells_area) < 1e-6
+    # burn-last: class 0 gets zero raster area -> bias is asymmetric
+    assert last.total_cells_area > 0
