@@ -23,6 +23,46 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BENCH_DOCS_PATH = "/tmp/dggs_bench_docs.parquet"
 
 
+# --------------------------------------------------------------------------
+# quiet-window gate (shared with scripts/scaling.py): this sandbox suffers
+# minutes-long CPU-steal episodes; a calibrated single-thread numpy burn
+# detects contention so timed runs only launch inside a quiet window —
+# best-of-N alone left 2.1-15.9 s swings within one JVM (BENCH_r02).
+# --------------------------------------------------------------------------
+
+def burn_once() -> float:
+    import numpy as np
+
+    x = np.linspace(0.0, 1.0, 200_000)
+    t0 = time.time()
+    for _ in range(30):
+        y = np.sin(x) * np.log1p(np.abs(x))
+        y.sum()
+    return time.time() - t0
+
+
+_BURN_BEST: list[float] = []
+
+
+def wait_for_quiet(max_wait_s: int = 120, tol: float = 1.3) -> float:
+    """Block until 2 consecutive calibration burns run within ``tol`` of the
+    best burn ever observed this process; returns the last burn time (so
+    callers can record residual contention).  Falls through after
+    ``max_wait_s`` — a measurement under contention is still recorded, just
+    flagged by its burn time."""
+    if not _BURN_BEST:
+        _BURN_BEST.append(min(burn_once() for _ in range(3)))
+    deadline = time.time() + max_wait_s
+    streak, t = 0, burn_once()
+    while True:
+        _BURN_BEST[0] = min(_BURN_BEST[0], t)
+        streak = streak + 1 if t < _BURN_BEST[0] * tol else 0
+        if streak >= 2 or time.time() > deadline:
+            return t
+        time.sleep(1.0)
+        t = burn_once()
+
+
 def materialize_docs(spark, n_docs: int) -> str:
     """Write the interleaved doc table once (the benchmark's stand-in for the
     10^12-doc Iceberg table); reused across runs with the same size."""
@@ -117,6 +157,7 @@ def main() -> None:
     if not flagship_only:
         from dggstools_spark.queries import QUERIES
 
+        wait_for_quiet()  # one gate for the whole single-run query sweep
         for name, fn in QUERIES.items():
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -126,11 +167,15 @@ def main() -> None:
     # sandbox has noisy neighbors — the best run approximates uncontended
     # steady state (what projects to a long-running cluster job)
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
-    runs = [flagship(spark, n_docs) for _ in range(n_runs)]
+    runs, burns = [], []
+    for _ in range(n_runs):
+        burns.append(round(wait_for_quiet(), 3))  # steal-filter each run
+        runs.append(flagship(spark, n_docs))
     t_flag = min(runs)
     queries["flagship_tile_assignment"] = round(t_flag, 3)
     result["flagship_cold_sec"] = round(runs[0], 3)
     result["flagship_runs"] = [round(t, 3) for t in runs]
+    result["burn_sec"] = burns  # ~best burn on every run = quiet window held
 
     result.update(
         {

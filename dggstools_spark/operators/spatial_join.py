@@ -100,7 +100,8 @@ def sat_edge_rect_sql(h: float) -> str:
 def points_in_polygons(points: DataFrame, polygons: DataFrame,
                        px: str = "px", py: str = "py",
                        poly_id: str = "poly_id", ring: str = "ring",
-                       broadcast_polys: bool = True) -> DataFrame:
+                       broadcast_polys: bool = True,
+                       narrow_shuffle: bool = False) -> DataFrame:
     """Ray-casting parity test, relationally: returns ``points`` columns +
     ``poly_id`` for every (point, polygon) containment pair.
 
@@ -111,7 +112,15 @@ def points_in_polygons(points: DataFrame, polygons: DataFrame,
     Rows are identified by a synthetic row id, so duplicate point rows each
     report independently (grouping by point VALUES would merge them and
     flip the crossing parity); only (poly_id, ring) travel from the polygon
-    side, so shared column names can't turn ambiguous."""
+    side, so shared column names can't turn ambiguous.
+
+    ``narrow_shuffle=True`` is for WIDE point tables: the parity shuffle
+    then carries only (_rid, poly_id) and the surviving pairs re-join the
+    point table afterwards (AQE broadcasts them when the inside-set is
+    small, so the wide columns never shuffle).  Costs one localCheckpoint
+    of the point side — required anyway to pin the synthetic row ids
+    across the two branches.  Default keeps the single-pass aggregate,
+    whose map-side partial agg is already one row per (point, polygon)."""
     edges = polygon_edges(polygons.select(poly_id, ring), ring)
     bbox = edges.groupBy(poly_id).agg(
         F.least(F.min("x1"), F.min("x2")).alias("_bxmin"),
@@ -125,13 +134,25 @@ def points_in_polygons(points: DataFrame, polygons: DataFrame,
     pts = points.withColumn("_rid", F.monotonically_increasing_id())
     if px != "px" or py != "py":
         pts = pts.withColumn("px", F.col(px)).withColumn("py", F.col(py))
-    cand = pts.join(
+    if narrow_shuffle:
+        # materialize once: the rejoin references pts twice, and _rid must
+        # not be recomputed (monotonically_increasing_id is
+        # partition-layout-dependent)
+        pts = pts.localCheckpoint(eager=False)
+    cand = pts if not narrow_shuffle else pts.select("_rid", "px", "py")
+    cand = cand.join(
         edges,
         (F.col("px") >= F.col("_bxmin")) & (F.col("px") <= F.col("_bxmax"))
         & (F.col("py") >= F.col("_bymin")) & (F.col("py") <= F.col("_bymax")),
     )
     crossings = cand.filter(F.expr(CROSSING))
     point_cols = [c for c in points.columns]
+    if narrow_shuffle:
+        pairs = (crossings.groupBy("_rid", poly_id)
+                 .agg(F.count("*").alias("_n_cross"))
+                 .filter(F.col("_n_cross") % 2 == 1)
+                 .select("_rid", poly_id))
+        return pts.join(pairs, "_rid").select(*point_cols, poly_id)
     inside = (
         crossings.groupBy("_rid", poly_id)
         .agg(*[F.first(c).alias(c) for c in point_cols],

@@ -28,34 +28,12 @@ import subprocess
 import sys
 import time
 
-import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _burn_once() -> float:
-    x = np.linspace(0.0, 1.0, 200_000)
-    t0 = time.time()
-    for _ in range(30):
-        y = np.sin(x) * np.log1p(np.abs(x))
-        y.sum()
-    return time.time() - t0
-
-
-def wait_for_quiet(max_wait_s: int = 600, tol: float = 1.3) -> None:
-    """Block until 3 consecutive calibration burns run within ``tol`` of the
-    best time ever observed (i.e. the host is not stealing our cycles)."""
-    best = min(_burn_once() for _ in range(3))
-    deadline = time.time() + max_wait_s
-    streak = 0
-    while time.time() < deadline:
-        t = _burn_once()
-        best = min(best, t)
-        streak = streak + 1 if t < best * tol else 0
-        if streak >= 3:
-            return
-        time.sleep(2.0)
-    print("WARN: no quiet window found; measuring anyway", flush=True)
+sys.path.insert(0, REPO)
+from bench import burn_once as _burn_once, wait_for_quiet  # noqa: E402,F401
 
 
 def run(cpus: int, n_docs: int) -> dict:

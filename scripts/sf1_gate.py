@@ -1,0 +1,122 @@
+"""sf1 correctness gate (VERDICT r2 item 7): build a 10x-sf0.1 dataset and
+run the shuffle-heavy driver queries against their DuckDB oracles at that
+scale, recording CORRECTNESS_sf1.json + timings.
+
+The sf1 tables are synthesized deterministically from sf0.1 by perturbed
+replication (NOT plain copies — texts gain a per-replica token and
+embeddings a per-replica component nudge, so near-dup buckets and LSH
+planes see genuinely new rows; doc ids shift by a large stride, which also
+relocates every derived lon/lat).  Both engines read the same parquet, so
+the oracle comparison stays exact.
+
+Usage: python scripts/sf1_gate.py [query ...]   (default: the shuffle-heavy
+set minhash embed_pairs auid_optimize knn_cells)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from check_entry import canonical_hash  # noqa: E402
+
+SF1_DIR = "/tmp/dggs_sf1"
+SRC_DIR = "/root/testdata/sf0.1"
+N_REPLICAS = 10
+ID_STRIDE = 10_000_000
+DEFAULT_QUERIES = ["minhash", "embed_pairs", "auid_optimize", "knn_cells"]
+SMALL_TABLES = ["region", "nation", "customer", "supplier", "part",
+                "orders", "lineitem", "events"]
+
+
+def build_sf1(spark) -> None:
+    from pyspark.sql import functions as F
+
+    marker = f"{SF1_DIR}/_built_{N_REPLICAS}"
+    if os.path.exists(marker):
+        return
+    os.makedirs(SF1_DIR, exist_ok=True)
+    rep = F.explode(F.sequence(F.lit(0), F.lit(N_REPLICAS - 1))).alias("_r")
+
+    docs = spark.read.parquet(f"{SRC_DIR}/documents.parquet").select("*", rep)
+    docs.select(
+        (F.col("doc_id") + F.col("_r") * ID_STRIDE).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" rep"),
+                 F.col("_r").cast("string")).alias("text"),
+        "lang", "source", "n_chars",
+    ).repartition(32).write.mode("overwrite").parquet(f"{SF1_DIR}/documents.parquet")
+
+    emb = spark.read.parquet(f"{SRC_DIR}/embeddings.parquet").select("*", rep)
+    emb.select(
+        (F.col("vec_id") + F.col("_r") * ID_STRIDE).alias("vec_id"),
+        F.expr("transform(embedding, (x, i) -> CAST(CASE WHEN i = 0"
+               " THEN x + _r * CAST(0.001 AS FLOAT) ELSE x END AS FLOAT))")
+        .alias("embedding"),
+        "label",
+    ).repartition(32).write.mode("overwrite").parquet(f"{SF1_DIR}/embeddings.parquet")
+
+    # dimension tables pass through unchanged (query fixtures key off them)
+    for t in SMALL_TABLES:
+        spark.read.parquet(f"{SRC_DIR}/{t}.parquet") \
+            .write.mode("overwrite").parquet(f"{SF1_DIR}/{t}.parquet")
+    open(marker, "w").write("ok")
+
+
+def main() -> int:
+    import duckdb
+
+    from dggstools_spark.session import get_spark
+    from dggstools_spark.queries import QUERIES, ORACLES, TABLES
+    from dggstools_spark.operators import spatial_join
+
+    names = sys.argv[1:] or DEFAULT_QUERIES
+    spark = get_spark("sf1-gate")
+    t0 = time.time()
+    build_sf1(spark)
+    print(f"sf1 tables ready in {time.time() - t0:.1f}s", flush=True)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        # Spark writes parquet "files" as directories: glob the parts
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF1_DIR}/{t}.parquet/*.parquet')")
+
+    results: dict[str, dict] = {}
+    failures = []
+    for name in names:
+        t0 = time.time()
+        sdf = QUERIES[name](spark, SF1_DIR).toPandas()
+        t_spark = time.time() - t0
+        rec: dict = {"spark_rows": len(sdf), "spark_sec": round(t_spark, 2)}
+        if name == "knn_cells":
+            rec["knn_stats"] = spatial_join.last_knn_stats
+        if name in ORACLES:
+            t0 = time.time()
+            odf = con.execute(ORACLES[name]).fetchdf()
+            rec.update(
+                oracle_rows=len(odf), duckdb_sec=round(time.time() - t0, 2),
+                rows_match=len(sdf) == len(odf),
+                schema_match=sorted(sdf.columns) == sorted(odf.columns),
+                hash_match=canonical_hash(sdf) == canonical_hash(odf))
+            ok = rec["rows_match"] and rec["schema_match"] and rec["hash_match"]
+        else:
+            rec["err"] = "no_oracle"
+            ok = len(sdf) > 0
+        if not ok:
+            failures.append(name)
+        results[name] = rec
+        print(f"{name}: {'OK' if ok else 'MISMATCH'} {rec}", flush=True)
+
+    with open("/root/repo/CORRECTNESS_sf1.json", "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"FAILURES: {failures or 'none'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -513,3 +513,22 @@ def test_area_error_cross_class_overlap_burns_last(spark):
     assert abs(both.total_cells_area - 2 * last.total_cells_area) < 1e-6
     # burn-last: class 0 gets zero raster area -> bias is asymmetric
     assert last.total_cells_area > 0
+
+
+def test_pip_narrow_shuffle_matches_default(spark):
+    """narrow_shuffle=True returns the same containment pairs as the
+    single-pass aggregate, including duplicate point rows."""
+    from dggstools_spark.operators.spatial_join import points_in_polygons
+
+    ring = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]
+    polys = spark.createDataFrame(
+        [(1, ring)], "poly_id int, ring array<struct<x double, y double>>")
+    pts = spark.createDataFrame(
+        [(1, 5.0, 5.0, "wide1"), (2, 15.0, 5.0, "wide2"),
+         (3, 5.0, 5.0, "wide3"), (3, 5.0, 5.0, "wide3")],  # dup row
+        "pid int, px double, py double, payload string")
+    a = sorted(tuple(r) for r in points_in_polygons(pts, polys).collect())
+    b = sorted(tuple(r) for r in
+               points_in_polygons(pts, polys, narrow_shuffle=True).collect())
+    assert a == b
+    assert len(a) == 3  # both copies of the dup row report
