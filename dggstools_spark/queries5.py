@@ -281,3 +281,42 @@ def _oracle_resample_area() -> str:
 
 QUERIES5["resample_area"] = q_resample_area
 ORACLES5["resample_area"] = _oracle_resample_area()
+
+
+# --------------------------------------------------------------------------
+# q_cells_json — the reference's values_in_json + add_uid cell-table shape
+# (rhpx_gdf_helper.py:100-113): band columns packed into one JSON string,
+# plus a deterministic content-derived uuid (the reference's uuid4 variant
+# is nondeterministic by design; the oracle checks the deterministic twin)
+# --------------------------------------------------------------------------
+
+def q_cells_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.cells_io import with_json_bands, with_uuid
+
+    cells = _docs_cells(spark, sf_dir, 3, keep=["source"]).groupBy("cellid").agg(
+        F.count("*").cast("bigint").alias("band1"),
+        F.countDistinct("source").cast("bigint").alias("band2"))
+    out = with_uuid(with_json_bands(cells), deterministic_from=["cellid"])
+    return out.select("cellid", "all_bands", "uuid")
+
+
+def _oracle_cells_json() -> str:
+    enc = _oracle_docs_cells(3, ["source"])
+    return """
+    WITH cells AS (
+        SELECT cellid, CAST(count(*) AS BIGINT) AS band1,
+               CAST(count(DISTINCT source) AS BIGINT) AS band2
+        FROM ({enc}) GROUP BY cellid),
+    h AS (SELECT cellid, band1, band2, md5(cellid) AS m FROM cells)
+    SELECT cellid,
+           '{{"band1":' || CAST(band1 AS VARCHAR) ||
+           ',"band2":' || CAST(band2 AS VARCHAR) || '}}' AS all_bands,
+           substring(m, 1, 8) || '-' || substring(m, 9, 4) || '-' ||
+           substring(m, 13, 4) || '-' || substring(m, 17, 4) || '-' ||
+           substring(m, 21, 12) AS uuid
+    FROM h
+    """.format(enc=enc)
+
+
+QUERIES5["cells_json"] = q_cells_json
+ORACLES5["cells_json"] = _oracle_cells_json()

@@ -73,3 +73,29 @@ def read_attrs(path: str) -> dict:
     """S10 metadata reader (print-*-metadata CLI analogue)."""
     with open(f"{path}/_meta.json") as f:
         return json.load(f)["attrs"]
+
+
+def with_json_bands(df: DataFrame, value_cols: list[str] | None = None,
+                    out: str = "all_bands", keep_bands: bool = False) -> DataFrame:
+    """The reference's ``values_in_json`` cell-table shape: all band columns
+    packed into ONE JSON string column {"band1": v, ...} (reference
+    rhpx_gdf_helper.py:100-106).  Key order = column order, matching the
+    reference's band-ordered dict."""
+    if value_cols is None:
+        value_cols = [c for c in df.columns if c.startswith("band")]
+    df = df.withColumn(out, F.to_json(F.struct(*value_cols)))
+    return df if keep_bands else df.drop(*value_cols)
+
+
+def with_uuid(df: DataFrame, out: str = "uuid",
+              deterministic_from: list[str] | None = None) -> DataFrame:
+    """The reference's optional per-cell ``uuid`` column (rhpx_gdf_helper
+    .py:112-113, uuid4 — nondeterministic there too).  Pass
+    ``deterministic_from=[cols]`` for a content-derived RFC-4122-shaped id
+    instead (reproducible pipelines, oracle-checkable)."""
+    if deterministic_from is None:
+        return df.withColumn(out, F.expr("uuid()"))
+    h = F.md5(F.concat_ws("\x1f", *deterministic_from))
+    return df.withColumn(out, F.concat_ws(
+        "-", F.substring(h, 1, 8), F.substring(h, 9, 4), F.substring(h, 13, 4),
+        F.substring(h, 17, 4), F.substring(h, 21, 12)))

@@ -348,3 +348,25 @@ def test_jdbc_cells_roundtrip_and_gating(spark):
         external.require_jdbc_driver(spark, "org.postgresql.Driver")
     with pytest.raises(RuntimeError, match="s3a connector"):
         external.read_parquet_uri(spark, "s3a://bucket/key.parquet")
+
+
+def test_json_bands_and_uuid(spark):
+    """values_in_json + add_uid cell shapes (reference rhpx_gdf_helper
+    :100-113): JSON key order = band order; uuid4 variant is RFC-4122 v4,
+    deterministic variant is stable across calls."""
+    import re
+
+    from dggstools_spark.sources.cells_io import with_json_bands, with_uuid
+
+    df = spark.createDataFrame([("N1", 3.0, 7.0)],
+                               "cellid string, band1 double, band2 double")
+    j = with_json_bands(df).first()
+    assert j.all_bands == '{"band1":3.0,"band2":7.0}'
+    assert "band1" not in with_json_bands(df).columns
+    assert "band1" in with_json_bands(df, keep_bands=True).columns
+
+    u4 = with_uuid(df).first().uuid
+    assert re.fullmatch(r"[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}", u4)
+    d1 = with_uuid(df, deterministic_from=["cellid"]).first().uuid
+    d2 = with_uuid(df, deterministic_from=["cellid"]).first().uuid
+    assert d1 == d2 and re.fullmatch(r"[0-9a-f-]{36}", d1)
