@@ -41,26 +41,57 @@ def burn_once() -> float:
     return time.time() - t0
 
 
+def _burn_child(_):
+    return burn_once()
+
+
+def parallel_burn(n_workers: int = 8) -> float:
+    """Wall time of ``n_workers`` concurrent burns.  A single-thread burn
+    misses MULTI-core steal (measured: flagship runs swung 1.8-14.3 s while
+    1-thread burns stayed flat at ~0.09 s); when the host under-delivers
+    cores, the parallel wall time inflates even though each thread alone
+    looks quiet."""
+    import multiprocessing as mp
+
+    t0 = time.time()
+    with mp.get_context("fork").Pool(n_workers) as pool:
+        pool.map(_burn_child, range(n_workers))
+    return time.time() - t0
+
+
+def read_steal_jiffies() -> int:
+    """Cumulative CPU-steal jiffies from /proc/stat (column 8) — this VM's
+    host steals in minutes-long episodes (cumulative steal observed in the
+    tens of thousands of seconds), and episodes can BEGIN mid-run where no
+    pre-run gate can catch them.  Sampling before/after each timed run makes
+    stolen runs self-identifying in the JSON."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8])
+    except Exception:
+        return 0
+
+
 _BURN_BEST: list[float] = []
 
 
 def wait_for_quiet(max_wait_s: int = 120, tol: float = 1.3) -> float:
-    """Block until 2 consecutive calibration burns run within ``tol`` of the
-    best burn ever observed this process; returns the last burn time (so
-    callers can record residual contention).  Falls through after
+    """Block until a PARALLEL calibration burn runs within ``tol`` of the
+    best parallel burn observed this process; returns the last burn wall
+    time (so callers can record residual contention).  Falls through after
     ``max_wait_s`` — a measurement under contention is still recorded, just
     flagged by its burn time."""
     if not _BURN_BEST:
-        _BURN_BEST.append(min(burn_once() for _ in range(3)))
+        _BURN_BEST.append(min(parallel_burn() for _ in range(2)))
     deadline = time.time() + max_wait_s
-    streak, t = 0, burn_once()
+    t = parallel_burn()
     while True:
         _BURN_BEST[0] = min(_BURN_BEST[0], t)
-        streak = streak + 1 if t < _BURN_BEST[0] * tol else 0
-        if streak >= 2 or time.time() > deadline:
+        if t < _BURN_BEST[0] * tol or time.time() > deadline:
             return t
-        time.sleep(1.0)
-        t = burn_once()
+        time.sleep(2.0)
+        t = parallel_burn()
 
 
 def materialize_docs(spark, n_docs: int) -> str:
@@ -167,15 +198,21 @@ def main() -> None:
     # sandbox has noisy neighbors — the best run approximates uncontended
     # steady state (what projects to a long-running cluster job)
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
-    runs, burns = [], []
+    runs, burns, steals = [], [], []
     for _ in range(n_runs):
-        burns.append(round(wait_for_quiet(), 3))  # steal-filter each run
+        burns.append(round(wait_for_quiet(), 3))  # steal-filter the start
+        s0, t0 = read_steal_jiffies(), time.time()
         runs.append(flagship(spark, n_docs))
+        dt = time.time() - t0
+        # % of this run's wall-clock CPU budget stolen by the host
+        # (jiffies at 100 Hz across all 32 vCPUs)
+        steals.append(round((read_steal_jiffies() - s0) / (dt * 32 * 100) * 100, 1))
     t_flag = min(runs)
     queries["flagship_tile_assignment"] = round(t_flag, 3)
     result["flagship_cold_sec"] = round(runs[0], 3)
     result["flagship_runs"] = [round(t, 3) for t in runs]
     result["burn_sec"] = burns  # ~best burn on every run = quiet window held
+    result["steal_pct"] = steals  # >0 marks runs hit by a mid-run episode
 
     result.update(
         {
