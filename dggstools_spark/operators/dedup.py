@@ -265,3 +265,51 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
         .filter(F.col("cos_ppm") >= int(threshold * 1e6))
         .select("a_id", "b_id", "cos_ppm")
     )
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str = "doc_id",
+                        out: str = "fp") -> DataFrame:
+    """(id, fp) rows: DISTINCT winnowing fingerprints per doc (MOSS scheme:
+    rolling k-gram hash, min per sliding window of w hashes —
+    functions/text.py holds the shared Horner snippet and the DuckDB list
+    twin).  Relational shape: explode k-gram positions, hash each with a
+    FLAT expression, window-min per doc — no UDF, no nested higher-order
+    functions (a nested-array form measured >180 s on 500 short rows)."""
+    from pyspark.sql.window import Window
+
+    from ..functions.text import WINNOW_K, WINNOW_W, _horner
+
+    k, w = WINNOW_K, WINNOW_W
+    pos = (df.select(id_col, text_col)
+           .filter(F.length(text_col) >= k)
+           .select(id_col, F.col(text_col),
+                   (F.length(text_col) - k + 1).alias("_nh"))
+           .select(id_col, text_col, "_nh",
+                   F.explode(F.expr(
+                       f"sequence(1, length({text_col}) - {k} + 1)")).alias("_i")))
+    hashed = pos.select(id_col, "_nh", "_i",
+                        F.expr(_horner(f"lower({text_col})", "_i", k)).alias("_h"))
+    wdw = Window.partitionBy(id_col).orderBy("_i").rowsBetween(0, w - 1)
+    # window minima; tail positions whose window would run past the end are
+    # dropped (i <= nh - w + 1), except a single window survives for docs
+    # shorter than one window (global min) — matching the DuckDB twin
+    mins = (hashed.withColumn("_m", F.min("_h").over(wdw))
+            .filter(F.col("_i") <= F.greatest(F.col("_nh") - (w - 1), F.lit(1))))
+    return mins.select(id_col, F.col("_m").alias(out)).distinct()
+
+
+def winnow_pairs(df: DataFrame, text_col: str, id_col: str = "doc_id",
+                 max_doc_freq: int | None = 500) -> DataFrame:
+    """Copied-passage candidate pairs: docs sharing at least one winnowing
+    fingerprint, with the shared-fingerprint count.  Same bounded-self-join
+    shape as ngram_jaccard_pairs: fingerprints hitting more than
+    ``max_doc_freq`` docs are boilerplate and are dropped (observable via
+    guard_metrics) before the join, so no fingerprint fans out
+    quadratically."""
+    fps = winnow_fingerprints(df, text_col, id_col)
+    capped = _cap_hot_keys(fps, "fp", max_doc_freq, min_bucket=2)
+    a = capped.select(F.col(id_col).alias("doc_a"), "fp")
+    b = capped.select(F.col(id_col).alias("doc_b"), "fp")
+    return (a.join(b, "fp").filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_shared")))

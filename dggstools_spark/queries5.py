@@ -320,3 +320,51 @@ def _oracle_cells_json() -> str:
 
 QUERIES5["cells_json"] = q_cells_json
 ORACLES5["cells_json"] = _oracle_cells_json()
+
+
+# --------------------------------------------------------------------------
+# q_winnow_pairs — rolling-hash (winnowing) fingerprint dedup: docs sharing
+# a copied passage meet on an equi-join key; the oracle replicates the
+# whole construction (k-gram Horner hash, window minima, doc-frequency cap)
+# --------------------------------------------------------------------------
+
+WN_MAX_DF = 20
+
+
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import winnow_pairs
+    from .queries3 import load
+
+    # 1-in-5 doc sample: the full table's shared-phrase clusters produce
+    # ~110k pairs and a 3-minute single-node oracle — the sample keeps the
+    # driver gate fast while exercising the identical construction
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return winnow_pairs(docs, "text", max_doc_freq=WN_MAX_DF)
+
+
+def _oracle_winnow_pairs() -> str:
+    from .functions.text import (winnow_from_hashes_duckdb,
+                                 winnow_hashes_duckdb)
+
+    return f"""
+    WITH hs AS MATERIALIZED (
+        SELECT doc_id, {winnow_hashes_duckdb('text')} AS h
+        FROM documents WHERE doc_id % 5 = 0),
+    fps AS MATERIALIZED (
+        SELECT doc_id, unnest({winnow_from_hashes_duckdb('h')}) AS fp
+        FROM hs),
+    capped AS (
+        SELECT doc_id, fp FROM fps
+        WHERE fp IN (SELECT fp FROM fps GROUP BY fp
+                     HAVING count(*) BETWEEN 2 AND {WN_MAX_DF})),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM capped a JOIN capped b USING (fp)
+        WHERE a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, count(*) AS n_shared
+    FROM pairs GROUP BY doc_a, doc_b
+    """
+
+
+QUERIES5["winnow_pairs"] = q_winnow_pairs
+ORACLES5["winnow_pairs"] = _oracle_winnow_pairs()

@@ -532,3 +532,41 @@ def test_pip_narrow_shuffle_matches_default(spark):
                points_in_polygons(pts, polys, narrow_shuffle=True).collect())
     assert a == b
     assert len(a) == 3  # both copies of the dup row report
+
+
+def test_winnow_fingerprints_match_reference(spark):
+    """Spark relational winnowing == DuckDB list twin == a direct Python
+    implementation of the MOSS scheme, including short-doc edge cases."""
+    import duckdb
+
+    from dggstools_spark.functions.text import (WINNOW_B, WINNOW_K, WINNOW_P,
+                                                WINNOW_W, winnow_fps_duckdb)
+    from dggstools_spark.operators.dedup import winnow_fingerprints
+
+    def py_winnow(t, k=WINNOW_K, w=WINNOW_W):
+        t = t.lower()
+        if len(t) < k:
+            return set()
+        hs = []
+        for i in range(len(t) - k + 1):
+            acc = ord(t[i])
+            for j in range(1, k):
+                acc = (acc * WINNOW_B + ord(t[i + j])) % WINNOW_P
+            hs.append(acc)
+        if len(hs) < w:
+            return {min(hs)}
+        return {min(hs[s:s + w]) for s in range(len(hs) - w + 1)}
+
+    texts = ["Hello World, hello world!", "abc", "", "aaaaaaaaaa",
+             "The quick brown fox jumps over the lazy dog", "abcde"]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id int, text string")
+    got = {}
+    for r in winnow_fingerprints(df, "text").collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        exp = py_winnow(t)
+        assert got.get(i, set()) == exp, f"spark mismatch on {t!r}"
+        duck = con.execute(f"SELECT {winnow_fps_duckdb('t')} FROM (SELECT ? AS t)",
+                           [t]).fetchone()[0]
+        assert set(duck) == exp, f"duckdb mismatch on {t!r}"
