@@ -168,3 +168,101 @@ def ann_topk(cands: DataFrame, queries: DataFrame, k: int,
     return (pairs.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(qid_col, id_col, "sim", "rank"))
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the clustering-based scale path next to the
+# hyperplane-LSH one.  Candidates are assigned ONCE to their nearest
+# centroid (the partitioned layout you'd persist at 100 TB); a query scans
+# only its ``nprobe`` nearest centroid lists, then exact-reranks.
+# Centroids are a deterministic residue sample of the candidates (so the
+# whole operator is oracle-expressible); ivf_refine adds optional Lloyd
+# iterations for better list balance (deterministic too, pytest-pinned).
+# --------------------------------------------------------------------------
+
+def _sim_expr(a: str, b: str) -> str:
+    dot = DOT_SPARK.format(a=a, b=b)
+    return f"round(({dot}) / ({NRM_SPARK.format(v=a)} * {NRM_SPARK.format(v=b)}), 9)"
+
+
+def ivf_centroids(cands: DataFrame, vec_col: str = "embedding",
+                  id_col: str = "vec_id", mod: int = 23,
+                  residue: int = 3) -> DataFrame:
+    """Deterministic training-free centroids: every candidate whose id has
+    the given residue (about |cands|/mod centroids, spread across the id
+    space).  A fixed sample is a legitimate IVF-flat seeding; refine with
+    ivf_refine when list balance matters."""
+    return cands.filter(F.pmod(F.col(id_col), F.lit(mod)) == residue) \
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+
+
+def ivf_assign(cands: DataFrame, cents: DataFrame, vec_col: str = "embedding",
+               id_col: str = "vec_id") -> DataFrame:
+    """Nearest-centroid assignment: broadcast the (small) centroid table,
+    one window top-1 per candidate (WindowGroupLimit keeps it map-side)."""
+    from pyspark.sql.window import Window
+
+    sim = F.expr(_sim_expr(vec_col, "cvec"))
+    w = Window.partitionBy(id_col).orderBy(F.col("_s").desc(), "cid")
+    return (cands.join(F.broadcast(cents))
+            .withColumn("_s", sim)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(id_col, vec_col, "cid"))
+
+
+def ivf_refine(cands: DataFrame, cents: DataFrame, iters: int = 2,
+               vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Optional Lloyd refinement: assign -> element-wise mean per cluster
+    (posexplode + two hash aggs), keeping the seed centroid for any cluster
+    that loses all members.  Deterministic; each iteration is one broadcast
+    join + two shuffles on (cid, pos)."""
+    for _ in range(iters):
+        assigned = ivf_assign(cands, cents, vec_col, id_col)
+        means = (assigned
+                 .select("cid", F.posexplode(vec_col).alias("_p", "_x"))
+                 .groupBy("cid", "_p").agg(F.avg("_x").alias("_m"))
+                 .groupBy("cid")
+                 .agg(F.array_sort(F.collect_list(F.struct("_p", "_m"))).alias("_pm"))
+                 .select("cid", F.expr(
+                     "transform(_pm, e -> CAST(e._m AS FLOAT))").alias("cvec")))
+        cents = cents.select("cid").join(means, "cid", "left") \
+            .join(cents.select("cid", F.col("cvec").alias("_seed")), "cid") \
+            .select("cid", F.coalesce("cvec", "_seed").alias("cvec")) \
+            .localCheckpoint(eager=True)  # cut the per-iteration lineage
+    return cents
+
+
+def ivf_topk(cands: DataFrame, queries: DataFrame, k: int,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             qid_col: str = "q_id", q_vec: str = "q_emb",
+             mod: int = 23, residue: int = 3, nprobe: int = 3,
+             refine_iters: int = 0) -> DataFrame:
+    """Approximate top-k cosine neighbors per query via inverted lists:
+    probe the ``nprobe`` centroids nearest to the query, exact-rerank only
+    their members.  Output (qid, id, sim, rank); self-pairs excluded.
+    With refine_iters=0 the whole construction is deterministic SQL and
+    oracle-checked end to end (q_ivf_topk)."""
+    from pyspark.sql.window import Window
+
+    cents = ivf_centroids(cands, vec_col, id_col, mod, residue)
+    if refine_iters:
+        cents = ivf_refine(cands, cents, refine_iters, vec_col, id_col)
+    assigned = ivf_assign(cands, cents, vec_col, id_col)
+
+    psim = F.expr(_sim_expr(q_vec, "cvec"))
+    pw = Window.partitionBy(qid_col).orderBy(F.col("_s").desc(), "cid")
+    probes = (queries.join(F.broadcast(cents))
+              .withColumn("_s", psim)
+              .withColumn("_rn", F.row_number().over(pw))
+              .filter(F.col("_rn") <= nprobe)
+              .select(qid_col, q_vec, "cid"))
+
+    pairs = assigned.join(F.broadcast(probes), "cid") \
+        .filter(F.col(id_col) != F.col(qid_col))
+    sim = F.expr(_sim_expr(q_vec, vec_col))
+    rw = Window.partitionBy(qid_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (pairs.withColumn("sim", sim)
+            .withColumn("rank", F.row_number().over(rw))
+            .filter(F.col("rank") <= k)
+            .select(qid_col, id_col, "sim", "rank"))

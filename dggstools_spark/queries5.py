@@ -368,3 +368,67 @@ def _oracle_winnow_pairs() -> str:
 
 QUERIES5["winnow_pairs"] = q_winnow_pairs
 ORACLES5["winnow_pairs"] = _oracle_winnow_pairs()
+
+
+# --------------------------------------------------------------------------
+# q_ivf_topk — inverted-file ANN (clustering path) next to the LSH path
+# (q_ann_topk): deterministic residue centroids make the whole construction
+# (assignment, probes, rerank) SQL-expressible, so the approximate
+# semantics are oracle-checked end to end, like ann_topk.
+# --------------------------------------------------------------------------
+
+IVF_K = 3
+IVF_MOD = 23
+IVF_RES = 3
+IVF_NPROBE = 3
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_topk
+    from .queries3 import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    return ivf_topk(emb, qs, IVF_K, mod=IVF_MOD, residue=IVF_RES,
+                    nprobe=IVF_NPROBE)
+
+
+def _oracle_ivf_topk() -> str:
+    from .operators.similarity import DOT_DUCK, NRM_DUCK
+
+    def sim(a, b):
+        return (f"round(({DOT_DUCK.format(a=a, b=b)})"
+                f" / ({NRM_DUCK.format(v=a)} * {NRM_DUCK.format(v=b)}), 9)")
+
+    return f"""
+    WITH cents AS MATERIALIZED (
+        SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        WHERE vec_id % {IVF_MOD} = {IVF_RES}),
+    qs AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+           WHERE vec_id % 50 = 0),
+    asim AS (SELECT e.vec_id, e.embedding, c.cid,
+                    {sim('e.embedding', 'c.cvec')} AS s
+             FROM embeddings e, cents c),
+    assign AS MATERIALIZED (
+        SELECT vec_id, embedding, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY s DESC, cid) AS rn FROM asim) WHERE rn = 1),
+    psim AS (SELECT q.q_id, q.q_emb, c.cid, {sim('q.q_emb', 'c.cvec')} AS s
+             FROM qs q, cents c),
+    probes AS (SELECT q_id, q_emb, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY s DESC, cid) AS rn FROM psim) WHERE rn <= {IVF_NPROBE}),
+    sims AS (SELECT p.q_id, a.vec_id,
+                    {sim('p.q_emb', 'a.embedding')} AS sim
+             FROM probes p JOIN assign a USING (cid)
+             WHERE a.vec_id <> p.q_id)
+    SELECT q_id, vec_id, sim, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY sim DESC, vec_id) AS rank FROM sims)
+    WHERE rank <= {IVF_K}
+    """
+
+
+QUERIES5["ivf_topk"] = q_ivf_topk
+ORACLES5["ivf_topk"] = _oracle_ivf_topk()

@@ -570,3 +570,33 @@ def test_winnow_fingerprints_match_reference(spark):
         duck = con.execute(f"SELECT {winnow_fps_duckdb('t')} FROM (SELECT ? AS t)",
                            [t]).fetchone()[0]
         assert set(duck) == exp, f"duckdb mismatch on {t!r}"
+
+
+def test_ivf_topk_recall_and_refine(spark):
+    """IVF probes recover a reasonable share of the exact top-k, refine
+    keeps centroids deterministic, and nprobe=all centroids ==> exact."""
+    import math
+    import random
+
+    from dggstools_spark.operators.similarity import (ivf_centroids,
+                                                      ivf_refine, ivf_topk)
+
+    random.seed(11)
+    dim = 8
+    rows = [(i, [random.gauss(0, 1) for _ in range(dim)]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    qs = emb.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+
+    # exact reference via the brute-force path: nprobe >= n_centroids
+    n_cents = ivf_centroids(emb).count()
+    exact = {(r.q_id, r.vec_id) for r in
+             ivf_topk(emb, qs, 3, nprobe=n_cents).collect()}
+    approx = {(r.q_id, r.vec_id) for r in ivf_topk(emb, qs, 3, nprobe=4).collect()}
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.4  # random gaussians = adversarial case, like ann_topk
+
+    cents = ivf_centroids(emb)
+    r1 = {(r.cid, tuple(r.cvec)) for r in ivf_refine(emb, cents, 2).collect()}
+    r2 = {(r.cid, tuple(r.cvec)) for r in ivf_refine(emb, cents, 2).collect()}
+    assert r1 == r2 and len(r1) == n_cents  # deterministic, no lost clusters
