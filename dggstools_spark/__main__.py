@@ -16,6 +16,8 @@ prefix-partitioned parquet + _meta.json sidecar layout of sources/cells_io.
 | vec-ras-area-error        | per-class area rmse/bias/totals               |
 | print-vec-rhpx-metadata   | sidecar attrs as JSON                         |
 | print-ras-rhpx-metadata   | sidecar attrs as JSON                         |
+| rhealpix-to-geopackage    | cell table -> GeoPackage (gpkg_metadata attrs) |
+| geopackage-to-rhealpix    | GeoPackage -> cell table (+_meta sidecar)     |
 
 The rdggs spec string "n_side/north_square/south_square" (default "3/1/0")
 matches the reference's serialization (__main__.py:21-32).
@@ -175,6 +177,32 @@ def cmd_print_metadata(a) -> None:
     print(json.dumps(cells_io.read_attrs(a.input), indent=2))
 
 
+def cmd_rhpx_to_geopackage(a) -> None:
+    """reference CLI rhealpix-to-geopackage (utils/storage.py:71-83)."""
+    from .sources import cells_io, geopackage
+
+    spark = _spark("rhpx-to-gpkg")
+    cells, attrs = cells_io.read_cells(spark, a.input)
+    if a.values_in_json:
+        cells = cells_io.with_json_bands(cells)
+    if a.add_uid:
+        cells = cells_io.with_uuid(cells)
+    n = geopackage.write_cells_geopackage(cells, a.output, attrs,
+                                          layer=a.layer)
+    print(json.dumps({"features": n, "output": a.output}))
+
+
+def cmd_geopackage_to_rhpx(a) -> None:
+    """reference CLI geopackage-to-rhealpix (utils/storage.py:86-99)."""
+    from .sources import cells_io, geopackage
+
+    spark = _spark("gpkg-to-rhpx")
+    cells, attrs = geopackage.read_cells_geopackage(spark, a.input,
+                                                    layer=a.layer)
+    cells_io.write_cells(cells, a.output, attrs)
+    print(json.dumps({"cells": cells.count(), "output": a.output}))
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="dggstools_spark",
                                  description=__doc__.split("\n")[0])
@@ -227,6 +255,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fixed-value", type=float, default=1.0)
     common(p)
     p.set_defaults(fn=cmd_vec_ras_area_error)
+
+    p = sub.add_parser("rhealpix-to-geopackage",
+                       help="cell table -> GeoPackage (attrs in gpkg_metadata)")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--layer", default="data")
+    p.add_argument("--add-uid", action="store_true")
+    p.add_argument("--values-in-json", action="store_true")
+    p.set_defaults(fn=cmd_rhpx_to_geopackage)
+
+    p = sub.add_parser("geopackage-to-rhealpix",
+                       help="GeoPackage -> cell table (+_meta sidecar)")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--layer", default="data")
+    p.set_defaults(fn=cmd_geopackage_to_rhpx)
 
     for name in ("print-vec-rhpx-metadata", "print-ras-rhpx-metadata"):
         p = sub.add_parser(name, help="print the _meta.json attrs")

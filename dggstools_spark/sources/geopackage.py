@@ -1,0 +1,150 @@
+"""GeoPackage sink/source for cell tables — stdlib only (sqlite3 + struct).
+
+Spark-native twin of the reference's GeoPackage path
+(utils/storage.py:32-68 ``geodataframe_to_geopackage`` writes the
+GeoDataFrame via GDAL and hand-inserts the attrs JSON into
+``gpkg_metadata``; :86-125 reads it back).  Here the cell table itself is
+written: one feature row per cell with a GPKG-binary POINT geometry at the
+cell's planar centroid (the reference's geometry choice,
+rhpx_gdf_helper.py:111), the cellid, and the band columns; gdf.attrs ride
+in ``gpkg_metadata`` exactly like the reference (same extension rows, same
+``md_standard_uri``), so its ``get_gpkg_rhpx_metadata`` would read ours.
+
+GeoPackage is a SINGLE-FILE SQLite exchange format, not a big-data sink —
+the write collects to the driver (the reference materializes a full
+GeoDataFrame too).  ``max_rows`` guards against accidentally exporting a
+web-scale table; the scale path remains the partitioned parquet/Iceberg
+layout of cells_io.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sqlite3
+import struct
+
+from pyspark.sql import DataFrame, SparkSession
+
+GPKG_APPLICATION_ID = 0x47504B47  # "GPKG"
+SRS_ID = 0  # undefined cartesian; the real CRS rides in the attrs JSON
+MD_STANDARD_URI = "http://www.iaaa.es/geo2dggs/spec/1"
+
+
+def _gpkg_point_blob(x: float, y: float) -> bytes:
+    """GeoPackageBinary header (magic GP, version 0, flags: LE, no
+    envelope) + WKB POINT."""
+    header = b"GP" + bytes([0, 0x01]) + struct.pack("<i", SRS_ID)
+    wkb = struct.pack("<BIdd", 1, 1, x, y)
+    return header + wkb
+
+
+def write_cells_geopackage(cells: DataFrame, path: str, attrs: dict,
+                           layer: str = "data", cellid_col: str = "cellid",
+                           max_rows: int = 5_000_000) -> int:
+    """Cell table -> GeoPackage file; returns the feature count.  Band
+    columns are taken as every non-cellid column (REAL affinity)."""
+    from ..dggs import cells as cells_kernel
+
+    rows = cells.collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"{len(rows)} cells exceed max_rows={max_rows}; GeoPackage is a "
+            f"single-file exchange format — use cells_io.write_cells for "
+            f"web-scale tables")
+    band_cols = [c for c in cells.columns if c != cellid_col]
+    cellids = [r[cellid_col] for r in rows]
+    cx, cy = cells_kernel.cellid_to_planar_centroid(cellids) if cellids else ([], [])
+
+    try:
+        os.remove(path)
+    except FileNotFoundError:
+        pass
+    con = sqlite3.connect(path)
+    with con:
+        con.execute(f"PRAGMA application_id = {GPKG_APPLICATION_ID}")
+        con.execute("PRAGMA user_version = 10200")  # GeoPackage 1.2
+        con.execute("""CREATE TABLE gpkg_spatial_ref_sys (
+            srs_name TEXT NOT NULL, srs_id INTEGER PRIMARY KEY,
+            organization TEXT NOT NULL, organization_coordsys_id INTEGER NOT NULL,
+            definition TEXT NOT NULL, description TEXT)""")
+        con.executemany(
+            "INSERT INTO gpkg_spatial_ref_sys VALUES (?, ?, ?, ?, ?, ?)",
+            [("Undefined cartesian SRS", -1, "NONE", -1, "undefined", None),
+             ("Undefined geographic SRS", 0, "NONE", 0, "undefined",
+              "rHEALPix planar CRS carried in gpkg_metadata attrs"),
+             ("WGS 84", 4326, "EPSG", 4326, "GEOGCS[\"WGS 84\"]", None)])
+        con.execute("""CREATE TABLE gpkg_contents (
+            table_name TEXT NOT NULL PRIMARY KEY, data_type TEXT NOT NULL,
+            identifier TEXT UNIQUE, description TEXT DEFAULT '',
+            last_change DATETIME NOT NULL DEFAULT (strftime('%Y-%m-%dT%H:%M:%fZ','now')),
+            min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE,
+            srs_id INTEGER)""")
+        con.execute("""CREATE TABLE gpkg_geometry_columns (
+            table_name TEXT NOT NULL, column_name TEXT NOT NULL,
+            geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL,
+            z TINYINT NOT NULL, m TINYINT NOT NULL,
+            CONSTRAINT pk_geom_cols PRIMARY KEY (table_name, column_name))""")
+        bands_ddl = "".join(f', "{c}" REAL' for c in band_cols)
+        con.execute(f"""CREATE TABLE "{layer}" (
+            fid INTEGER PRIMARY KEY AUTOINCREMENT,
+            geom BLOB, "{cellid_col}" TEXT{bands_ddl})""")
+        ext = [None, None, None, None]
+        if cellids:
+            ext = [min(cx), min(cy), max(cx), max(cy)]
+        con.execute(
+            "INSERT INTO gpkg_contents (table_name, data_type, identifier,"
+            " min_x, min_y, max_x, max_y, srs_id) VALUES (?, 'features', ?,"
+            " ?, ?, ?, ?, ?)", (layer, layer, *ext, SRS_ID))
+        con.execute("INSERT INTO gpkg_geometry_columns VALUES (?, 'geom',"
+                    " 'POINT', ?, 0, 0)", (layer, SRS_ID))
+        ph = ", ".join("?" * (2 + len(band_cols)))
+        con.executemany(
+            f'INSERT INTO "{layer}" (geom, "{cellid_col}"'
+            + "".join(f', "{c}"' for c in band_cols) + f") VALUES ({ph})",
+            [( _gpkg_point_blob(float(cx[i]), float(cy[i])), rows[i][cellid_col],
+               *[rows[i][c] for c in band_cols]) for i in range(len(rows))])
+        # attrs metadata — same extension + metadata rows as the reference
+        # (storage.py:51-66), so get_gpkg_rhpx_metadata reads ours verbatim
+        con.execute("""CREATE TABLE gpkg_extensions (
+            table_name TEXT, column_name TEXT, extension_name TEXT NOT NULL,
+            definition TEXT NOT NULL, scope TEXT NOT NULL)""")
+        for t in ("gpkg_metadata", "gpkg_metadata_reference"):
+            con.execute(
+                "INSERT INTO gpkg_extensions (table_name, extension_name,"
+                " definition, scope) VALUES (?, 'gpkg_metadata',"
+                " 'http://www.geopackage.org/spec120/#extension_metadata',"
+                " 'read-write')", (t,))
+        con.execute("""CREATE TABLE gpkg_metadata (
+            id INTEGER PRIMARY KEY AUTOINCREMENT,
+            md_scope TEXT NOT NULL DEFAULT 'dataset',
+            md_standard_uri TEXT NOT NULL,
+            mime_type TEXT NOT NULL DEFAULT 'text/xml',
+            metadata TEXT NOT NULL DEFAULT '')""")
+        con.execute(
+            "INSERT INTO gpkg_metadata (id, md_scope, md_standard_uri,"
+            " mime_type, metadata) VALUES (1, 'dataset', ?,"
+            " 'application/json', ?)", (MD_STANDARD_URI, json.dumps(attrs)))
+    con.close()
+    return len(rows)
+
+
+def read_cells_geopackage(spark: SparkSession, path: str,
+                          layer: str = "data",
+                          cellid_col: str = "cellid") -> tuple[DataFrame, dict]:
+    """GeoPackage -> (cells DataFrame, attrs dict) — the
+    ``geopackage_to_rhealpix`` direction (storage.py:86-99): cellids + band
+    values come from the feature table (geometry is derivable from the
+    cellid, so the blob is not parsed), attrs from gpkg_metadata."""
+    con = sqlite3.connect(path)
+    cur = con.cursor()
+    cols = [r[1] for r in cur.execute(f'PRAGMA table_info("{layer}")')]
+    band_cols = [c for c in cols if c not in ("fid", "geom", cellid_col)]
+    sel = ", ".join(f'"{c}"' for c in [cellid_col, *band_cols])
+    rows = cur.execute(f'SELECT {sel} FROM "{layer}"').fetchall()
+    attrs = json.loads(
+        cur.execute("SELECT metadata FROM gpkg_metadata WHERE id = 1")
+        .fetchone()[0])
+    con.close()
+    schema = f"{cellid_col} string" + "".join(f", {c} double" for c in band_cols)
+    return spark.createDataFrame(rows, schema), attrs

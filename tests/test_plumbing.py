@@ -370,3 +370,63 @@ def test_json_bands_and_uuid(spark):
     d1 = with_uuid(df, deterministic_from=["cellid"]).first().uuid
     d2 = with_uuid(df, deterministic_from=["cellid"]).first().uuid
     assert d1 == d2 and re.fullmatch(r"[0-9a-f-]{36}", d1)
+
+
+def test_geopackage_roundtrip(spark, tmp_path):
+    """Real GeoPackage sink/source (stdlib sqlite3): cells + bands + attrs
+    roundtrip; the file carries valid GPKG system tables, centroid POINT
+    blobs, and the reference-shaped gpkg_metadata attrs row."""
+    import json
+    import sqlite3
+    import struct
+
+    from dggstools_spark.dggs.cells import cellid_to_planar_centroid
+    from dggstools_spark.sources import cells_io
+    from dggstools_spark.sources.geopackage import (read_cells_geopackage,
+                                                    write_cells_geopackage)
+
+    cells = spark.createDataFrame(
+        [("N120", 1.5, 9.0), ("Q003", 3.5, -2.0)],
+        "cellid string, band1 double, band2 double")
+    attrs = cells_io.build_attrs(3, 2, None)
+    path = str(tmp_path / "cells.gpkg")
+    n = write_cells_geopackage(cells, path, attrs)
+    assert n == 2
+
+    back, attrs2 = read_cells_geopackage(spark, path)
+    assert {tuple(r) for r in back.collect()} == \
+        {("N120", 1.5, 9.0), ("Q003", 3.5, -2.0)}
+    assert attrs2["rhealpixdggs"]["n_side"] == 3 and attrs2["nbands"] == 2
+
+    con = sqlite3.connect(path)
+    app_id = con.execute("PRAGMA application_id").fetchone()[0]
+    assert app_id == 0x47504B47  # "GPKG"
+    assert con.execute("SELECT data_type FROM gpkg_contents").fetchone()[0] == "features"
+    blob, cid = con.execute('SELECT geom, cellid FROM "data" LIMIT 1').fetchone()
+    assert blob[:2] == b"GP"
+    x, y = struct.unpack("<dd", blob[13:29])
+    ex, ey = cellid_to_planar_centroid([cid])
+    assert abs(x - float(ex[0])) < 1e-6 and abs(y - float(ey[0])) < 1e-6
+    # reference get_gpkg_rhpx_metadata reads exactly this row
+    meta = json.loads(con.execute(
+        "SELECT metadata FROM gpkg_metadata WHERE id=1").fetchone()[0])
+    assert meta == attrs
+
+
+def test_cli_geopackage_roundtrip(spark, tmp_path):
+    """CLI: rhealpix-to-geopackage then geopackage-to-rhealpix reproduces
+    the cell table + attrs (the reference's two storage commands)."""
+    from dggstools_spark.__main__ import main as cli_main
+    from dggstools_spark.sources import cells_io
+
+    cells = spark.createDataFrame(
+        [("N120", 1.0), ("Q003", 2.0)], "cellid string, band1 double")
+    src = str(tmp_path / "cells")
+    gpkg = str(tmp_path / "out.gpkg")
+    dst = str(tmp_path / "cells2")
+    cells_io.write_cells(cells, src, cells_io.build_attrs(3, 1, None))
+    cli_main(["rhealpix-to-geopackage", "--input", src, "--output", gpkg])
+    cli_main(["geopackage-to-rhealpix", "--input", gpkg, "--output", dst])
+    back, attrs = cells_io.read_cells(spark, dst)
+    assert {(r.cellid, r.band1) for r in back.collect()} == {("N120", 1.0), ("Q003", 2.0)}
+    assert attrs["rhealpixdggs"]["n_side"] == 3
