@@ -209,3 +209,33 @@ def line_error_planar(assigned: DataFrame, cells: DataFrame, res: int,
     both = matched.select("err_m").unionByName(missed.select("err_m"))
     return both.agg(F.avg("err_m").alias("mean_node_error_m"),
                     F.count("*").alias("n_nodes"))
+
+
+# CRS axis descriptors accepted by bounds_to_left_top_right_bottom: the
+# common X/Y / lon-lat / Easting-Northing family (reference
+# utils/vectorutils.py:27-31 handles exactly this family and raises on
+# everything else — that explicit check is part of the contract)
+_EAST_NORTH = {("easting", "east", "northing", "north"),
+               ("longitude", "east", "latitude", "north")}
+
+
+def bounds_to_left_top_right_bottom(bounds, axis_info=None):
+    """F6: map (minx, miny, maxx, maxy) to (left, top, right, bottom)
+    honoring the CRS axis order (reference utils/vectorutils.py:12-39).
+
+    ``axis_info`` is a pair of (name, direction) tuples, e.g.
+    [("Longitude", "east"), ("Latitude", "north")] — the shape
+    pyproj.CRS(...).axis_info carries (pyproj is not a dependency here;
+    callers pass the two descriptors).  None defaults to lon/lat east/north.
+    Exotic axis combinations (Northing/Easting, Westing, ...) raise
+    NotImplementedError, like the reference."""
+    minx, miny, maxx, maxy = bounds
+    if axis_info is None:
+        axis_info = [("Longitude", "east"), ("Latitude", "north")]
+    key = (str(axis_info[0][0]).lower(), str(axis_info[0][1]).lower(),
+           str(axis_info[1][0]).lower(), str(axis_info[1][1]).lower())
+    if key in _EAST_NORTH:
+        return minx, maxy, maxx, miny
+    raise NotImplementedError(
+        f"This axis combination {axis_info} has not been implemented and"
+        f" tested yet")

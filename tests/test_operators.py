@@ -600,3 +600,18 @@ def test_ivf_topk_recall_and_refine(spark):
     r1 = {(r.cid, tuple(r.cvec)) for r in ivf_refine(emb, cents, 2).collect()}
     r2 = {(r.cid, tuple(r.cvec)) for r in ivf_refine(emb, cents, 2).collect()}
     assert r1 == r2 and len(r1) == n_cents  # deterministic, no lost clusters
+
+
+def test_bounds_axis_order_normalization():
+    """F6: east/north family maps (minx,miny,maxx,maxy)->(l,t,r,b); exotic
+    orders raise, like the reference."""
+    import pytest
+
+    from dggstools_spark.operators.metrics import \
+        bounds_to_left_top_right_bottom as b2ltrb
+
+    assert b2ltrb((1, 2, 3, 4)) == (1, 4, 3, 2)
+    assert b2ltrb((1, 2, 3, 4), [("Easting", "east"), ("Northing", "north")]) \
+        == (1, 4, 3, 2)
+    with pytest.raises(NotImplementedError):
+        b2ltrb((1, 2, 3, 4), [("Northing", "north"), ("Easting", "east")])
