@@ -190,3 +190,43 @@ def test_collapse_sql_and_bp_formula_match_kernel():
             f"{_bp_agg_sql('source', ml - 1)}").fetchone()
         assert row[2] == core.generate_bp_auid_from_cuids(expect), \
             f"bp mismatch (trial {trial})"
+
+
+def test_grouped_collapse_sql_matches_kernel():
+    """The keys=['source'] collapse chain (q_auid_groups oracle) matches
+    per-group kernel optimization — including groups where complete sibling
+    sets actually collapse and cascade (the driver fixture rarely collapses
+    at res 3, so this pins the grouped SQL path explicitly)."""
+    import random
+
+    import duckdb
+
+    from dggstools_spark.dggs import auids as core
+    from dggstools_spark.queries5 import _bp_agg_sql, _collapse_sql
+
+    random.seed(29)
+    groups = {}
+    for g in ("g1", "g2", "g3"):
+        cu = {random.choice("NOPQRS")
+              + "".join(random.choice("012345678") for _ in range(3))
+              for _ in range(random.randint(4, 40))}
+        for _ in range(random.randint(1, 3)):  # force cascades per group
+            p = random.choice(list(cu))[:3]
+            cu |= {p + d for d in "012345678"}
+        p2 = random.choice(list(cu))[:2]       # sometimes a full 81-cell block
+        if g == "g2":
+            cu |= {p2 + a + b for a in "012345678" for b in "012345678"}
+        groups[g] = sorted(cu)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE s_in(source VARCHAR, cellid VARCHAR)")
+    con.executemany("INSERT INTO s_in VALUES (?, ?)",
+                    [(g, c) for g, cs in groups.items() for c in cs])
+    sql = (f"WITH s4 AS MATERIALIZED (SELECT DISTINCT source, cellid FROM s_in),"
+           f"{_collapse_sql(['source'], 4, 9)},{_bp_agg_sql('source', 3)}")
+    got = {r[0]: (r[1], r[2]) for r in con.execute(sql).fetchall()}
+    for g, cu in groups.items():
+        opt = core.optimize_cuids(cu, 3)
+        assert got[g][0] == len(opt), f"count mismatch in {g}"
+        assert got[g][1] == core.generate_bp_auid_from_cuids(opt), \
+            f"bp mismatch in {g}"
