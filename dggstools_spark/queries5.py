@@ -432,3 +432,75 @@ def _oracle_ivf_topk() -> str:
 
 QUERIES5["ivf_topk"] = q_ivf_topk
 ORACLES5["ivf_topk"] = _oracle_ivf_topk()
+
+
+# --------------------------------------------------------------------------
+# q_res_policy — C6: the resolution policy (closest / closest-higher /
+# closest-lower, reference rhpxutils.py:198-216) value-checked: the Spark
+# side runs the ACTUAL kernel functions in a UDF, the oracle reconstructs
+# the policy relationally from the closed-form width table.
+# --------------------------------------------------------------------------
+
+_RP_BASE = "power(10, 0.5 + (CAST(({k} % 130) AS DOUBLE)) / 20.0)"
+
+
+def q_res_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.types import (IntegerType, LongType, StructField,
+                                   StructType)
+
+    from .queries3 import load
+
+    cfg = DEFAULT_CONFIG
+    bases = load(spark, sf_dir, "part").select(
+        F.expr(_RP_BASE.format(k="p_partkey")).alias("b")).distinct()
+
+    schema = StructType([
+        StructField("b_mm", LongType()),
+        StructField("hi_i", IntegerType()),
+        StructField("hi_w_mm", LongType()),
+        StructField("lo_i", IntegerType()),
+        StructField("lo_w_mm", LongType()),
+        StructField("closest_i", IntegerType()),
+    ])
+
+    def _policy(batches):
+        for pdf in batches:
+            out = {f.name: [] for f in schema.fields}
+            for b in pdf["b"]:
+                hi_i, hi_w = cfg.get_closest_higher_resolution(float(b))
+                lo_i, lo_w = cfg.get_closest_lower_resolution(float(b))
+                cl_i, _ = cfg.get_closest_resolution(float(b))
+                out["b_mm"].append(round(float(b) * 1000))
+                out["hi_i"].append(hi_i)
+                out["hi_w_mm"].append(round(hi_w * 1000))
+                out["lo_i"].append(lo_i)
+                out["lo_w_mm"].append(round(lo_w * 1000))
+                out["closest_i"].append(cl_i)
+            yield pd.DataFrame(out)
+
+    return bases.mapInPandas(_policy, schema)
+
+
+def _oracle_res_policy() -> str:
+    from .dggs.config import AUTHALIC_RADIUS, DEFAULT_CONFIG as cfg
+
+    w0 = f"((pi() / 2) * {AUTHALIC_RADIUS!r})"
+    return f"""
+    WITH widths AS (
+        SELECT CAST(i AS INT) AS i, {w0} / power({cfg.n_side}, CAST(i AS INT)) AS w
+        FROM range({cfg.max_resolution}) t(i)),
+    bases AS (SELECT DISTINCT {_RP_BASE.format(k='p_partkey')} AS b FROM part),
+    hi AS (SELECT b, min(i) AS hi_i FROM bases, widths WHERE w < b GROUP BY b)
+    SELECT CAST(round(b * 1000) AS BIGINT) AS b_mm,
+           hi_i, CAST(round(wh.w * 1000) AS BIGINT) AS hi_w_mm,
+           hi_i - 1 AS lo_i, CAST(round(wl.w * 1000) AS BIGINT) AS lo_w_mm,
+           CASE WHEN (wl.w - b) < (b - wh.w) THEN hi_i - 1 ELSE hi_i END
+               AS closest_i
+    FROM hi JOIN widths wh ON wh.i = hi_i
+            JOIN widths wl ON wl.i = hi_i - 1
+    """
+
+
+QUERIES5["res_policy"] = q_res_policy
+ORACLES5["res_policy"] = _oracle_res_policy()
