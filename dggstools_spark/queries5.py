@@ -1,5 +1,7 @@
-"""Driver-contract queries, batch 5: value-level AUID oracles (round-3
-VERDICT item 2) — retires the last ``no_oracle`` AUID rows.
+"""Driver-contract queries, batch 5 (round 3): value-level AUID oracles,
+anti-aliased area resampling, JSON/uuid cell shapes, winnowing-fingerprint
+dedup, IVF ANN, and the resolution policy — with these, every query in the
+driver contract is value-checked (zero rows-only rows remain).
 
 Two SQL constructions make the AUID pipeline value-checkable in DuckDB:
 

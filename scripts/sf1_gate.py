@@ -29,7 +29,8 @@ SF1_DIR = "/tmp/dggs_sf1"
 SRC_DIR = "/root/testdata/sf0.1"
 N_REPLICAS = 10
 ID_STRIDE = 10_000_000
-DEFAULT_QUERIES = ["minhash", "embed_pairs", "auid_optimize", "knn_cells"]
+DEFAULT_QUERIES = ["minhash", "embed_pairs", "auid_optimize", "knn_cells",
+                   "winnow_pairs"]
 SMALL_TABLES = ["region", "nation", "customer", "supplier", "part",
                 "orders", "lineitem", "events"]
 
