@@ -212,23 +212,46 @@ def ivf_assign(cands: DataFrame, cents: DataFrame, vec_col: str = "embedding",
 
 
 def ivf_refine(cands: DataFrame, cents: DataFrame, iters: int = 2,
-               vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               deterministic_fold: bool = False) -> DataFrame:
     """Optional Lloyd refinement: assign -> element-wise mean per cluster
     (posexplode + two hash aggs), keeping the seed centroid for any cluster
-    that loses all members.  Deterministic; each iteration is one broadcast
-    join + two shuffles on (cid, pos)."""
+    that loses all members.  Each iteration is one broadcast join + two
+    shuffles on (cid, pos).
+
+    ``deterministic_fold`` computes each mean as a LEFT FOLD over members
+    in id order (sort_array(collect_list) + aggregate) instead of the
+    native partial-agg avg: float addition is non-associative, so the
+    native avg's last ulp depends on partition scheduling — fine in
+    production, but the oracle-checked query needs run-stable bits (DuckDB
+    mirrors the same ordered fold via list_reduce, verified a strict left
+    fold on parquet-backed data)."""
     for _ in range(iters):
         assigned = ivf_assign(cands, cents, vec_col, id_col)
-        means = (assigned
-                 .select("cid", F.posexplode(vec_col).alias("_p", "_x"))
-                 .groupBy("cid", "_p").agg(F.avg("_x").alias("_m"))
-                 .groupBy("cid")
+        per_pos = assigned.select(
+            "cid", F.col(id_col),
+            F.posexplode(F.expr(
+                f"transform({vec_col}, x -> CAST(x AS DOUBLE))")).alias("_p", "_x"))
+        if deterministic_fold:
+            grouped = per_pos.groupBy("cid", "_p").agg(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col(id_col).alias("k"), F.col("_x").alias("x")))).alias("_lst"))
+            means_pp = grouped.select(
+                "cid", "_p",
+                (F.expr("aggregate(_lst, CAST(0.0 AS DOUBLE), (a, e) -> a + e.x)")
+                 / F.size("_lst")).alias("_m"))
+        else:
+            means_pp = per_pos.groupBy("cid", "_p").agg(F.avg("_x").alias("_m"))
+        elem = "CAST(e._m AS DOUBLE)" if deterministic_fold else "CAST(e._m AS FLOAT)"
+        means = (means_pp.groupBy("cid")
                  .agg(F.array_sort(F.collect_list(F.struct("_p", "_m"))).alias("_pm"))
-                 .select("cid", F.expr(
-                     "transform(_pm, e -> CAST(e._m AS FLOAT))").alias("cvec")))
+                 .select("cid", F.expr(f"transform(_pm, e -> {elem})").alias("cvec")))
         cents = cents.select("cid").join(means, "cid", "left") \
             .join(cents.select("cid", F.col("cvec").alias("_seed")), "cid") \
-            .select("cid", F.coalesce("cvec", "_seed").alias("cvec")) \
+            .select("cid", F.coalesce(
+                "cvec",
+                F.expr("transform(_seed, x -> CAST(x AS DOUBLE))")
+                if deterministic_fold else F.col("_seed")).alias("cvec")) \
             .localCheckpoint(eager=True)  # cut the per-iteration lineage
     return cents
 
@@ -247,7 +270,8 @@ def ivf_topk(cands: DataFrame, queries: DataFrame, k: int,
 
     cents = ivf_centroids(cands, vec_col, id_col, mod, residue)
     if refine_iters:
-        cents = ivf_refine(cands, cents, refine_iters, vec_col, id_col)
+        cents = ivf_refine(cands, cents, refine_iters, vec_col, id_col,
+                           deterministic_fold=True)
     assigned = ivf_assign(cands, cents, vec_col, id_col)
 
     psim = F.expr(_sim_expr(q_vec, "cvec"))

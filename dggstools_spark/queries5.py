@@ -506,3 +506,86 @@ def _oracle_res_policy() -> str:
 
 QUERIES5["res_policy"] = q_res_policy
 ORACLES5["res_policy"] = _oracle_res_policy()
+
+
+# --------------------------------------------------------------------------
+# q_ivf_refined — IVF with ONE Lloyd refinement iteration, oracle-checked:
+# the iteration is deterministic (id-ordered left-fold means, verified
+# identical to DuckDB's list_reduce on parquet-backed doubles), so it
+# unrolls into SQL like the AUID collapse chain did.  Retires TODO_r4
+# item 3.
+# --------------------------------------------------------------------------
+
+IVF_DIM = 64
+
+
+def q_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_topk
+    from .queries3 import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    return ivf_topk(emb, qs, IVF_K, mod=IVF_MOD, residue=IVF_RES,
+                    nprobe=IVF_NPROBE, refine_iters=1)
+
+
+def _oracle_ivf_refined() -> str:
+    from .operators.similarity import DOT_DUCK, NRM_DUCK
+
+    def sim(a, b):
+        return (f"round(({DOT_DUCK.format(a=a, b=b)})"
+                f" / ({NRM_DUCK.format(v=a)} * {NRM_DUCK.format(v=b)}), 9)")
+
+    return f"""
+    WITH cents0 AS MATERIALIZED (
+        SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        WHERE vec_id % {IVF_MOD} = {IVF_RES}),
+    asim0 AS (SELECT e.vec_id, e.embedding, c.cid,
+                     {sim('e.embedding', 'c.cvec')} AS s
+              FROM embeddings e, cents0 c),
+    assign0 AS MATERIALIZED (
+        SELECT vec_id, embedding, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY s DESC, cid) AS rn FROM asim0) WHERE rn = 1),
+    -- one Lloyd step: id-ordered left-fold mean per (cluster, position)
+    means AS (
+        SELECT cid, t.j AS p,
+               list_reduce(list(CAST(embedding[CAST(t.j AS INT) + 1] AS DOUBLE)
+                                ORDER BY vec_id), (a, b) -> a + b)
+               / count(*) AS m
+        FROM assign0, range({IVF_DIM}) t(j) GROUP BY cid, t.j),
+    cents1 AS MATERIALIZED (
+        SELECT c0.cid,
+               coalesce(m.cvec, list_transform(c0.cvec,
+                        x -> CAST(x AS DOUBLE))) AS cvec
+        FROM cents0 c0 LEFT JOIN (
+            SELECT cid, list(m ORDER BY p) AS cvec FROM means GROUP BY cid
+        ) m ON c0.cid = m.cid),
+    asim1 AS (SELECT e.vec_id, e.embedding, c.cid,
+                     {sim('e.embedding', 'c.cvec')} AS s
+              FROM embeddings e, cents1 c),
+    assign1 AS MATERIALIZED (
+        SELECT vec_id, embedding, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY s DESC, cid) AS rn FROM asim1) WHERE rn = 1),
+    qs AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+           WHERE vec_id % 50 = 0),
+    psim AS (SELECT q.q_id, q.q_emb, c.cid, {sim('q.q_emb', 'c.cvec')} AS s
+             FROM qs q, cents1 c),
+    probes AS (SELECT q_id, q_emb, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY s DESC, cid) AS rn FROM psim) WHERE rn <= {IVF_NPROBE}),
+    sims AS (SELECT p.q_id, a.vec_id,
+                    {sim('p.q_emb', 'a.embedding')} AS sim
+             FROM probes p JOIN assign1 a USING (cid)
+             WHERE a.vec_id <> p.q_id)
+    SELECT q_id, vec_id, sim, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY sim DESC, vec_id) AS rank FROM sims)
+    WHERE rank <= {IVF_K}
+    """
+
+
+QUERIES5["ivf_refined"] = q_ivf_refined
+ORACLES5["ivf_refined"] = _oracle_ivf_refined()
