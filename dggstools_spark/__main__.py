@@ -188,7 +188,7 @@ def cmd_rhpx_to_geopackage(a) -> None:
     if a.add_uid:
         cells = cells_io.with_uuid(cells)
     n = geopackage.write_cells_geopackage(cells, a.output, attrs,
-                                          layer=a.layer)
+                                          layer=a.layer, geometry=a.geometry)
     print(json.dumps({"features": n, "output": a.output}))
 
 
@@ -263,6 +263,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--layer", default="data")
     p.add_argument("--add-uid", action="store_true")
     p.add_argument("--values-in-json", action="store_true")
+    p.add_argument("--geometry", choices=["point", "polygon"], default="point")
     p.set_defaults(fn=cmd_rhpx_to_geopackage)
 
     p = sub.add_parser("geopackage-to-rhealpix",

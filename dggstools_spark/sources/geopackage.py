@@ -39,13 +39,29 @@ def _gpkg_point_blob(x: float, y: float) -> bytes:
     return header + wkb
 
 
+def _gpkg_polygon_blob(ring) -> bytes:
+    """GeoPackageBinary + WKB POLYGON from an open 4-vertex planar ring
+    (closed on write)."""
+    header = b"GP" + bytes([0, 0x01]) + struct.pack("<i", SRS_ID)
+    pts = list(ring) + [ring[0]]
+    wkb = (struct.pack("<BII", 1, 3, 1) + struct.pack("<I", len(pts))
+           + b"".join(struct.pack("<dd", float(x), float(y)) for x, y in pts))
+    return header + wkb
+
+
 def write_cells_geopackage(cells: DataFrame, path: str, attrs: dict,
                            layer: str = "data", cellid_col: str = "cellid",
-                           max_rows: int = 5_000_000) -> int:
+                           max_rows: int = 5_000_000,
+                           geometry: str = "point") -> int:
     """Cell table -> GeoPackage file; returns the feature count.  Band
-    columns are taken as every non-cellid column (REAL affinity)."""
+    columns are taken as every non-cellid column (REAL affinity).
+    ``geometry``: 'point' = planar centroid (reference parity,
+    rhpx_gdf_helper.py:111); 'polygon' = the cell's planar boundary ring
+    (dggs/cells.cellid_to_vertices)."""
     from ..dggs import cells as cells_kernel
 
+    if geometry not in ("point", "polygon"):
+        raise ValueError(f"unknown geometry {geometry!r}")
     rows = cells.collect()
     if len(rows) > max_rows:
         raise ValueError(
@@ -55,6 +71,12 @@ def write_cells_geopackage(cells: DataFrame, path: str, attrs: dict,
     band_cols = [c for c in cells.columns if c != cellid_col]
     cellids = [r[cellid_col] for r in rows]
     cx, cy = cells_kernel.cellid_to_planar_centroid(cellids) if cellids else ([], [])
+    if geometry == "polygon" and cellids:
+        verts = cells_kernel.cellid_to_vertices(cellids)
+        blobs = [_gpkg_polygon_blob(verts[i]) for i in range(len(cellids))]
+    else:
+        blobs = [_gpkg_point_blob(float(cx[i]), float(cy[i]))
+                 for i in range(len(cellids))]
 
     try:
         os.remove(path)
@@ -97,12 +119,13 @@ def write_cells_geopackage(cells: DataFrame, path: str, attrs: dict,
             " min_x, min_y, max_x, max_y, srs_id) VALUES (?, 'features', ?,"
             " ?, ?, ?, ?, ?)", (layer, layer, *ext, SRS_ID))
         con.execute("INSERT INTO gpkg_geometry_columns VALUES (?, 'geom',"
-                    " 'POINT', ?, 0, 0)", (layer, SRS_ID))
+                    " ?, ?, 0, 0)",
+                    (layer, geometry.upper(), SRS_ID))
         ph = ", ".join("?" * (2 + len(band_cols)))
         con.executemany(
             f'INSERT INTO "{layer}" (geom, "{cellid_col}"'
             + "".join(f', "{c}"' for c in band_cols) + f") VALUES ({ph})",
-            [( _gpkg_point_blob(float(cx[i]), float(cy[i])), rows[i][cellid_col],
+            [(blobs[i], rows[i][cellid_col],
                *[rows[i][c] for c in band_cols]) for i in range(len(rows))])
         # attrs metadata — same extension + metadata rows as the reference
         # (storage.py:51-66), so get_gpkg_rhpx_metadata reads ours verbatim

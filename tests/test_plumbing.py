@@ -430,3 +430,34 @@ def test_cli_geopackage_roundtrip(spark, tmp_path):
     back, attrs = cells_io.read_cells(spark, dst)
     assert {(r.cellid, r.band1) for r in back.collect()} == {("N120", 1.0), ("Q003", 2.0)}
     assert attrs["rhealpixdggs"]["n_side"] == 3
+
+
+def test_geopackage_polygon_geometry(spark, tmp_path):
+    """geometry='polygon' writes WKB POLYGON cell boundaries (closed
+    5-point ring matching the kernel's planar vertices)."""
+    import sqlite3
+    import struct
+
+    from dggstools_spark.dggs.cells import cellid_to_vertices
+    from dggstools_spark.sources import cells_io
+    from dggstools_spark.sources.geopackage import write_cells_geopackage
+
+    cells = spark.createDataFrame([("N120", 1.0)], "cellid string, band1 double")
+    path = str(tmp_path / "poly.gpkg")
+    write_cells_geopackage(cells, path, cells_io.build_attrs(3, 1, None),
+                           geometry="polygon")
+    con = sqlite3.connect(path)
+    assert con.execute("SELECT geometry_type_name FROM gpkg_geometry_columns"
+                       ).fetchone()[0] == "POLYGON"
+    blob = con.execute('SELECT geom FROM "data"').fetchone()[0]
+    assert blob[:2] == b"GP"
+    wkb = blob[8:]
+    assert struct.unpack("<BII", wkb[:9]) == (1, 3, 1)  # LE, POLYGON, 1 ring
+    n_pts = struct.unpack("<I", wkb[9:13])[0]
+    assert n_pts == 5
+    pts = [struct.unpack("<dd", wkb[13 + 16 * i:29 + 16 * i]) for i in range(5)]
+    exp = cellid_to_vertices(["N120"])[0]
+    assert pts[0] == pts[4]
+    for i in range(4):
+        assert abs(pts[i][0] - exp[i][0]) < 1e-6
+        assert abs(pts[i][1] - exp[i][1]) < 1e-6
