@@ -214,21 +214,44 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     return jac
 
 
+def _md5_halves(toks: "list[str]") -> "tuple":
+    """Per-token 32-bit hash pair from the md5 hex digest (chars 1-8 and
+    9-16) — portable: the DuckDB oracle reconstructs the identical values
+    from md5() hex text.  (The previous pd.util.hash_array had no SQL twin
+    AND could change between pandas versions, silently invalidating
+    persisted fingerprints.)"""
+    import hashlib
+
+    hi = np.empty(len(toks), dtype=np.uint64)
+    lo = np.empty(len(toks), dtype=np.uint64)
+    for t, tok in enumerate(toks):
+        hx = hashlib.md5(tok.encode("utf-8")).hexdigest()
+        hi[t] = int(hx[0:8], 16)
+        lo[t] = int(hx[8:16], 16)
+    return hi, lo
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str, out: str = "simhash64") -> DataFrame:
     """64-bit SimHash per doc via an Arrow pandas UDF (numpy bit-count over
-    token hash digests)."""
+    md5-derived token hashes; bit contract: value = sign_hi << 32 |
+    sign_lo, each half voted from its 32 token-hash bits).  Deterministic
+    across engines and library versions; q_simhash oracle-checks it."""
     @F.pandas_udf(LongType())
     def _simhash(texts: pd.Series) -> pd.Series:
         out_vals = np.zeros(len(texts), dtype=np.int64)
+        js = np.arange(32, dtype=np.uint64)
         for i, txt in enumerate(texts):  # per-doc loop; token math vectorized
             if not txt:
                 continue
-            toks = txt.split(" ")
-            h = pd.util.hash_array(np.asarray(toks, dtype=object)).astype(np.uint64)
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
-            votes = (2 * bits - 1).sum(axis=0)
-            val = (votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
-            out_vals[i] = np.bitwise_or.reduce(val).astype(np.int64)
+            hi, lo = _md5_halves(txt.split(" "))
+            packed = np.uint64(0)
+            for h, shift in ((hi, 32), (lo, 0)):
+                bits = ((h[:, None] >> js) & 1).astype(np.int64)
+                votes = (2 * bits - 1).sum(axis=0)
+                half = np.bitwise_or.reduce(
+                    (votes > 0).astype(np.uint64) << js)
+                packed |= half << np.uint64(shift)
+            out_vals[i] = packed.astype(np.int64)
         return pd.Series(out_vals)
 
     return df.withColumn(out, _simhash(F.col(text_col)))

@@ -589,3 +589,69 @@ def _oracle_ivf_refined() -> str:
 
 QUERIES5["ivf_refined"] = q_ivf_refined
 ORACLES5["ivf_refined"] = _oracle_ivf_refined()
+
+
+# --------------------------------------------------------------------------
+# q_simhash — SimHash value-checked: the Arrow-UDF operator vs a full
+# relational reconstruction (md5 hex -> 32-bit halves via instr-weighted
+# hex digits, bit votes per position, sign reassembly).  The md5-derived
+# token hash replaced pd.util.hash_array in round 3 precisely to make this
+# (and persisted-fingerprint stability) possible.
+# --------------------------------------------------------------------------
+
+def _hex32_sql(md5_expr: str, start: int) -> str:
+    """Portable SQL (identical text both engines): unsigned 32-bit integer
+    from 8 hex chars of ``md5_expr`` starting at 1-based ``start``."""
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substring({md5_expr}, {start + i}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8))
+    return f"CAST({terms} AS BIGINT)"
+
+
+_BIT_SQL = "(CAST(floor({h} / power(2, CAST(j AS DOUBLE))) AS BIGINT) % 2)"
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash
+    from .queries3 import load
+
+    docs = load(spark, sf_dir, "documents") \
+        .filter(F.col("text").isNotNull() & (F.col("text") != ""))
+    sh = simhash(docs, "text", "doc_id")
+    # split the packed int64 into the two unsigned halves the oracle builds
+    return sh.select(
+        "doc_id",
+        F.expr("shiftright(simhash64, 32) & 4294967295").alias("sim_hi"),
+        F.expr("simhash64 & 4294967295").alias("sim_lo"))
+
+
+def _oracle_simhash() -> str:
+    hi, lo = _hex32_sql("m", 1), _hex32_sql("m", 9)
+    bit_hi = _BIT_SQL.format(h="h_hi")
+    bit_lo = _BIT_SQL.format(h="h_lo")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE text IS NOT NULL AND text <> ''),
+    th AS MATERIALIZED (
+        SELECT doc_id, {hi} AS h_hi, {lo} AS h_lo
+        FROM (SELECT doc_id, md5(tok) AS m FROM toks)),
+    votes AS (
+        SELECT doc_id, j,
+               sum(2 * {bit_hi} - 1) AS v_hi,
+               sum(2 * {bit_lo} - 1) AS v_lo
+        FROM th, range(32) t(j) GROUP BY doc_id, j),
+    signs AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v_hi > 0 THEN power(2, CAST(j AS DOUBLE))
+                             ELSE 0 END) AS BIGINT) AS sim_hi,
+               CAST(sum(CASE WHEN v_lo > 0 THEN power(2, CAST(j AS DOUBLE))
+                             ELSE 0 END) AS BIGINT) AS sim_lo
+        FROM votes GROUP BY doc_id)
+    SELECT doc_id, sim_hi, sim_lo FROM signs
+    """
+
+
+QUERIES5["simhash"] = q_simhash
+ORACLES5["simhash"] = _oracle_simhash()
