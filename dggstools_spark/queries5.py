@@ -655,3 +655,56 @@ def _oracle_simhash() -> str:
 
 QUERIES5["simhash"] = q_simhash
 ORACLES5["simhash"] = _oracle_simhash()
+
+
+# --------------------------------------------------------------------------
+# q_ngram_pairs — exact n-gram Jaccard near-dup pairs, oracle-checked: the
+# whole construction (shingles incl. the short-doc slice rule, DISTINCT,
+# doc-frequency cap, self-join, Jaccard) is replicated relationally.
+# --------------------------------------------------------------------------
+
+NG_MAX_DF = 200
+NG_THRESHOLD = 0.5
+
+
+def q_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ngram_jaccard_pairs
+    from .queries3 import load
+
+    docs = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "text", "doc_id",
+                               threshold=NG_THRESHOLD, max_doc_freq=NG_MAX_DF)
+
+
+def _oracle_ngram_pairs() -> str:
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    -- list_slice matches Spark's slice() short-doc rule (same convention
+    -- as the minhash oracle)
+    sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(greatest(len(t) - 2, 1)),
+                      i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')))
+               AS shingle
+        FROM toks),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    capped AS (SELECT doc_id, shingle FROM sh
+               WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle
+                                 HAVING count(*) BETWEEN 2 AND {NG_MAX_DF})),
+    inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+              FROM capped a JOIN capped b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id),
+    jac AS (SELECT a_id, b_id,
+                   CAST(round(n_inter * 1000000.0
+                        / (sa.n_sh + sb.n_sh - n_inter)) AS BIGINT) AS jac_ppm
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a_id
+            JOIN sizes sb ON sb.doc_id = b_id)
+    SELECT a_id, b_id, jac_ppm FROM jac
+    WHERE jac_ppm >= {int(NG_THRESHOLD * 1e6)}
+    """
+
+
+QUERIES5["ngram_pairs"] = q_ngram_pairs
+ORACLES5["ngram_pairs"] = _oracle_ngram_pairs()
