@@ -708,3 +708,58 @@ def _oracle_ngram_pairs() -> str:
 
 QUERIES5["ngram_pairs"] = q_ngram_pairs
 ORACLES5["ngram_pairs"] = _oracle_ngram_pairs()
+
+
+# --------------------------------------------------------------------------
+# q_stream_dedup — streaming exact dedup (third Structured Streaming op):
+# file stream -> watermarked dropDuplicates on (source, content hash) ->
+# per-source survivor counts; availableNow + complete-mode memory sink
+# makes the run deterministic, and the oracle is a plain DISTINCT count.
+# --------------------------------------------------------------------------
+
+SD_SRC = "/tmp/dggs_stream_dedup_src"
+SD_CKPT = "/tmp/dggs_stream_dedup_ckpt"
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from .queries3 import load
+    from .streaming import ingest
+
+    shutil.rmtree(SD_SRC, ignore_errors=True)
+    shutil.rmtree(SD_CKPT, ignore_errors=True)
+    docs = load(spark, sf_dir, "documents") \
+        .filter(F.col("text").isNotNull()).select(
+        "doc_id", "source", "text",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") % 600)
+        .alias("event_time"))
+    # two files so the dedup state genuinely crosses micro-batches (second
+    # file repeats the first's rows with shifted ids)
+    docs.write.mode("overwrite").parquet(SD_SRC)
+    docs.withColumn("doc_id", F.col("doc_id") + 1000000) \
+        .write.mode("append").parquet(SD_SRC)
+    stream = spark.readStream.schema(
+        "doc_id bigint, source string, text string, event_time timestamp"
+    ).option("maxFilesPerTrigger", 2).parquet(SD_SRC)
+    counts = ingest.dedup_stream(stream)
+    try:
+        spark.catalog.dropTempView("dggs_stream_dedup")
+    except Exception:
+        pass
+    q = (counts.writeStream.format("memory").queryName("dggs_stream_dedup")
+         .outputMode("complete").option("checkpointLocation", SD_CKPT)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    return spark.table("dggs_stream_dedup").select("source", "n_unique")
+
+
+def _oracle_stream_dedup() -> str:
+    return """
+    SELECT source, count(DISTINCT md5(text)) AS n_unique
+    FROM documents WHERE text IS NOT NULL GROUP BY source
+    """
+
+
+QUERIES5["stream_dedup"] = q_stream_dedup
+ORACLES5["stream_dedup"] = _oracle_stream_dedup()

@@ -52,3 +52,21 @@ def run_to_sink(counts: DataFrame, out_path: str, checkpoint: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_stream(docs: DataFrame, text_col: str = "text",
+                 key_cols: list[str] | None = None,
+                 watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup: drop re-arrivals of the same (keys..., content
+    hash) across micro-batches, then count survivors per key — the
+    continuous-ingest twin of dedup.exact_dedup.  The watermark bounds the
+    dedup state (a re-arrival later than the watermark delay may survive —
+    the standard streaming-dedup contract); chained stateful ops
+    (dropDuplicates -> agg) are fine on Spark >= 3.4 with the watermark
+    set.  The dedup key includes the grouping keys so per-key counts are
+    deterministic even when identical content appears under two keys."""
+    keys = key_cols or ["source"]
+    hashed = (docs.withColumn("_h", F.md5(F.col(text_col)))
+              .withWatermark("event_time", watermark)
+              .dropDuplicates([*keys, "_h"]))
+    return hashed.groupBy(*keys).agg(F.count("*").alias("n_unique"))
