@@ -200,3 +200,55 @@ def test_resample_area_fractional_constant_field(spark):
     assert abs(sum(r.coverage * 6.25 for r in out) - 36.0) < 1e-9
     assert any(r.coverage < 1.0 - 1e-9 for r in out)       # borders
     assert any(abs(r.coverage - 1.0) < 1e-12 for r in out)  # interior
+
+
+def test_resample_area_matches_numpy_reference(spark):
+    """Randomized scales/offsets: resample_area equals a direct numpy
+    overlap-integration reference (weights, normalization, coverage)."""
+    import random
+
+    import numpy as np
+
+    from dggstools_spark.functions import encode_sql
+    from dggstools_spark.operators.resample import resample_area
+
+    random.seed(17)
+    for trial in range(3):
+        n = random.randint(4, 7)
+        vals = {(r, c): float((r * 13 + c * 7 + trial) % 19)
+                for r in range(n) for c in range(n)}
+        src = spark.createDataFrame(
+            [(r, c, v) for (r, c), v in vals.items()],
+            "row long, col long, band1 double").select(
+            F.expr(encode_sql.rowcol_cellid_sql("'Q'", "row", "col", 2)).alias("cellid"),
+            "band1")
+        sx = random.uniform(0.7, 4.3)
+        sy = random.uniform(0.7, 4.3)
+        ox = random.uniform(-1.0, 1.0)
+        oy = random.uniform(-1.0, 1.0)
+        got = {(r.trow, r.tcol): (r.band1, r.coverage)
+               for r in resample_area(src, 2, sx, sy, ox, oy).collect()}
+
+        # numpy reference: integrate each source cell's overlap into targets
+        acc: dict = {}
+        for (r, c), v in vals.items():
+            t_lo_x = int(np.floor((c - ox) / sx)) - 1
+            t_hi_x = int(np.floor((c + 1 - ox) / sx)) + 1
+            t_lo_y = int(np.floor((r - oy) / sy)) - 1
+            t_hi_y = int(np.floor((r + 1 - oy) / sy)) + 1
+            for tc in range(t_lo_x, t_hi_x + 1):
+                wx = min(ox + (tc + 1) * sx, c + 1) - max(ox + tc * sx, c)
+                if wx <= 0:
+                    continue
+                for tr in range(t_lo_y, t_hi_y + 1):
+                    wy = min(oy + (tr + 1) * sy, r + 1) - max(oy + tr * sy, r)
+                    if wy <= 0:
+                        continue
+                    w = wx * wy
+                    sw, swv = acc.get((tr, tc), (0.0, 0.0))
+                    acc[(tr, tc)] = (sw + w, swv + w * v)
+        exp = {k: (swv / sw, sw / (sx * sy)) for k, (sw, swv) in acc.items()}
+        assert set(got) == set(exp), f"key sets differ (trial {trial})"
+        for k in exp:
+            assert abs(got[k][0] - exp[k][0]) < 1e-9, f"value {k} trial {trial}"
+            assert abs(got[k][1] - exp[k][1]) < 1e-9, f"coverage {k} trial {trial}"
