@@ -127,7 +127,10 @@ def subarea_pairs(fine: DataFrame, coarse: DataFrame,
     n_a = f.groupBy(fine_group).agg(F.count("*").alias("_na"))
     n_cov = hits.groupBy(fine_group, coarse_group).agg(F.count("*").alias("_nc"))
     domain = n_a.crossJoin(c.select(coarse_group).distinct())
-    return (domain.join(n_cov, [fine_group, coarse_group], "left")
+    # broadcast the covered-count side: the pair domain is group-key-sized,
+    # and the hint turns the one remaining sort-merge join in any plan into
+    # a broadcast hash join
+    return (domain.join(F.broadcast(n_cov), [fine_group, coarse_group], "left")
             .select(fine_group, coarse_group,
                     (F.coalesce(F.col("_nc"), F.lit(0)) == F.col("_na"))
                     .cast("int").alias("is_subarea")))
