@@ -763,3 +763,44 @@ def _oracle_stream_dedup() -> str:
 
 QUERIES5["stream_dedup"] = q_stream_dedup
 ORACLES5["stream_dedup"] = _oracle_stream_dedup()
+
+
+# --------------------------------------------------------------------------
+# q_salted_topk — W3/skew: the two-phase salted top-k is EXACT (phase 2
+# re-ranks the <= k*n_salt survivors globally), so a plain window top-k is
+# its oracle.  Skewed fixture: order keys concentrate on a few customers.
+# --------------------------------------------------------------------------
+
+ST_K = 4
+
+
+def q_salted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import salted_topk_per_key
+    from .queries3 import load
+
+    orders = load(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 7).alias("grp"),  # 7 hot groups
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"))
+    top = salted_topk_per_key(
+        orders, ["grp"], [F.col("price").desc(), F.col("o_orderkey")],
+        ST_K, n_salt=8)
+    return top.select("grp", "o_orderkey",
+                      F.round(F.col("price") * 100).cast("bigint").alias("price_c"),
+                      "rank")
+
+
+def _oracle_salted_topk() -> str:
+    return f"""
+    WITH src AS (SELECT o_custkey % 7 AS grp, o_orderkey,
+                        CAST(o_totalprice AS DOUBLE) AS price FROM orders)
+    SELECT grp, o_orderkey,
+           CAST(round(price * 100) AS BIGINT) AS price_c, rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY grp
+              ORDER BY price DESC, o_orderkey) AS rank FROM src)
+    WHERE rank <= {ST_K}
+    """
+
+
+QUERIES5["salted_topk"] = q_salted_topk
+ORACLES5["salted_topk"] = _oracle_salted_topk()
