@@ -179,8 +179,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM + Python workers so per-query times reflect steady state
+    # (incl. one Arrow pandas-UDF round trip — the first UDF query otherwise
+    # pays worker spin-up: measured ~5 s on trivial data)
+    from dggstools_spark.functions.encode import cellid_from_lonlat_udf
     from dggstools_spark.sources.synth import interleaved_docs
-    interleaved_docs(spark, 10000).count()
+    warm = interleaved_docs(spark, 10000)
+    warm.withColumn("c", cellid_from_lonlat_udf(4)("lon", "lat")).count()
 
     result: dict = {"sf": sf_dir.rstrip("/").split("sf")[-1], "cpus": cpus}
 
