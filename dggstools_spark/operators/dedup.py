@@ -6,8 +6,9 @@
   pairs -> exact Jaccard verification.  Everything is explode/groupBy/join —
   no Python in the hot path, and the same construction is expressible in the
   DuckDB oracle.
-- simhash: 64-bit near-dup hash via numpy pandas UDF (bit-parallel; no
-  portable SQL form, verified by property tests instead).
+- simhash: 64-bit near-dup hash, relational by default (explode -> built-in
+  md5 -> 64 bit-count aggregates -> sign reassembly; all JVM-side) with the
+  original numpy pandas UDF kept as an equivalence-checked alternate.
 - ngram_jaccard_pairs: exact n-gram Jaccard for candidate pairs that share at
   least one shingle (bounded self-join).
 """
@@ -41,6 +42,12 @@ def guard_metrics() -> dict:
     Guards whose query dropped rows are also logged at WARNING here."""
     out = {}
     for name, obs in _GUARD_OBS:
+        # classic-Spark internals (verified on 4.1.2); Spark Connect's
+        # ConnectObservation has no _jo — degrade to None (unknown) there
+        # instead of raising mid-pipeline
+        if not hasattr(obs, "_jo"):
+            out[name] = None
+            continue
         jo = obs._jo
         # getRowOrEmpty is the non-blocking readiness probe (getOrEmpty NPEs
         # on Spark 4.1 when the collected row carries no schema)
@@ -231,11 +238,68 @@ def _md5_halves(toks: "list[str]") -> "tuple":
     return hi, lo
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str, out: str = "simhash64") -> DataFrame:
-    """64-bit SimHash per doc via an Arrow pandas UDF (numpy bit-count over
-    md5-derived token hashes; bit contract: value = sign_hi << 32 |
-    sign_lo, each half voted from its 32 token-hash bits).  Deterministic
-    across engines and library versions; q_simhash oracle-checks it."""
+def simhash(df: DataFrame, text_col: str, id_col: str, out: str = "simhash64",
+            impl: str = "relational") -> DataFrame:
+    """64-bit SimHash per doc (bit contract: value = sign_hi << 32 | sign_lo,
+    each half voted from the 32 bits of its md5-derived token hash;
+    _md5_halves documents the token hash).  Deterministic across engines and
+    library versions; q_simhash oracle-checks it.
+
+    ``impl='relational'`` (default, the 100-TB path) stays entirely JVM-side:
+    explode tokens -> built-in ``md5`` -> ``conv`` hex halves -> 64 bit-count
+    aggregates in ONE hash agg per doc (map-side combine; no per-token row
+    blowup beyond the token explode itself) -> sign reassembly, then a join
+    back on ``id_col`` to restore the caller's columns.  ``impl='pandas'``
+    is the original Arrow-UDF form (no shuffle, but a per-token Python
+    ``hashlib.md5`` loop — its throughput ceiling); kept as the equivalence
+    check (tests assert identical values) and for callers that cannot
+    afford the id join."""
+    if impl == "pandas":
+        return _simhash_pandas(df, text_col, out)
+    if impl != "relational":
+        raise ValueError(f"simhash impl must be 'relational' or 'pandas', got {impl!r}")
+    sig = _simhash_relational_ids(df, text_col, id_col, out)
+    res = df.join(sig, id_col, "left")
+    empty = F.col(text_col).isNull() | (F.col(text_col) == "")
+    return res.withColumn(
+        out, F.when(empty, F.lit(0).cast("long")).otherwise(F.col(out)))
+
+
+def _simhash_relational_ids(df: DataFrame, text_col: str, id_col: str,
+                            out: str = "simhash64") -> DataFrame:
+    """(id, simhash64) via pure relational ops — the same construction the
+    DuckDB oracle uses (queries5._oracle_simhash).  Per doc and half:
+    vote_j = sum over tokens of (2*bit_j - 1) = 2*sum(bit_j) - n_tokens, so
+    64 ``sum(shiftright(h, j) & 1)`` aggregates + one count reproduce every
+    vote without exploding bit positions (no 32x row blowup, unlike the
+    oracle's range(32) form — DuckDB lacks multi-agg pivoting this wide)."""
+    toks = (df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("_tok"))
+            .filter(F.col("_tok").isNotNull()))
+    m = F.md5(F.col("_tok"))
+    h = toks.select(
+        id_col,
+        F.conv(F.substring(m, 1, 8), 16, 10).cast("bigint").alias("_hi"),
+        F.conv(F.substring(m, 9, 8), 16, 10).cast("bigint").alias("_lo"))
+    aggs = [F.count("*").alias("_n")]
+    for half, tag in (("_hi", "h"), ("_lo", "l")):
+        aggs += [F.expr(f"sum(shiftright({half}, {j}) & 1)").alias(f"_b{tag}{j}")
+                 for j in range(32)]
+    g = h.groupBy(id_col).agg(*aggs)
+
+    def _pack(tag: str) -> str:
+        # bit j set iff votes_j > 0 <=> 2*ones_j > n_tokens (ties -> 0,
+        # matching the UDF's strict `votes > 0`)
+        return " + ".join(
+            f"(CASE WHEN 2 * _b{tag}{j} > _n THEN CAST({1 << j} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END)"
+            for j in range(32))
+
+    packed = F.expr(
+        f"shiftleft(CAST({_pack('h')} AS BIGINT), 32) | CAST({_pack('l')} AS BIGINT)")
+    return g.select(id_col, packed.cast("long").alias(out))
+
+
+def _simhash_pandas(df: DataFrame, text_col: str, out: str) -> DataFrame:
     @F.pandas_udf(LongType())
     def _simhash(texts: pd.Series) -> pd.Series:
         out_vals = np.zeros(len(texts), dtype=np.int64)

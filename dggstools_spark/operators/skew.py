@@ -31,7 +31,13 @@ def _salt_expr(df: DataFrame, n_salt: int, salt_src: str | None) -> Column:
     columns.  Never monotonically_increasing_id — on a cluster a shuffle
     fetch failure recomputes some map partitions but not others, and a
     nondeterministic salt then duplicates/loses rows across the retry
-    boundary (the SPARK-23207 round-robin hazard class)."""
+    boundary (the SPARK-23207 round-robin hazard class).
+
+    Limitation of the all-columns default: rows that are fully IDENTICAL
+    duplicates of a hot key hash to ONE salt bucket, silently restoring the
+    skew the salt was meant to break.  When exact-duplicate rows are
+    expected (common in the skewed-write workloads this targets), pass
+    ``salt_src`` naming a unique id column."""
     cols = [F.col(salt_src)] if salt_src else [F.col(c) for c in df.columns]
     return F.pmod(F.hash(*cols), F.lit(n_salt))
 
@@ -41,7 +47,11 @@ def salted_repartition(df: DataFrame, keys: list[str], n_salt: int = 32,
     """Repartition by (keys..., salt) so a hot key's rows spread over
     ``n_salt`` tasks.  Layout-compatible with a partitionBy(keys) write
     (the salt only affects task assignment, not file paths); downstream
-    per-key aggs still work (partial aggregation re-combines)."""
+    per-key aggs still work (partial aggregation re-combines).
+
+    If the hot key's rows may be byte-identical duplicates, pass
+    ``salt_src`` with a unique id column — the all-columns default salts
+    identical rows into one bucket (see _salt_expr)."""
     salt = _salt_expr(df, n_salt, salt_src)
     return (df.withColumn("_salt", salt)
             .repartition(*[F.col(c) for c in keys], F.col("_salt"))
@@ -70,8 +80,10 @@ def salted_topk_per_key(df: DataFrame, keys: list[str], order_by: list[Column],
 
     ``salt_src`` names a column to derive the salt from (hash % n_salt);
     default is a hash of all columns (deterministic under stage retry, see
-    _salt_expr).  Output only depends on the global order_by either way
-    (which must be a total order, e.g. include a unique tiebreaker)."""
+    _salt_expr — but identical duplicate rows then share one bucket, so
+    prefer a unique id salt_src when rows may repeat exactly).  Output only
+    depends on the global order_by either way (which must be a total
+    order, e.g. include a unique tiebreaker)."""
     from pyspark.sql.window import Window
 
     salt = _salt_expr(df, n_salt, salt_src)

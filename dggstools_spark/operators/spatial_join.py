@@ -97,11 +97,50 @@ def sat_edge_rect_sql(h: float) -> str:
     )
 
 
+#: estimated point-row bytes above which points_in_polygons picks the
+#: narrow-shuffle rejoin automatically (narrow_shuffle=None)
+NARROW_WIDTH_BYTES = 256
+
+
+def _est_row_width(schema) -> int:
+    """Cheap schema-only row-width estimate (bytes) — no data probe.
+    Scalar sizes follow Spark's DataType.defaultSize; variable-size types
+    use realistic payload guesses (Spark's own defaults assume 1-element
+    arrays, useless for telling a wide media/embedding payload from a
+    narrow key table)."""
+    from pyspark.sql import types as T
+
+    def w(dt) -> int:
+        if isinstance(dt, (T.LongType, T.DoubleType, T.TimestampType,
+                           T.TimestampNTZType)):
+            return 8
+        if isinstance(dt, (T.IntegerType, T.FloatType, T.DateType)):
+            return 4
+        if isinstance(dt, T.ShortType):
+            return 2
+        if isinstance(dt, (T.BooleanType, T.ByteType)):
+            return 1
+        if isinstance(dt, T.DecimalType):
+            return 16
+        if isinstance(dt, T.StringType):
+            return 20
+        if isinstance(dt, T.BinaryType):
+            return 100
+        if isinstance(dt, T.ArrayType):
+            return 16 * w(dt.elementType)  # assume ~16 elements
+        if isinstance(dt, T.MapType):
+            return 16 * (w(dt.keyType) + w(dt.valueType))
+        if isinstance(dt, T.StructType):
+            return sum(w(f.dataType) for f in dt.fields)
+        return 16
+    return sum(w(f.dataType) for f in schema.fields)
+
+
 def points_in_polygons(points: DataFrame, polygons: DataFrame,
                        px: str = "px", py: str = "py",
                        poly_id: str = "poly_id", ring: str = "ring",
                        broadcast_polys: bool = True,
-                       narrow_shuffle: bool = False) -> DataFrame:
+                       narrow_shuffle: bool | None = None) -> DataFrame:
     """Ray-casting parity test, relationally: returns ``points`` columns +
     ``poly_id`` for every (point, polygon) containment pair.
 
@@ -119,8 +158,16 @@ def points_in_polygons(points: DataFrame, polygons: DataFrame,
     point table afterwards (AQE broadcasts them when the inside-set is
     small, so the wide columns never shuffle).  Costs one localCheckpoint
     of the point side — required anyway to pin the synthetic row ids
-    across the two branches.  Default keeps the single-pass aggregate,
-    whose map-side partial agg is already one row per (point, polygon)."""
+    across the two branches.  False keeps the single-pass aggregate,
+    whose map-side partial agg is already one row per (point, polygon).
+
+    ``narrow_shuffle=None`` (default) decides from the SCHEMA: the narrow
+    path wins once the estimated point-row width (_est_row_width — no data
+    probe) exceeds NARROW_WIDTH_BYTES, i.e. when the point table carries
+    media blobs / embeddings / long text next to its coordinates.  Narrow
+    key tables keep the single-pass plan unchanged."""
+    if narrow_shuffle is None:
+        narrow_shuffle = _est_row_width(points.schema) > NARROW_WIDTH_BYTES
     edges = polygon_edges(polygons.select(poly_id, ring), ring)
     bbox = edges.groupBy(poly_id).agg(
         F.least(F.min("x1"), F.min("x2")).alias("_bxmin"),
@@ -396,8 +443,11 @@ def knn_join_pruned(points: DataFrame, queries: DataFrame, k: int,
     # "all resolved?" from the checkpointed topk alone — in the common case
     # (level 0 resolves everything) no remaining anti-join, checkpoint, or
     # isEmpty job ever runs (round-2 regression: those two materializations
-    # were pure overhead on the happy path)
-    n_unresolved = remaining.count()
+    # were pure overhead on the happy path).  Count DISTINCT qids, the same
+    # unit n_ok decrements in — duplicate qid rows would otherwise keep
+    # n_unresolved > 0 forever and trigger a useless exact-fallback job
+    # over an empty remaining set
+    n_unresolved = remaining.select(qid).distinct().count()
     if block_res is None:
         block_res = choose_block_res(points, remaining, k, px, py, qid, qx, qy,
                                      cfg, n_q=n_unresolved, level_step=level_step)

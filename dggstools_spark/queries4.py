@@ -6,6 +6,7 @@ streaming run)."""
 
 from __future__ import annotations
 
+import os
 import shutil
 from typing import Callable
 
@@ -170,40 +171,61 @@ def _oracle_is_optimal() -> str:
 
 STREAM_RES = 5
 STREAM_TILE = 2
-STREAM_SRC = "/tmp/dggs_q_stream_in"
-STREAM_CKPT = "/tmp/dggs_q_stream_ckpt"
 STREAM_EPOCH = 1700000000
+
+
+def _stream_tmpdirs(tag: str) -> "tuple[str, str, Callable[[], None]]":
+    """Per-run-unique (src, checkpoint, cleanup) for a streaming query: a
+    FIXED path under /tmp can be poisoned by a concurrent or killed prior
+    run's checkpoint/offset state (the driver gate, bench, and pytest may
+    interleave runs of the same query).  The memory-sink table lives in
+    driver memory, so callers can cleanup() as soon as the query has
+    terminated."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix=f"dggs_{tag}_")
+    return (os.path.join(base, "src"), os.path.join(base, "ckpt"),
+            lambda: shutil.rmtree(base, ignore_errors=True))
+
+
+def _finish_stream(q, timeout: int = 180) -> None:
+    """availableNow queries normally self-terminate; stop a straggler so a
+    timed-out run can't keep writing into a dir we're about to delete."""
+    if not q.awaitTermination(timeout):
+        q.stop()
 
 
 def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources import synth
     from .streaming import ingest
 
-    shutil.rmtree(STREAM_SRC, ignore_errors=True)
-    shutil.rmtree(STREAM_CKPT, ignore_errors=True)
-    docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id").select(
-        "doc_id", "lon", "lat",
-        F.timestamp_seconds(F.lit(STREAM_EPOCH) + F.col("doc_id") % 600)
-        .alias("event_time"))
-    docs.write.mode("overwrite").parquet(STREAM_SRC)
-    stream = ingest.read_doc_stream(
-        spark, STREAM_SRC,
-        schema="doc_id bigint, lon double, lat double, event_time timestamp")
-    counts = ingest.tile_counts_stream(stream, res=STREAM_RES,
-                                       tile_res=STREAM_TILE, window="1 minute")
-    try:  # a prior run in this session leaves the memory table behind
-        spark.catalog.dropTempView("dggs_stream_tiles")
-    except Exception:
-        pass
-    q = (counts.writeStream.format("memory").queryName("dggs_stream_tiles")
-         .outputMode("complete").option("checkpointLocation", STREAM_CKPT)
-         .trigger(availableNow=True).start())
-    q.awaitTermination(180)
-    tbl = spark.table("dggs_stream_tiles")
-    return tbl.select(
-        "tile",
-        F.unix_timestamp(F.col("win.start")).alias("win_start"),
-        "n_docs")
+    src, ckpt, cleanup = _stream_tmpdirs("stream_ingest")
+    try:
+        docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id").select(
+            "doc_id", "lon", "lat",
+            F.timestamp_seconds(F.lit(STREAM_EPOCH) + F.col("doc_id") % 600)
+            .alias("event_time"))
+        docs.write.mode("overwrite").parquet(src)
+        stream = ingest.read_doc_stream(
+            spark, src,
+            schema="doc_id bigint, lon double, lat double, event_time timestamp")
+        counts = ingest.tile_counts_stream(stream, res=STREAM_RES,
+                                           tile_res=STREAM_TILE, window="1 minute")
+        try:  # a prior run in this session leaves the memory table behind
+            spark.catalog.dropTempView("dggs_stream_tiles")
+        except Exception:
+            pass
+        q = (counts.writeStream.format("memory").queryName("dggs_stream_tiles")
+             .outputMode("complete").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        _finish_stream(q)
+        tbl = spark.table("dggs_stream_tiles")
+        return tbl.select(
+            "tile",
+            F.unix_timestamp(F.col("win.start")).alias("win_start"),
+            "n_docs")
+    finally:
+        cleanup()
 
 
 def _oracle_stream_ingest() -> str:
@@ -330,8 +352,6 @@ ORACLES4["token_stats"] = _oracle_token_stats()
 # batch-order-independent and oracle-checked
 # --------------------------------------------------------------------------
 
-SS_SRC = "/tmp/dggs_q_stateful_in"
-SS_CKPT = "/tmp/dggs_q_stateful_ckpt"
 SS_RES = 5
 SS_TILE = 2
 
@@ -340,30 +360,32 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources import synth
     from .streaming import stateful
 
-    shutil.rmtree(SS_SRC, ignore_errors=True)
-    shutil.rmtree(SS_CKPT, ignore_errors=True)
-    docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id") \
-        .select("doc_id", "lon", "lat")
-    # two files split by key parity -> two micro-batches under
-    # maxFilesPerTrigger=1, so the state genuinely crosses batches
-    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(SS_SRC)
-    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1) \
-        .write.mode("append").parquet(SS_SRC)
-    stream = (spark.readStream.schema("doc_id bigint, lon double, lat double")
-              .option("maxFilesPerTrigger", 1).parquet(SS_SRC))
-    running = stateful.running_tile_counts(stream, res=SS_RES, tile_res=SS_TILE)
+    src, ckpt, cleanup = _stream_tmpdirs("stream_stateful")
     try:
-        spark.catalog.dropTempView("dggs_stream_stateful")
-    except Exception:
-        pass
-    q = (running.writeStream.format("memory").queryName("dggs_stream_stateful")
-         .outputMode("update").option("checkpointLocation", SS_CKPT)
-         .trigger(availableNow=True).start())
-    q.awaitTermination(180)
-    tbl = spark.table("dggs_stream_stateful")
-    return tbl.groupBy("tile").agg(
-        F.max("total_docs").cast("bigint").alias("total_docs"),
-        F.max("n_batches").cast("int").alias("n_batches"))
+        docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id") \
+            .select("doc_id", "lon", "lat")
+        # two files split by key parity -> two micro-batches under
+        # maxFilesPerTrigger=1, so the state genuinely crosses batches
+        docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src)
+        docs.filter(F.col("doc_id") % 2 == 1).coalesce(1) \
+            .write.mode("append").parquet(src)
+        stream = (spark.readStream.schema("doc_id bigint, lon double, lat double")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        running = stateful.running_tile_counts(stream, res=SS_RES, tile_res=SS_TILE)
+        try:
+            spark.catalog.dropTempView("dggs_stream_stateful")
+        except Exception:
+            pass
+        q = (running.writeStream.format("memory").queryName("dggs_stream_stateful")
+             .outputMode("update").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        _finish_stream(q)
+        tbl = spark.table("dggs_stream_stateful")
+        return tbl.groupBy("tile").agg(
+            F.max("total_docs").cast("bigint").alias("total_docs"),
+            F.max("n_batches").cast("int").alias("n_batches"))
+    finally:
+        cleanup()
 
 
 def _oracle_stream_stateful() -> str:

@@ -510,10 +510,13 @@ ORACLES5["res_policy"] = _oracle_res_policy()
 
 # --------------------------------------------------------------------------
 # q_ivf_refined — IVF with ONE Lloyd refinement iteration, oracle-checked:
-# the iteration is deterministic (id-ordered left-fold means, verified
-# identical to DuckDB's list_reduce on parquet-backed doubles), so it
-# unrolls into SQL like the AUID collapse chain did.  Retires TODO_r4
-# item 3.
+# the iteration is deterministic because the means are QUANTIZED-integer
+# sums (round(x * 2^20) summed as BIGINT — associative, so run-stable under
+# native partial aggregation; the exact power-of-two multiply makes both
+# engines round identical doubles).  Round 3 used an id-ordered left fold
+# here (sort_array(collect_list) + aggregate, 8.85 s); the quantized form
+# keeps bit-stability at native hash-agg cost and is the production default
+# (operators/similarity.ivf_refine mean_mode).
 # --------------------------------------------------------------------------
 
 IVF_DIM = 64
@@ -548,12 +551,16 @@ def _oracle_ivf_refined() -> str:
         SELECT vec_id, embedding, cid FROM (
             SELECT *, row_number() OVER (PARTITION BY vec_id
                 ORDER BY s DESC, cid) AS rn FROM asim0) WHERE rn = 1),
-    -- one Lloyd step: id-ordered left-fold mean per (cluster, position)
+    -- one Lloyd step: quantized-integer mean per (cluster, position) —
+    -- round(x * 2^20) summed as BIGINT is order-independent, so this is
+    -- the same value Spark's native partial agg produces (mean_mode
+    -- 'quantized' in operators/similarity.ivf_refine)
     means AS (
         SELECT cid, t.j AS p,
-               list_reduce(list(CAST(embedding[CAST(t.j AS INT) + 1] AS DOUBLE)
-                                ORDER BY vec_id), (a, b) -> a + b)
-               / count(*) AS m
+               CAST(sum(CAST(round(CAST(embedding[CAST(t.j AS INT) + 1]
+                                        AS DOUBLE) * 1048576.0) AS BIGINT))
+                    AS DOUBLE)
+               / (1048576.0 * count(*)) AS m
         FROM assign0, range({IVF_DIM}) t(j) GROUP BY cid, t.j),
     cents1 AS MATERIALIZED (
         SELECT c0.cid,
@@ -717,41 +724,41 @@ ORACLES5["ngram_pairs"] = _oracle_ngram_pairs()
 # makes the run deterministic, and the oracle is a plain DISTINCT count.
 # --------------------------------------------------------------------------
 
-SD_SRC = "/tmp/dggs_stream_dedup_src"
-SD_CKPT = "/tmp/dggs_stream_dedup_ckpt"
-
-
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-
     from .queries3 import load
+    from .queries4 import _finish_stream, _stream_tmpdirs
     from .streaming import ingest
 
-    shutil.rmtree(SD_SRC, ignore_errors=True)
-    shutil.rmtree(SD_CKPT, ignore_errors=True)
-    docs = load(spark, sf_dir, "documents") \
-        .filter(F.col("text").isNotNull()).select(
-        "doc_id", "source", "text",
-        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") % 600)
-        .alias("event_time"))
-    # two files so the dedup state genuinely crosses micro-batches (second
-    # file repeats the first's rows with shifted ids)
-    docs.write.mode("overwrite").parquet(SD_SRC)
-    docs.withColumn("doc_id", F.col("doc_id") + 1000000) \
-        .write.mode("append").parquet(SD_SRC)
-    stream = spark.readStream.schema(
-        "doc_id bigint, source string, text string, event_time timestamp"
-    ).option("maxFilesPerTrigger", 2).parquet(SD_SRC)
-    counts = ingest.dedup_stream(stream)
+    src, ckpt, cleanup = _stream_tmpdirs("stream_dedup")
     try:
-        spark.catalog.dropTempView("dggs_stream_dedup")
-    except Exception:
-        pass
-    q = (counts.writeStream.format("memory").queryName("dggs_stream_dedup")
-         .outputMode("complete").option("checkpointLocation", SD_CKPT)
-         .trigger(availableNow=True).start())
-    q.awaitTermination(180)
-    return spark.table("dggs_stream_dedup").select("source", "n_unique")
+        docs = load(spark, sf_dir, "documents") \
+            .filter(F.col("text").isNotNull()).select(
+            "doc_id", "source", "text",
+            F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") % 600)
+            .alias("event_time"))
+        # two files so the dedup state genuinely crosses micro-batches
+        # (second file repeats the first's rows with shifted ids).  Event
+        # times span < 600 s and the dedup watermark delay is 10 min, so
+        # dropDuplicatesWithinWatermark drops every re-arrival and the
+        # plain-DISTINCT oracle stays exact.
+        docs.write.mode("overwrite").parquet(src)
+        docs.withColumn("doc_id", F.col("doc_id") + 1000000) \
+            .write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "doc_id bigint, source string, text string, event_time timestamp"
+        ).option("maxFilesPerTrigger", 2).parquet(src)
+        counts = ingest.dedup_stream(stream)
+        try:
+            spark.catalog.dropTempView("dggs_stream_dedup")
+        except Exception:
+            pass
+        q = (counts.writeStream.format("memory").queryName("dggs_stream_dedup")
+             .outputMode("complete").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        _finish_stream(q)
+        return spark.table("dggs_stream_dedup").select("source", "n_unique")
+    finally:
+        cleanup()
 
 
 def _oracle_stream_dedup() -> str:

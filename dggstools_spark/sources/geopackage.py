@@ -57,32 +57,59 @@ def write_cells_geopackage(cells: DataFrame, path: str, attrs: dict,
     columns are taken as every non-cellid column (REAL affinity).
     ``geometry``: 'point' = planar centroid (reference parity,
     rhpx_gdf_helper.py:111); 'polygon' = the cell's planar boundary ring
-    (dggs/cells.cellid_to_vertices)."""
+    (dggs/cells.cellid_to_vertices).
+
+    Rows stream through ``toLocalIterator()`` in fixed-size chunks, so
+    driver memory is bounded by one Spark partition + one chunk regardless
+    of ``max_rows`` (a full ``collect()`` would materialize the cap).  A
+    table exceeding ``max_rows`` raises and leaves no file behind (the
+    single INSERT transaction rolls back)."""
     from ..dggs import cells as cells_kernel
 
     if geometry not in ("point", "polygon"):
         raise ValueError(f"unknown geometry {geometry!r}")
-    rows = cells.collect()
-    if len(rows) > max_rows:
-        raise ValueError(
-            f"{len(rows)} cells exceed max_rows={max_rows}; GeoPackage is a "
-            f"single-file exchange format — use cells_io.write_cells for "
-            f"web-scale tables")
     band_cols = [c for c in cells.columns if c != cellid_col]
-    cellids = [r[cellid_col] for r in rows]
-    cx, cy = cells_kernel.cellid_to_planar_centroid(cellids) if cellids else ([], [])
-    if geometry == "polygon" and cellids:
-        verts = cells_kernel.cellid_to_vertices(cellids)
-        blobs = [_gpkg_polygon_blob(verts[i]) for i in range(len(cellids))]
-    else:
-        blobs = [_gpkg_point_blob(float(cx[i]), float(cy[i]))
-                 for i in range(len(cellids))]
+
+    def _chunk_rows(chunk):
+        """(blobs, rows) for one buffered chunk — kernel calls stay
+        vectorized over the chunk."""
+        cellids = [r[cellid_col] for r in chunk]
+        cx, cy = cells_kernel.cellid_to_planar_centroid(cellids)
+        if geometry == "polygon":
+            verts = cells_kernel.cellid_to_vertices(cellids)
+            blobs = [_gpkg_polygon_blob(verts[i]) for i in range(len(cellids))]
+        else:
+            blobs = [_gpkg_point_blob(float(cx[i]), float(cy[i]))
+                     for i in range(len(cellids))]
+        return blobs, cx, cy
 
     try:
         os.remove(path)
     except FileNotFoundError:
         pass
     con = sqlite3.connect(path)
+    try:
+        n = _write_gpkg(con, cells, attrs, layer, cellid_col, max_rows,
+                        band_cols, geometry, _chunk_rows)
+    except Exception:
+        con.close()
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+        raise
+    con.close()
+    return n
+
+
+#: rows buffered per executemany/kernel batch in write_cells_geopackage
+#: (module-level so tests can shrink it to exercise multi-chunk writes)
+GPKG_CHUNK = 8192
+
+
+def _write_gpkg(con, cells, attrs, layer, cellid_col, max_rows,
+                band_cols, geometry, _chunk_rows) -> int:
+    _CHUNK = GPKG_CHUNK
     with con:
         con.execute(f"PRAGMA application_id = {GPKG_APPLICATION_ID}")
         con.execute("PRAGMA user_version = 10200")  # GeoPackage 1.2
@@ -111,9 +138,38 @@ def write_cells_geopackage(cells: DataFrame, path: str, attrs: dict,
         con.execute(f"""CREATE TABLE "{layer}" (
             fid INTEGER PRIMARY KEY AUTOINCREMENT,
             geom BLOB, "{cellid_col}" TEXT{bands_ddl})""")
+        ph = ", ".join("?" * (2 + len(band_cols)))
+        ins = (f'INSERT INTO "{layer}" (geom, "{cellid_col}"'
+               + "".join(f', "{c}"' for c in band_cols) + f") VALUES ({ph})")
         ext = [None, None, None, None]
-        if cellids:
-            ext = [min(cx), min(cy), max(cx), max(cy)]
+        n_rows = 0
+        buf: list = []
+
+        def _flush():
+            nonlocal ext
+            blobs, cx, cy = _chunk_rows(buf)
+            if ext[0] is None:
+                ext = [min(cx), min(cy), max(cx), max(cy)]
+            else:
+                ext = [min(ext[0], min(cx)), min(ext[1], min(cy)),
+                       max(ext[2], max(cx)), max(ext[3], max(cy))]
+            con.executemany(ins, [
+                (blobs[i], buf[i][cellid_col], *[buf[i][c] for c in band_cols])
+                for i in range(len(buf))])
+            buf.clear()
+
+        for row in cells.toLocalIterator():
+            buf.append(row)
+            n_rows += 1
+            if n_rows > max_rows:
+                raise ValueError(
+                    f"cell table exceeds max_rows={max_rows}; GeoPackage is "
+                    f"a single-file exchange format — use "
+                    f"cells_io.write_cells for web-scale tables")
+            if len(buf) >= _CHUNK:
+                _flush()
+        if buf:
+            _flush()
         con.execute(
             "INSERT INTO gpkg_contents (table_name, data_type, identifier,"
             " min_x, min_y, max_x, max_y, srs_id) VALUES (?, 'features', ?,"
@@ -121,12 +177,6 @@ def write_cells_geopackage(cells: DataFrame, path: str, attrs: dict,
         con.execute("INSERT INTO gpkg_geometry_columns VALUES (?, 'geom',"
                     " ?, ?, 0, 0)",
                     (layer, geometry.upper(), SRS_ID))
-        ph = ", ".join("?" * (2 + len(band_cols)))
-        con.executemany(
-            f'INSERT INTO "{layer}" (geom, "{cellid_col}"'
-            + "".join(f', "{c}"' for c in band_cols) + f") VALUES ({ph})",
-            [(blobs[i], rows[i][cellid_col],
-               *[rows[i][c] for c in band_cols]) for i in range(len(rows))])
         # attrs metadata — same extension + metadata rows as the reference
         # (storage.py:51-66), so get_gpkg_rhpx_metadata reads ours verbatim
         con.execute("""CREATE TABLE gpkg_extensions (
@@ -148,8 +198,7 @@ def write_cells_geopackage(cells: DataFrame, path: str, attrs: dict,
             "INSERT INTO gpkg_metadata (id, md_scope, md_standard_uri,"
             " mime_type, metadata) VALUES (1, 'dataset', ?,"
             " 'application/json', ?)", (MD_STANDARD_URI, json.dumps(attrs)))
-    con.close()
-    return len(rows)
+    return n_rows
 
 
 def read_cells_geopackage(spark: SparkSession, path: str,

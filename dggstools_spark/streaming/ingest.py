@@ -59,14 +59,21 @@ def dedup_stream(docs: DataFrame, text_col: str = "text",
                  watermark: str = "10 minutes") -> DataFrame:
     """Streaming exact dedup: drop re-arrivals of the same (keys..., content
     hash) across micro-batches, then count survivors per key — the
-    continuous-ingest twin of dedup.exact_dedup.  The watermark bounds the
-    dedup state (a re-arrival later than the watermark delay may survive —
-    the standard streaming-dedup contract); chained stateful ops
-    (dropDuplicates -> agg) are fine on Spark >= 3.4 with the watermark
-    set.  The dedup key includes the grouping keys so per-key counts are
+    continuous-ingest twin of dedup.exact_dedup.
+
+    Uses ``dropDuplicatesWithinWatermark`` (Spark >= 3.5), whose state is
+    genuinely watermark-bounded: a key's state is evicted once the
+    watermark passes its event time plus the delay, so a re-arrival whose
+    event time differs by MORE than ``watermark`` may survive — the
+    standard streaming-dedup contract, and exactly what unbounded
+    continuous ingest needs.  (Plain ``dropDuplicates`` on a subset that
+    omits the event-time column keeps state forever — it only looked
+    bounded in finite availableNow runs; ADVICE r3.)  Chained stateful ops
+    (dedup -> agg) are fine on Spark >= 3.4 with the watermark set.  The
+    dedup key includes the grouping keys so per-key counts are
     deterministic even when identical content appears under two keys."""
     keys = key_cols or ["source"]
     hashed = (docs.withColumn("_h", F.md5(F.col(text_col)))
               .withWatermark("event_time", watermark)
-              .dropDuplicates([*keys, "_h"]))
+              .dropDuplicatesWithinWatermark([*keys, "_h"]))
     return hashed.groupBy(*keys).agg(F.count("*").alias("n_unique"))

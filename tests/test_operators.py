@@ -231,6 +231,23 @@ def test_simhash_identical_docs_equal(dup_corpus):
         assert vals[i] == vals[i + 1]
 
 
+def test_simhash_relational_equals_pandas(spark, dup_corpus):
+    """The JVM-side relational simhash (the 100-TB path) is bit-identical
+    to the original Arrow-UDF construction, including empty/null texts and
+    multi-space token edge cases."""
+    edge = spark.createDataFrame(
+        [(200, ""), (201, None), (202, "one"), (203, "a  b"),
+         (204, " leading"), (205, "trailing ")],
+        "id long, text string")
+    df = dup_corpus.unionByName(edge)
+    rel = {r.id: r.simhash64
+           for r in dedup.simhash(df, "text", "id", impl="relational").collect()}
+    pdu = {r.id: r.simhash64
+           for r in dedup.simhash(df, "text", "id", impl="pandas").collect()}
+    assert rel == pdu
+    assert rel[200] == 0 and rel[201] == 0
+
+
 def test_embedding_cosine_pairs(spark):
     rng = np.random.default_rng(8)
     base = rng.normal(size=16)
@@ -532,6 +549,19 @@ def test_pip_narrow_shuffle_matches_default(spark):
                points_in_polygons(pts, polys, narrow_shuffle=True).collect())
     assert a == b
     assert len(a) == 3  # both copies of the dup row report
+
+    # auto mode (narrow_shuffle=None): schema-only width probe — the wide
+    # media/embedding payload flips to the narrow rejoin path, the narrow
+    # key table keeps the single-pass plan
+    from dggstools_spark.operators.spatial_join import (NARROW_WIDTH_BYTES,
+                                                        _est_row_width)
+    assert _est_row_width(pts.schema) <= NARROW_WIDTH_BYTES
+    wide = pts.withColumn("media", F.col("payload").cast("binary")) \
+              .withColumn("embedding", F.array(*[F.col("px")] * 2))
+    assert _est_row_width(wide.schema) > NARROW_WIDTH_BYTES
+    c = sorted(tuple(r) for r in points_in_polygons(wide, polys)
+               .select("pid", "px", "py", "payload", "poly_id").collect())
+    assert a == c
 
 
 def test_winnow_fingerprints_match_reference(spark):

@@ -461,3 +461,40 @@ def test_geopackage_polygon_geometry(spark, tmp_path):
     for i in range(4):
         assert abs(pts[i][0] - exp[i][0]) < 1e-6
         assert abs(pts[i][1] - exp[i][1]) < 1e-6
+
+
+def test_geopackage_streaming_write_and_cap(spark, tmp_path, monkeypatch):
+    """The sink streams via toLocalIterator in chunks (no full collect):
+    a multi-chunk write produces the same file contents + extent, and a
+    table over max_rows raises mid-stream leaving NO file behind."""
+    import os
+    import sqlite3
+
+    from dggstools_spark.dggs.cells import cellid_to_planar_centroid
+    from dggstools_spark.sources import cells_io, geopackage
+    from dggstools_spark.sources.geopackage import write_cells_geopackage
+
+    monkeypatch.setattr(geopackage, "GPKG_CHUNK", 3)  # force several flushes
+    ids = [f"N{i}" for i in range(9)] + ["Q1"]
+    cells = spark.createDataFrame([(c, float(i)) for i, c in enumerate(ids)],
+                                  "cellid string, band1 double")
+    attrs = cells_io.build_attrs(3, 1, None)
+    path = str(tmp_path / "chunked.gpkg")
+    assert write_cells_geopackage(cells, path, attrs) == 10
+
+    con = sqlite3.connect(path)
+    rows = con.execute('SELECT cellid, band1 FROM "data" ORDER BY band1').fetchall()
+    assert rows == [(c, float(i)) for i, c in enumerate(ids)]
+    ext = con.execute("SELECT min_x, min_y, max_x, max_y FROM gpkg_contents"
+                      ).fetchone()
+    cx, cy = cellid_to_planar_centroid(ids)
+    assert abs(ext[0] - min(float(v) for v in cx)) < 1e-6
+    assert abs(ext[3] - max(float(v) for v in cy)) < 1e-6
+    con.close()
+
+    import pytest
+
+    capped = str(tmp_path / "capped.gpkg")
+    with pytest.raises(ValueError, match="max_rows"):
+        write_cells_geopackage(cells, capped, attrs, max_rows=5)
+    assert not os.path.exists(capped)
