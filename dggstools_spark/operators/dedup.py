@@ -324,29 +324,36 @@ def _simhash_pandas(df: DataFrame, text_col: str, out: str) -> DataFrame:
 def embedding_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
                            threshold: float = 0.95,
                            n_planes: int = 8,
-                           max_bucket: int | None = 2000) -> DataFrame:
+                           max_bucket: int | None = 2000,
+                           dim: int | None = None) -> DataFrame:
     """Embedding near-dup: random-hyperplane LSH bucket join (deterministic
     planes from a fixed seed) + exact cosine verification, returning pairs
     with cos >= threshold as (a_id, b_id, cos_ppm).  ``max_bucket`` is the
     hot-bucket guard (see _cap_hot_keys) — a degenerate embedding cluster
-    (e.g. the zero vector from empty docs) lands in one bucket."""
-    from .similarity import signature_spark
+    (e.g. the zero vector from empty docs) lands in one bucket.  Pass the
+    known embedding ``dim`` to compile the cosine/signature folds into flat
+    codegen-able sums (same doubles; see similarity.dot_spark)."""
+    from .similarity import dot_spark, nrm_spark, signature_spark
 
-    dot = ("aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-           " 0.0D, (acc, v) -> acc + v)")
-    nrm = "sqrt(" + dot.format(a="{v}", b="{v}") + ")"
     # deterministic integer-arithmetic planes (operators/similarity.py) —
-    # portable to the DuckDB oracle, unlike Spark's murmur3 hash()
+    # portable to the DuckDB oracle, unlike Spark's murmur3 hash().
+    # NOTE: norms here are deliberately per PAIR, not per vector — adding a
+    # norm column to this scan project (which already carries the wide flat
+    # signature) pushed the generated stage past janino's 64KB method limit
+    # and the whole stage fell back to interpreted evaluation (measured
+    # 128 s vs 25 s at sf1; SCALE.md round-4 study).  The ann_topk/ivf
+    # operators use per-vector norms because their scan stages stay under
+    # the limit.
     sig = df.select(
         id_col, vec_col,
-        F.expr(signature_spark(vec_col, n_planes)).alias("bucket"),
+        F.expr(signature_spark(vec_col, n_planes, dim)).alias("bucket"),
     )
     sig = _cap_hot_keys(sig, "bucket", max_bucket)
     a = sig.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"), "bucket")
     b = sig.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"), "bucket")
     pairs = a.join(b, "bucket").filter(F.col("a_id") < F.col("b_id"))
-    cos = (dot.format(a="a_vec", b="b_vec") + " / (" + nrm.format(v="a_vec")
-           + " * " + nrm.format(v="b_vec") + ")")
+    cos = (dot_spark("a_vec", "b_vec", dim) + " / (" + nrm_spark("a_vec", dim)
+           + " * " + nrm_spark("b_vec", dim) + ")")
     return (
         pairs.withColumn("cos_ppm", F.round(F.expr(cos) * 1e6).cast("bigint"))
         .filter(F.col("cos_ppm") >= int(threshold * 1e6))
@@ -385,15 +392,60 @@ def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str = "doc_id",
     return mins.select(id_col, F.col("_m").alias(out)).distinct()
 
 
+#: last cap chosen by winnow_pairs(max_doc_freq='auto') — observability
+#: next to guard_metrics()
+last_winnow_cap: dict = {}
+
+
+def winnow_auto_cap(fps: DataFrame, id_col: str = "doc_id",
+                    q: float = 0.99, corpus_frac: float = 0.01,
+                    floor: int = 8) -> int:
+    """Corpus-derived doc-frequency cap for winnow_pairs, replacing the
+    flat 500 with the rule the SCALE.md round-3 study motivates: a
+    genuinely copied passage's fingerprint sits in the extreme tail of the
+    fingerprint doc-frequency distribution AND spans only a vanishing
+    fraction of the corpus, so
+
+        cap = min( P_q(doc-frequency),  max(floor, corpus_frac * n_docs) )
+
+    On long-tail web corpora the quantile governs — only the top
+    (1-q) boilerplate share is dropped.  On TEMPLATED corpora (the
+    synthetic tables: p50/p99 = 288/3,853 of 5,000 docs share a
+    fingerprint) the quantile is useless and the absolute corpus-fraction
+    bound governs, dropping template fingerprints — the study's "max
+    plausible cluster size of a genuinely copied passage" reading.
+    ``floor`` keeps tiny corpora from capping below a real copy cluster.
+    Costs two tiny jobs over ``fps`` (one per-fp count agg + one distinct
+    id count) — callers should pass a materialized fps frame."""
+    freq = fps.groupBy("fp").agg(F.count("*").alias("_df"))
+    qv = freq.agg(F.expr(f"approx_percentile(_df, {q})").alias("q")).first()["q"] or 1
+    n_docs = fps.select(id_col).distinct().count()
+    return max(2, int(min(float(qv), max(float(floor), corpus_frac * n_docs))))
+
+
 def winnow_pairs(df: DataFrame, text_col: str, id_col: str = "doc_id",
-                 max_doc_freq: int | None = 500) -> DataFrame:
+                 max_doc_freq: "int | str | None" = "auto") -> DataFrame:
     """Copied-passage candidate pairs: docs sharing at least one winnowing
     fingerprint, with the shared-fingerprint count.  Same bounded-self-join
     shape as ngram_jaccard_pairs: fingerprints hitting more than
     ``max_doc_freq`` docs are boilerplate and are dropped (observable via
     guard_metrics) before the join, so no fingerprint fans out
-    quadratically."""
+    quadratically.
+
+    ``max_doc_freq='auto'`` (default) derives the cap from the corpus's own
+    fingerprint doc-frequency distribution (winnow_auto_cap; the chosen
+    value is recorded in ``last_winnow_cap``) at the cost of materializing
+    the fingerprint frame once plus two tiny stat jobs; pass an int to pin
+    it, or None to disable the guard entirely (unbounded self-join — never
+    at scale)."""
     fps = winnow_fingerprints(df, text_col, id_col)
+    if max_doc_freq == "auto":
+        # materialize: the stat jobs and the pair join otherwise each
+        # recompute the rolling-hash window pass
+        fps = fps.localCheckpoint(eager=True)
+        max_doc_freq = winnow_auto_cap(fps, id_col)
+        last_winnow_cap["cap"] = max_doc_freq
+        logger.info("winnow_pairs auto max_doc_freq = %d", max_doc_freq)
     capped = _cap_hot_keys(fps, "fp", max_doc_freq, min_bucket=2)
     a = capped.select(F.col(id_col).alias("doc_a"), "fp")
     b = capped.select(F.col(id_col).alias("doc_b"), "fp")

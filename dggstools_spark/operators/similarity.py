@@ -38,13 +38,51 @@ def _sign_sql(p: int, j: str) -> str:
             f" % {PLANE_MOD}) % 2) AS DOUBLE)")
 
 
-def signature_spark(vec: str, n_planes: int) -> str:
-    """Spark SQL: '0'/'1' bucket string of ``n_planes`` hyperplane signs."""
+def _sign_val(p: int, j: int) -> int:
+    """The same hyperplane sign, evaluated at snippet-build time."""
+    return 1 - 2 * (((j * PLANE_MULT_J + p * PLANE_MULT_P) % PLANE_MOD) % 2)
+
+
+def dot_spark(a: str, b: str, dim: int | None = None) -> str:
+    """Exact-cosine dot snippet for Spark.  With ``dim`` (a KNOWN, modest
+    embedding width — every row must carry exactly that many elements)
+    emits a FLAT left-associated sum, which whole-stage codegen compiles;
+    the dimension-agnostic ``aggregate(zip_with(...))`` fold runs on
+    Spark's interpreted higher-order-function path and measured ~18x
+    slower than DuckDB's same fold on the sf1 ann_topk rerank (42.8 s vs
+    2.35 s).  Bit-identical floats either way: the flat sum is seeded with
+    the fold's 0.0D and adds in the same index order."""
+    if dim is None:
+        return DOT_SPARK.format(a=a, b=b)
+    terms = " + ".join(f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+                       for i in range(dim))
+    return f"(0.0D + {terms})"
+
+
+def nrm_spark(v: str, dim: int | None = None) -> str:
+    """L2 norm twin of dot_spark (same flat-vs-fold contract)."""
+    if dim is None:
+        return NRM_SPARK.format(v=v)
+    terms = " + ".join(f"CAST({v}[{i}] AS DOUBLE) * CAST({v}[{i}] AS DOUBLE)"
+                       for i in range(dim))
+    return f"sqrt(0.0D + {terms})"
+
+
+def signature_spark(vec: str, n_planes: int, dim: int | None = None) -> str:
+    """Spark SQL: '0'/'1' bucket string of ``n_planes`` hyperplane signs.
+    With ``dim``, the plane weights (compile-time +-1 constants) inline
+    into a flat codegen-able sum (see dot_spark); same doubles."""
     bits = []
     for p in range(n_planes):
-        dot = (f"aggregate(zip_with({vec}, transform(sequence(0, size({vec}) - 1),"
-               f" j -> {_sign_sql(p, 'j')}),"
-               f" (x, w) -> CAST(x AS DOUBLE) * w), 0.0D, (acc, v) -> acc + v)")
+        if dim is None:
+            dot = (f"aggregate(zip_with({vec}, transform(sequence(0, size({vec}) - 1),"
+                   f" j -> {_sign_sql(p, 'j')}),"
+                   f" (x, w) -> CAST(x AS DOUBLE) * w), 0.0D, (acc, v) -> acc + v)")
+        else:
+            terms = " + ".join(
+                f"CAST({vec}[{j}] AS DOUBLE) * {float(_sign_val(p, j))!r}D"
+                for j in range(dim))
+            dot = f"(0.0D + {terms})"
         bits.append(f"CASE WHEN {dot} > 0 THEN '1' ELSE '0' END")
     return "concat(" + ", ".join(bits) + ")"
 
@@ -123,7 +161,8 @@ def ann_topk(cands: DataFrame, queries: DataFrame, k: int,
              vec_col: str = "embedding", id_col: str = "vec_id",
              qid_col: str = "q_id", q_vec: str = "q_emb",
              n_planes: int = 6, probe_hamming: int = 2,
-             max_bucket: int | None = 10000) -> DataFrame:
+             max_bucket: int | None = 10000,
+             dim: int | None = None) -> DataFrame:
     """Approximate top-k cosine neighbors per query: LSH-bucketed candidate
     generation (own bucket + all probes within Hamming ``probe_hamming``)
     + exact rerank.  Output (qid, id, sim rounded 9 dp, rank); self-pairs
@@ -147,11 +186,13 @@ def ann_topk(cands: DataFrame, queries: DataFrame, k: int,
     from .dedup import _cap_hot_keys
 
     csig = cands.select(id_col, vec_col).withColumn(
-        "bucket", F.expr(signature_spark(vec_col, n_planes)))
+        "bucket", F.expr(signature_spark(vec_col, n_planes, dim))).withColumn(
+        "_nc", F.expr(nrm_spark(vec_col)))
     if max_bucket is not None:
         csig = _cap_hot_keys(csig, "bucket", max_bucket, min_bucket=1)
     qsig = queries.select(qid_col, q_vec).withColumn(
-        "_qb", F.expr(signature_spark(q_vec, n_planes)))
+        "_qb", F.expr(signature_spark(q_vec, n_planes, dim))).withColumn(
+        "_nq", F.expr(nrm_spark(q_vec)))
     # materialize the (small, broadcast-bound) signed query side once, so
     # the staged probe expansion references a plain column instead of
     # re-inlining the signature expression per union branch
@@ -159,11 +200,12 @@ def ann_topk(cands: DataFrame, queries: DataFrame, k: int,
     qprobe = probe_frame(qsig, n_planes, probe_hamming).drop("_qb")
     pairs = csig.join(F.broadcast(qprobe), "bucket") \
         .filter(F.col(id_col) != F.col(qid_col))
-    dot = DOT_SPARK.format(a=q_vec, b=vec_col)
-    nrm_q = NRM_SPARK.format(v=q_vec)
-    nrm_c = NRM_SPARK.format(v=vec_col)
+    # per-vector norms were computed on each side pre-join; the equi-join
+    # rerank stage folds only the dot (flat when dim is known — this stage
+    # codegens it, unlike the BNLJ assign shape; see dot_spark)
+    dot = dot_spark(q_vec, vec_col, dim)
     pairs = pairs.withColumn(
-        "sim", F.expr(f"round(({dot}) / ({nrm_q} * {nrm_c}), 9)"))
+        "sim", F.expr(f"round(({dot}) / (_nq * _nc), 9)"))
     w = Window.partitionBy(qid_col).orderBy(F.col("sim").desc(), F.col(id_col))
     return (pairs.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -180,9 +222,9 @@ def ann_topk(cands: DataFrame, queries: DataFrame, k: int,
 # iterations for better list balance (deterministic too, pytest-pinned).
 # --------------------------------------------------------------------------
 
-def _sim_expr(a: str, b: str) -> str:
-    dot = DOT_SPARK.format(a=a, b=b)
-    return f"round(({dot}) / ({NRM_SPARK.format(v=a)} * {NRM_SPARK.format(v=b)}), 9)"
+def _sim_expr(a: str, b: str, dim: int | None = None) -> str:
+    dot = dot_spark(a, b, dim)
+    return f"round(({dot}) / ({nrm_spark(a, dim)} * {nrm_spark(b, dim)}), 9)"
 
 
 def ivf_centroids(cands: DataFrame, vec_col: str = "embedding",
@@ -197,18 +239,35 @@ def ivf_centroids(cands: DataFrame, vec_col: str = "embedding",
 
 
 def ivf_assign(cands: DataFrame, cents: DataFrame, vec_col: str = "embedding",
-               id_col: str = "vec_id") -> DataFrame:
+               id_col: str = "vec_id", dim: int | None = None,
+               keep_norm: str | None = None) -> DataFrame:
     """Nearest-centroid assignment: broadcast the (small) centroid table,
-    one window top-1 per candidate (WindowGroupLimit keeps it map-side)."""
+    one window top-1 per candidate (WindowGroupLimit keeps it map-side).
+
+    Norms are per-VECTOR attributes: each side computes its own BEFORE the
+    (candidate x centroid) broadcast nested-loop join, so the pair stage
+    folds only the dot — measured 4x on the sf1 assignment (40.7 -> 10.6 s
+    for 20k x 870; probe log in SCALE.md).  The pair dot deliberately stays
+    the HOF fold: in this BNLJ stage the flat known-dim sum (dot_spark
+    dim=...) falls out of whole-stage codegen and interprets ~12x SLOWER
+    (168.7 s same probe) — flat is for equi-join rerank stages only.
+    Rounded sims are bit-identical either way (same fold, same order).
+    ``keep_norm`` names an output column carrying the candidate norm so a
+    downstream rerank can reuse it instead of re-folding."""
     from pyspark.sql.window import Window
 
-    sim = F.expr(_sim_expr(vec_col, "cvec"))
+    e = cands.withColumn("_ne", F.expr(nrm_spark(vec_col)))
+    c = cents.withColumn("_ncn", F.expr(nrm_spark("cvec")))
+    dot = DOT_SPARK.format(a=vec_col, b="cvec")
+    sim = F.expr(f"round(({dot}) / (_ne * _ncn), 9)")
     w = Window.partitionBy(id_col).orderBy(F.col("_s").desc(), "cid")
-    return (cands.join(F.broadcast(cents))
+    out_cols = [id_col, vec_col, "cid"] + (
+        [F.col("_ne").alias(keep_norm)] if keep_norm else [])
+    return (e.join(F.broadcast(c))
             .withColumn("_s", sim)
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
-            .select(id_col, vec_col, "cid"))
+            .select(*out_cols))
 
 
 #: quantization scale for 'quantized' Lloyd means — a power of two, so the
@@ -220,7 +279,8 @@ MEAN_QUANT = 1 << 20
 def ivf_refine(cands: DataFrame, cents: DataFrame, iters: int = 2,
                vec_col: str = "embedding", id_col: str = "vec_id",
                mean_mode: str = "quantized",
-               deterministic_fold: bool | None = None) -> DataFrame:
+               deterministic_fold: bool | None = None,
+               dim: int | None = None) -> DataFrame:
     """Optional Lloyd refinement: assign -> element-wise mean per cluster
     (posexplode + two hash aggs), keeping the seed centroid for any cluster
     that loses all members.  Each iteration is one broadcast join + two
@@ -250,7 +310,7 @@ def ivf_refine(cands: DataFrame, cents: DataFrame, iters: int = 2,
     if mean_mode not in ("quantized", "native", "ordered_fold"):
         raise ValueError(f"unknown mean_mode {mean_mode!r}")
     for _ in range(iters):
-        assigned = ivf_assign(cands, cents, vec_col, id_col)
+        assigned = ivf_assign(cands, cents, vec_col, id_col, dim)
         per_pos = assigned.select(
             "cid", F.col(id_col),
             F.posexplode(F.expr(
@@ -287,7 +347,8 @@ def ivf_topk(cands: DataFrame, queries: DataFrame, k: int,
              vec_col: str = "embedding", id_col: str = "vec_id",
              qid_col: str = "q_id", q_vec: str = "q_emb",
              mod: int = 23, residue: int = 3, nprobe: int = 3,
-             refine_iters: int = 0, mean_mode: str = "quantized") -> DataFrame:
+             refine_iters: int = 0, mean_mode: str = "quantized",
+             dim: int | None = None) -> DataFrame:
     """Approximate top-k cosine neighbors per query via inverted lists:
     probe the ``nprobe`` centroids nearest to the query, exact-rerank only
     their members.  Output (qid, id, sim, rank); self-pairs excluded.
@@ -301,20 +362,27 @@ def ivf_topk(cands: DataFrame, queries: DataFrame, k: int,
     cents = ivf_centroids(cands, vec_col, id_col, mod, residue)
     if refine_iters:
         cents = ivf_refine(cands, cents, refine_iters, vec_col, id_col,
-                           mean_mode=mean_mode)
-    assigned = ivf_assign(cands, cents, vec_col, id_col)
+                           mean_mode=mean_mode, dim=dim)
+    assigned = ivf_assign(cands, cents, vec_col, id_col, dim,
+                          keep_norm="_ncand")
 
-    psim = F.expr(_sim_expr(q_vec, "cvec"))
+    # probe selection: (query x centroid) BNLJ with per-side norms (see
+    # ivf_assign); probes carry the query norm forward into the rerank
+    q = queries.withColumn("_nq", F.expr(nrm_spark(q_vec)))
+    c = cents.withColumn("_ncn", F.expr(nrm_spark("cvec")))
+    pdot = DOT_SPARK.format(a=q_vec, b="cvec")
     pw = Window.partitionBy(qid_col).orderBy(F.col("_s").desc(), "cid")
-    probes = (queries.join(F.broadcast(cents))
-              .withColumn("_s", psim)
+    probes = (q.join(F.broadcast(c))
+              .withColumn("_s", F.expr(f"round(({pdot}) / (_nq * _ncn), 9)"))
               .withColumn("_rn", F.row_number().over(pw))
               .filter(F.col("_rn") <= nprobe)
-              .select(qid_col, q_vec, "cid"))
+              .select(qid_col, q_vec, "_nq", "cid"))
 
+    # rerank: equi-join stage — the flat known-dim dot codegens here
     pairs = assigned.join(F.broadcast(probes), "cid") \
         .filter(F.col(id_col) != F.col(qid_col))
-    sim = F.expr(_sim_expr(q_vec, vec_col))
+    sim = F.expr(f"round(({dot_spark(q_vec, vec_col, dim)})"
+                 f" / (_nq * _ncand), 9)")
     rw = Window.partitionBy(qid_col).orderBy(F.col("sim").desc(), F.col(id_col))
     return (pairs.withColumn("sim", sim)
             .withColumn("rank", F.row_number().over(rw))

@@ -292,15 +292,22 @@ KNN_K = 3
 def q_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
+    from .operators.similarity import dot_spark, nrm_spark
+
     emb = load(spark, sf_dir, "embeddings")
+    # norms once per vector on each side of the brute-force BNLJ; the pair
+    # stage folds only the HOF dot (flat sums fall out of codegen in BNLJ
+    # stages — similarity.ivf_assign docstring)
     qs = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
-    cands = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
-    dot = "aggregate(zip_with(q_emb, c_emb, (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
-    nrm = ("sqrt(aggregate(transform({0}, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)), 0.0D, (acc, v) -> acc + v))")
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
+        F.expr(nrm_spark("embedding")).alias("_nq"))
+    cands = emb.select(F.col("vec_id").alias("cand_id"),
+                       F.col("embedding").alias("c_emb"),
+                       F.expr(nrm_spark("embedding")).alias("_nc"))
+    dot = dot_spark("q_emb", "c_emb")
     pairs = (
         cands.join(F.broadcast(qs), F.col("cand_id") != F.col("q_id"))
-        .withColumn("sim", F.expr(f"round(({dot}) / ({nrm.format('q_emb')} * {nrm.format('c_emb')}), 9)"))
+        .withColumn("sim", F.expr(f"round(({dot}) / (_nq * _nc), 9)"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
     return (

@@ -622,6 +622,7 @@ def _oracle_area_error() -> str:
 ANN_K = 3
 ANN_PLANES = 6
 ANN_HAMMING = 2
+EMB_DIM = 64  # synth embeddings width; compiles cosine folds flat (codegen)
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -635,7 +636,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixtures, and replicating it in SQL would re-implement the guard
     # rather than independently check the search
     out = ann_topk(emb, qs, ANN_K, n_planes=ANN_PLANES, probe_hamming=ANN_HAMMING,
-                   max_bucket=None)
+                   max_bucket=None, dim=EMB_DIM)
     return out.select(
         "q_id", F.col("vec_id").alias("cand_id"),
         F.round(F.col("sim") * 1e9).cast("bigint").alias("sim_nano"),
@@ -686,7 +687,7 @@ def q_embed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (see q_ann_topk note); the cap is pytest-covered
     return embedding_cosine_pairs(emb, "embedding", "vec_id",
                                   threshold=EP_THRESHOLD, n_planes=EP_PLANES,
-                                  max_bucket=None)
+                                  max_bucket=None, dim=EMB_DIM)
 
 
 def _oracle_embed_pairs() -> str:

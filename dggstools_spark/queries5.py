@@ -393,7 +393,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
     return ivf_topk(emb, qs, IVF_K, mod=IVF_MOD, residue=IVF_RES,
-                    nprobe=IVF_NPROBE)
+                    nprobe=IVF_NPROBE, dim=IVF_DIM)
 
 
 def _oracle_ivf_topk() -> str:
@@ -530,7 +530,7 @@ def q_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
     return ivf_topk(emb, qs, IVF_K, mod=IVF_MOD, residue=IVF_RES,
-                    nprobe=IVF_NPROBE, refine_iters=1)
+                    nprobe=IVF_NPROBE, refine_iters=1, dim=IVF_DIM)
 
 
 def _oracle_ivf_refined() -> str:

@@ -30,7 +30,12 @@ SRC_DIR = "/root/testdata/sf0.1"
 N_REPLICAS = 10
 ID_STRIDE = 10_000_000
 DEFAULT_QUERIES = ["minhash", "embed_pairs", "auid_optimize", "knn_cells",
-                   "winnow_pairs"]
+                   "winnow_pairs",
+                   # round-4 breadth (VERDICT r3 item 5): the remaining
+                   # heavyweights + the two queries whose operators changed
+                   # this round (relational simhash, quantized-mean IVF)
+                   "ivf_refined", "ivf_topk", "ngram_pairs", "simhash",
+                   "dedup_exact", "ann_topk", "salted_topk"]
 SMALL_TABLES = ["region", "nation", "customer", "supplier", "part",
                 "orders", "lineitem", "events"]
 
@@ -113,8 +118,18 @@ def main() -> int:
         results[name] = rec
         print(f"{name}: {'OK' if ok else 'MISMATCH'} {rec}", flush=True)
 
-    with open("/root/repo/CORRECTNESS_sf1.json", "w") as f:
-        json.dump(results, f, indent=2)
+    # merge into the existing artifact so partial reruns (a named subset)
+    # refresh their own rows without clobbering the rest of the gate
+    out_path = "/root/repo/CORRECTNESS_sf1.json"
+    merged: dict = {}
+    try:
+        with open(out_path) as f:
+            merged = json.load(f)
+    except Exception:
+        pass
+    merged.update(results)
+    with open(out_path, "w") as f:
+        json.dump(merged, f, indent=2)
     print(f"FAILURES: {failures or 'none'}")
     return 1 if failures else 0
 

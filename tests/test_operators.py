@@ -564,6 +564,34 @@ def test_pip_narrow_shuffle_matches_default(spark):
     assert a == c
 
 
+def test_winnow_auto_cap_templated_corpus(spark):
+    """max_doc_freq='auto' derives the cap from the corpus: on a templated
+    corpus the corpus-fraction bound governs, template fingerprints are
+    dropped (observable), and a genuine 2-doc copied passage survives."""
+    template = ("the quick brown fox jumps over the lazy dog while the band "
+                "plays the same old tune once more for everyone ")
+    rows = [(i, template + f"unique tail number {i} marker zz{i}q")
+            for i in range(60)]
+    copied = ("xylophone quartz vermilion buzzard mosaic feather stone "
+              "granite lantern whisper")
+    rows.append((100, "prefix alpha " + copied))
+    rows.append((101, "prefix omega " + copied))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): r.n_shared
+           for r in dedup.winnow_pairs(df, "text").collect()}
+    cap = dedup.last_winnow_cap["cap"]
+    assert 2 <= cap < 60  # template fps (doc-freq 60) fall above the cap
+    assert (100, 101) in got  # the genuine copied passage survives
+    # template mass is gone: without the cap every template pair (C(60,2) =
+    # 1770) would share the full template fingerprint set; what remains are
+    # weak digit-coincidence pairs ("...0 marker..." in docs 0/20/40), each
+    # sharing far fewer fingerprints than the real copy
+    assert max(got, key=got.get) == (100, 101)
+    others = [v for k, v in got.items() if k != (100, 101)]
+    assert len(others) < 400
+    assert not others or max(others) < got[(100, 101)] / 2
+
+
 def test_winnow_fingerprints_match_reference(spark):
     """Spark relational winnowing == DuckDB list twin == a direct Python
     implementation of the MOSS scheme, including short-doc edge cases."""
