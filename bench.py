@@ -218,7 +218,8 @@ def main() -> None:
     # steady state (what projects to a long-running cluster job)
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     runs, burns, steals = [], [], []
-    for _ in range(n_runs):
+
+    def one_flagship_run():
         burns.append(round(wait_for_quiet(), 3))  # steal-filter the start
         s0, t0 = read_steal_jiffies(), time.time()
         runs.append(flagship(spark, n_docs))
@@ -226,6 +227,18 @@ def main() -> None:
         # % of this run's wall-clock CPU budget stolen by the host
         # (jiffies at 100 Hz across all 32 vCPUs)
         steals.append(round((read_steal_jiffies() - s0) / (dt * 32 * 100) * 100, 1))
+
+    for _ in range(n_runs):
+        one_flagship_run()
+    # bounded clean-run seeking (TODO_r4 item 6): if EVERY counted run was
+    # visibly stolen (steal >= 1%), the best-of-N is a lower bound on a
+    # contended machine, not the steady state — retry up to n_runs extra
+    # times until one clean run lands; min over all runs stays conservative
+    # (steal only ever slows a run down)
+    extra = 0
+    while min(steals) >= 1.0 and extra < n_runs:
+        one_flagship_run()
+        extra += 1
     t_flag = min(runs)
     queries["flagship_tile_assignment"] = round(t_flag, 3)
     result["flagship_cold_sec"] = round(runs[0], 3)
