@@ -258,17 +258,20 @@ def simhash(df: DataFrame, text_col: str, id_col: str, out: str = "simhash64",
         return _simhash_pandas(df, text_col, out)
     if impl != "relational":
         raise ValueError(f"simhash impl must be 'relational' or 'pandas', got {impl!r}")
-    sig = _simhash_relational_ids(df, text_col, id_col, out)
+    sig = simhash_ids(df, text_col, id_col, out)
     res = df.join(sig, id_col, "left")
     empty = F.col(text_col).isNull() | (F.col(text_col) == "")
     return res.withColumn(
         out, F.when(empty, F.lit(0).cast("long")).otherwise(F.col(out)))
 
 
-def _simhash_relational_ids(df: DataFrame, text_col: str, id_col: str,
-                            out: str = "simhash64") -> DataFrame:
+def simhash_ids(df: DataFrame, text_col: str, id_col: str,
+                out: str = "simhash64") -> DataFrame:
     """(id, simhash64) via pure relational ops — the same construction the
-    DuckDB oracle uses (queries5._oracle_simhash).  Per doc and half:
+    DuckDB oracle uses (queries5._oracle_simhash).  Docs whose text is NULL
+    or empty are ABSENT from the output (simhash() joins back and fills 0
+    for them); callers that already filtered empties can use this directly
+    and skip the join-back.  Per doc and half:
     vote_j = sum over tokens of (2*bit_j - 1) = 2*sum(bit_j) - n_tokens, so
     64 ``sum(shiftright(h, j) & 1)`` aggregates + one count reproduce every
     vote without exploding bit positions (no 32x row blowup, unlike the
@@ -359,6 +362,51 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
         .filter(F.col("cos_ppm") >= int(threshold * 1e6))
         .select("a_id", "b_id", "cos_ppm")
     )
+
+
+def dedup_clusters(pairs: DataFrame, a: str = "a_id", b: str = "b_id",
+                   node_col: str = "doc_id", cluster_col: str = "cluster_id",
+                   max_iters: int = 30) -> DataFrame:
+    """Connected components over a near-dup pair graph -> one
+    (node, cluster_id) row per node appearing in ``pairs``, with
+    cluster_id = the component's MINIMUM member id (the canonical doc a
+    dedup pass keeps).  This is the step production dedup needs between
+    pair generation (minhash_lsh_pairs / ngram_jaccard_pairs /
+    winnow_pairs / embedding_cosine_pairs) and actually dropping rows:
+    near-dup relations are not transitive, so keep/drop decisions on raw
+    pairs double-drop chains.
+
+    Distributed min-label propagation: per iteration, every node takes the
+    min of its own label and its neighbors' labels — one equi-join + one
+    hash agg on the (node, label) frame, lineage-cut per iteration, with a
+    driver-side converged check (one count of a checkpointed frame).
+    Converges in O(component diameter) iterations; bucketed pair
+    generators emit near-clique components (diameter 1-2), so 2-3
+    iterations are typical and ``max_iters`` is a runaway bound, not a
+    tuning knob.  Isolated docs (no pair) are absent — they are trivially
+    their own cluster.  Deterministic: the min label is order-free."""
+    e = pairs.select(F.col(a).alias("_x"), F.col(b).alias("_y"))
+    edges = e.unionByName(
+        e.select(F.col("_y").alias("_x"), F.col("_x").alias("_y"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = edges.select(F.col("_x").alias("_n")).distinct() \
+        .withColumn("_lab", F.col("_n")).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        nbr_min = (edges.join(
+            labels.select(F.col("_n").alias("_y"), F.col("_lab").alias("_ylab")),
+            "_y")
+            .groupBy("_x").agg(F.min("_ylab").alias("_nmin")))
+        stepped = (labels.join(nbr_min.withColumnRenamed("_x", "_n"), "_n", "left")
+                   .select("_n", "_lab",
+                           F.least(F.col("_lab"),
+                                   F.coalesce("_nmin", F.col("_lab"))).alias("_lab2"))
+                   .localCheckpoint(eager=True))
+        changed = stepped.filter(F.col("_lab2") < F.col("_lab")).count()
+        labels = stepped.select("_n", F.col("_lab2").alias("_lab"))
+        if changed == 0:
+            break
+    return labels.select(F.col("_n").alias(node_col),
+                         F.col("_lab").alias(cluster_col))
 
 
 def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str = "doc_id",

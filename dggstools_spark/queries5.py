@@ -620,12 +620,14 @@ _BIT_SQL = "(CAST(floor({h} / power(2, CAST(j AS DOUBLE))) AS BIGINT) % 2)"
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import simhash
+    from .operators.dedup import simhash_ids
     from .queries3 import load
 
     docs = load(spark, sf_dir, "documents") \
         .filter(F.col("text").isNotNull() & (F.col("text") != ""))
-    sh = simhash(docs, "text", "doc_id")
+    # empties are filtered above, so the ids form (no join-back to restore
+    # payload columns) is exact and saves one shuffle
+    sh = simhash_ids(docs, "text", "doc_id")
     # split the packed int64 into the two unsigned halves the oracle builds
     return sh.select(
         "doc_id",
@@ -715,6 +717,44 @@ def _oracle_ngram_pairs() -> str:
 
 QUERIES5["ngram_pairs"] = q_ngram_pairs
 ORACLES5["ngram_pairs"] = _oracle_ngram_pairs()
+
+
+# --------------------------------------------------------------------------
+# q_dedup_clusters — connected components over the n-gram near-dup pair
+# graph (operators/dedup.dedup_clusters): the keep/drop clustering step of
+# a production dedup pass, value-checked against DuckDB's exact recursive
+# min-reachability (WITH RECURSIVE terminates because UNION dedups the
+# frontier), which is diameter-independent — so the oracle also proves the
+# Spark fixpoint CONVERGED, not just that it stabilized.
+# --------------------------------------------------------------------------
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import dedup_clusters, ngram_jaccard_pairs
+    from .queries3 import load
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id",
+                                threshold=NG_THRESHOLD, max_doc_freq=NG_MAX_DF)
+    return dedup_clusters(pairs).select("doc_id", "cluster_id")
+
+
+def _oracle_dedup_clusters() -> str:
+    return f"""
+    WITH RECURSIVE np AS MATERIALIZED ({_oracle_ngram_pairs()}),
+    edges AS MATERIALIZED (
+        SELECT a_id AS x, b_id AS y FROM np
+        UNION
+        SELECT b_id, a_id FROM np),
+    reach(n, lab) AS (
+        SELECT x, x FROM edges
+        UNION
+        SELECT e.x, r.lab FROM edges e JOIN reach r ON r.n = e.y)
+    SELECT n AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY n
+    """
+
+
+QUERIES5["dedup_clusters"] = q_dedup_clusters
+ORACLES5["dedup_clusters"] = _oracle_dedup_clusters()
 
 
 # --------------------------------------------------------------------------

@@ -248,6 +248,35 @@ def test_simhash_relational_equals_pandas(spark, dup_corpus):
     assert rel[200] == 0 and rel[201] == 0
 
 
+def test_dedup_clusters_components(spark):
+    """Connected components over a pair graph: long chains (diameter >> 1),
+    multiple components, and a singleton edge all collapse to min-member
+    cluster ids, matching a direct union-find reference."""
+    chain = [(i, i + 1) for i in range(10, 20)]          # path: diameter 10
+    clique = [(a, b) for a in range(30, 34) for b in range(a + 1, 34)]
+    extra = [(50, 51)]
+    pairs = spark.createDataFrame(chain + clique + extra, "a_id long, b_id long")
+    got = {r.doc_id: r.cluster_id
+           for r in dedup.dedup_clusters(pairs).collect()}
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in chain + clique + extra:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert got == want
+    assert got[19] == 10 and got[33] == 30 and got[51] == 50
+
+
 def test_embedding_cosine_pairs(spark):
     rng = np.random.default_rng(8)
     base = rng.normal(size=16)
