@@ -35,7 +35,7 @@ DEFAULT_QUERIES = ["minhash", "embed_pairs", "auid_optimize", "knn_cells",
                    # heavyweights + the two queries whose operators changed
                    # this round (relational simhash, quantized-mean IVF)
                    "ivf_refined", "ivf_topk", "ngram_pairs", "simhash",
-                   "dedup_exact", "ann_topk", "salted_topk"]
+                   "dedup_exact", "ann_topk", "salted_topk", "dedup_clusters"]
 SMALL_TABLES = ["region", "nation", "customer", "supplier", "part",
                 "orders", "lineitem", "events"]
 
