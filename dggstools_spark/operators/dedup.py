@@ -376,35 +376,52 @@ def dedup_clusters(pairs: DataFrame, a: str = "a_id", b: str = "b_id",
     near-dup relations are not transitive, so keep/drop decisions on raw
     pairs double-drop chains.
 
-    Distributed min-label propagation: per iteration, every node takes the
-    min of its own label and its neighbors' labels — one equi-join + one
-    hash agg on the (node, label) frame, lineage-cut per iteration, with a
-    driver-side converged check (one count of a checkpointed frame).
-    Converges in O(component diameter) iterations; bucketed pair
-    generators emit near-clique components (diameter 1-2), so 2-3
-    iterations are typical and ``max_iters`` is a runaway bound, not a
-    tuning knob.  Isolated docs (no pair) are absent — they are trivially
-    their own cluster.  Deterministic: the min label is order-free."""
+    Distributed min-label propagation WITH pointer jumping: per iteration,
+    every node takes the min of (its label, its neighbors' labels, its
+    label's label) — two equi-joins + one hash agg on the (node, label)
+    frame, lineage-cut per iteration, driver-side converged check (one
+    count of a checkpointed frame).  The label-of-label hop is what makes
+    long chains converge in O(log diameter) instead of O(diameter) rounds
+    (a neighbor-only walk would silently exceed ``max_iters`` on
+    pathological path graphs); bucketed pair generators emit near-clique
+    components, so 2-3 iterations are typical and ``max_iters=30`` bounds
+    chains of length ~2^30.  A non-converged exit logs a WARNING (labels
+    are then an upper bound, still per-component-consistent prefixes).
+    Isolated docs (no pair) are absent — they are trivially their own
+    cluster.  Deterministic: the min label is order-free."""
     e = pairs.select(F.col(a).alias("_x"), F.col(b).alias("_y"))
     edges = e.unionByName(
         e.select(F.col("_y").alias("_x"), F.col("_x").alias("_y"))
     ).distinct().localCheckpoint(eager=True)
     labels = edges.select(F.col("_x").alias("_n")).distinct() \
         .withColumn("_lab", F.col("_n")).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iters):
         nbr_min = (edges.join(
             labels.select(F.col("_n").alias("_y"), F.col("_lab").alias("_ylab")),
             "_y")
             .groupBy("_x").agg(F.min("_ylab").alias("_nmin")))
-        stepped = (labels.join(nbr_min.withColumnRenamed("_x", "_n"), "_n", "left")
+        prop = (labels.join(nbr_min.withColumnRenamed("_x", "_n"), "_n", "left")
+                .select("_n", "_lab",
+                        F.least(F.col("_lab"),
+                                F.coalesce("_nmin", F.col("_lab"))).alias("_lab1")))
+        # pointer jump: labels are node ids, so chase one hop through the
+        # label table itself — halves remaining chain length every round
+        jmp = prop.select(F.col("_n").alias("_j"), F.col("_lab1").alias("_jlab"))
+        stepped = (prop.join(jmp, prop["_lab1"] == jmp["_j"], "left")
                    .select("_n", "_lab",
-                           F.least(F.col("_lab"),
-                                   F.coalesce("_nmin", F.col("_lab"))).alias("_lab2"))
+                           F.least(F.col("_lab1"),
+                                   F.coalesce(F.col("_jlab"),
+                                              F.col("_lab1"))).alias("_lab2"))
                    .localCheckpoint(eager=True))
         changed = stepped.filter(F.col("_lab2") < F.col("_lab")).count()
         labels = stepped.select("_n", F.col("_lab2").alias("_lab"))
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        logger.warning("dedup_clusters: not converged after %d iterations "
+                       "(component diameter > ~2^%d?)", max_iters, max_iters)
     return labels.select(F.col("_n").alias(node_col),
                          F.col("_lab").alias(cluster_col))
 

@@ -92,13 +92,26 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{SF1_DIR}/{t}.parquet/*.parquet')")
 
+    def steal_jiffies() -> int:
+        try:
+            with open("/proc/stat") as f:
+                return int(f.readline().split()[8])
+        except Exception:
+            return 0
+
+    n_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     results: dict[str, dict] = {}
     failures = []
     for name in names:
-        t0 = time.time()
+        s0, t0 = steal_jiffies(), time.time()
         sdf = QUERIES[name](spark, SF1_DIR).toPandas()
         t_spark = time.time() - t0
-        rec: dict = {"spark_rows": len(sdf), "spark_sec": round(t_spark, 2)}
+        # per-run host-steal share, same accounting as bench.py — a gate
+        # timing with steal_pct > ~1 is a contended sample, not a steady
+        # state (the artifact numbers carry their own credibility marker)
+        stl = (steal_jiffies() - s0) / (t_spark * n_cpus * 100) * 100
+        rec: dict = {"spark_rows": len(sdf), "spark_sec": round(t_spark, 2),
+                     "steal_pct": round(stl, 1)}
         if name == "knn_cells":
             rec["knn_stats"] = spatial_join.last_knn_stats
         if name in ORACLES:

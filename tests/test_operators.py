@@ -252,7 +252,9 @@ def test_dedup_clusters_components(spark):
     """Connected components over a pair graph: long chains (diameter >> 1),
     multiple components, and a singleton edge all collapse to min-member
     cluster ids, matching a direct union-find reference."""
-    chain = [(i, i + 1) for i in range(10, 20)]          # path: diameter 10
+    chain = [(i, i + 1) for i in range(100, 300)]  # path: diameter 200 —
+    # proves the pointer-jump O(log d) convergence (neighbor-only
+    # propagation would need 200 rounds, over max_iters=30)
     clique = [(a, b) for a in range(30, 34) for b in range(a + 1, 34)]
     extra = [(50, 51)]
     pairs = spark.createDataFrame(chain + clique + extra, "a_id long, b_id long")
@@ -274,7 +276,7 @@ def test_dedup_clusters_components(spark):
             parent[max(ra, rb)] = min(ra, rb)
     want = {x: find(x) for x in parent}
     assert got == want
-    assert got[19] == 10 and got[33] == 30 and got[51] == 50
+    assert got[299] == 100 and got[33] == 30 and got[51] == 50
 
 
 def test_embedding_cosine_pairs(spark):
