@@ -412,11 +412,19 @@ def dedup_clusters(pairs: DataFrame, a: str = "a_id", b: str = "b_id",
                    .select("_n", "_lab",
                            F.least(F.col("_lab1"),
                                    F.coalesce(F.col("_jlab"),
-                                              F.col("_lab1"))).alias("_lab2"))
-                   .localCheckpoint(eager=True))
-        changed = stepped.filter(F.col("_lab2") < F.col("_lab")).count()
+                                              F.col("_lab1"))).alias("_lab2")))
+        # convergence count rides the checkpoint job as an observe metric —
+        # one action per iteration instead of two (the count job was ~half
+        # of each round's fixed cost on small label frames)
+        from pyspark.sql import Observation
+
+        obs = Observation(f"dedup_clusters_changed:{next(_GUARD_SEQ)}")
+        stepped = stepped.observe(
+            obs, F.sum(F.when(F.col("_lab2") < F.col("_lab"), 1)
+                       .otherwise(0)).alias("changed"))
+        stepped = stepped.localCheckpoint(eager=True)
         labels = stepped.select("_n", F.col("_lab2").alias("_lab"))
-        if changed == 0:
+        if (obs.get.get("changed") or 0) == 0:
             converged = True
             break
     if not converged:
