@@ -206,7 +206,11 @@ def main() -> None:
                 s0, t0 = read_steal_jiffies(), time.time()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 dt = time.time() - t0
-                stl = (read_steal_jiffies() - s0) / (dt * cpus * 100) * 100
+                # /proc/stat steal is HOST-wide: normalize by host vCPUs,
+                # not SPARK_GRAFT_CPUS (a cpus=4 run would otherwise read
+                # 8x-inflated steal and retry every query spuriously)
+                host_cpus = os.cpu_count() or 32
+                stl = (read_steal_jiffies() - s0) / (dt * host_cpus * 100) * 100
                 if stl < 1.0 or attempt == 1:
                     break
                 wait_for_quiet()
@@ -225,8 +229,10 @@ def main() -> None:
         runs.append(flagship(spark, n_docs))
         dt = time.time() - t0
         # % of this run's wall-clock CPU budget stolen by the host
-        # (jiffies at 100 Hz across all 32 vCPUs)
-        steals.append(round((read_steal_jiffies() - s0) / (dt * 32 * 100) * 100, 1))
+        # (jiffies at 100 Hz across all host vCPUs)
+        host_cpus = os.cpu_count() or 32
+        steals.append(round(
+            (read_steal_jiffies() - s0) / (dt * host_cpus * 100) * 100, 1))
 
     for _ in range(n_runs):
         one_flagship_run()

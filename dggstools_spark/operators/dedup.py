@@ -268,10 +268,12 @@ def simhash(df: DataFrame, text_col: str, id_col: str, out: str = "simhash64",
 def simhash_ids(df: DataFrame, text_col: str, id_col: str,
                 out: str = "simhash64") -> DataFrame:
     """(id, simhash64) via pure relational ops — the same construction the
-    DuckDB oracle uses (queries5._oracle_simhash).  Docs whose text is NULL
-    or empty are ABSENT from the output (simhash() joins back and fills 0
-    for them); callers that already filtered empties can use this directly
-    and skip the join-back.  Per doc and half:
+    DuckDB oracle uses (queries5._oracle_simhash).  NULL-text docs are
+    ABSENT from the output; EMPTY-STRING docs are PRESENT with the hash of
+    the single '' token Spark's split yields (md5('') votes) — which
+    differs from simhash()'s 0 for them, so filter BOTH null and empty
+    text before calling this directly (q_simhash does); simhash() itself
+    joins back and overrides both cases to 0.  Per doc and half:
     vote_j = sum over tokens of (2*bit_j - 1) = 2*sum(bit_j) - n_tokens, so
     64 ``sum(shiftright(h, j) & 1)`` aggregates + one count reproduce every
     vote without exploding bit positions (no 32x row blowup, unlike the
@@ -507,10 +509,13 @@ def winnow_pairs(df: DataFrame, text_col: str, id_col: str = "doc_id",
 
     ``max_doc_freq='auto'`` (default) derives the cap from the corpus's own
     fingerprint doc-frequency distribution (winnow_auto_cap; the chosen
-    value is recorded in ``last_winnow_cap``) at the cost of materializing
-    the fingerprint frame once plus two tiny stat jobs; pass an int to pin
-    it, or None to disable the guard entirely (unbounded self-join — never
-    at scale)."""
+    value is recorded in ``last_winnow_cap`` — a module global, so under
+    concurrent winnow_pairs calls read it immediately or pass an explicit
+    cap).  NOTE auto makes this builder EAGER: it materializes the
+    fingerprint frame (localCheckpoint) and runs two tiny stat jobs at
+    call time, unlike the int/None forms which stay fully lazy — pass an
+    int to pin the cap (and stay lazy), or None to disable the guard
+    entirely (unbounded self-join — never at scale)."""
     fps = winnow_fingerprints(df, text_col, id_col)
     if max_doc_freq == "auto":
         # materialize: the stat jobs and the pair join otherwise each

@@ -239,7 +239,7 @@ def ivf_centroids(cands: DataFrame, vec_col: str = "embedding",
 
 
 def ivf_assign(cands: DataFrame, cents: DataFrame, vec_col: str = "embedding",
-               id_col: str = "vec_id", dim: int | None = None,
+               id_col: str = "vec_id",
                keep_norm: str | None = None) -> DataFrame:
     """Nearest-centroid assignment: broadcast the (small) centroid table,
     one window top-1 per candidate (WindowGroupLimit keeps it map-side).
@@ -279,8 +279,7 @@ MEAN_QUANT = 1 << 20
 def ivf_refine(cands: DataFrame, cents: DataFrame, iters: int = 2,
                vec_col: str = "embedding", id_col: str = "vec_id",
                mean_mode: str = "quantized",
-               deterministic_fold: bool | None = None,
-               dim: int | None = None) -> DataFrame:
+               deterministic_fold: bool | None = None) -> DataFrame:
     """Optional Lloyd refinement: assign -> element-wise mean per cluster
     (posexplode + two hash aggs), keeping the seed centroid for any cluster
     that loses all members.  Each iteration is one broadcast join + two
@@ -310,7 +309,7 @@ def ivf_refine(cands: DataFrame, cents: DataFrame, iters: int = 2,
     if mean_mode not in ("quantized", "native", "ordered_fold"):
         raise ValueError(f"unknown mean_mode {mean_mode!r}")
     for _ in range(iters):
-        assigned = ivf_assign(cands, cents, vec_col, id_col, dim)
+        assigned = ivf_assign(cands, cents, vec_col, id_col)
         per_pos = assigned.select(
             "cid", F.col(id_col),
             F.posexplode(F.expr(
@@ -362,9 +361,8 @@ def ivf_topk(cands: DataFrame, queries: DataFrame, k: int,
     cents = ivf_centroids(cands, vec_col, id_col, mod, residue)
     if refine_iters:
         cents = ivf_refine(cands, cents, refine_iters, vec_col, id_col,
-                           mean_mode=mean_mode, dim=dim)
-    assigned = ivf_assign(cands, cents, vec_col, id_col, dim,
-                          keep_norm="_ncand")
+                           mean_mode=mean_mode)
+    assigned = ivf_assign(cands, cents, vec_col, id_col, keep_norm="_ncand")
 
     # probe selection: (query x centroid) BNLJ with per-side norms (see
     # ivf_assign); probes carry the query norm forward into the rerank

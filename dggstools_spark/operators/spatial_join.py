@@ -106,8 +106,13 @@ def _est_row_width(schema) -> int:
     """Cheap schema-only row-width estimate (bytes) — no data probe.
     Scalar sizes follow Spark's DataType.defaultSize; variable-size types
     use realistic payload guesses (Spark's own defaults assume 1-element
-    arrays, useless for telling a wide media/embedding payload from a
-    narrow key table)."""
+    arrays and 100-byte binaries, useless for telling a wide
+    media/embedding payload from a narrow key table): binary counts as a
+    media blob (512 — a single blob column next to coordinates must tip
+    the narrow path), arrays as ~16 elements.  Strings are the honest
+    blind spot — schema-only, a 20-byte tag and a 20 KB document look
+    identical, so long-text tables should pass narrow_shuffle=True
+    explicitly."""
     from pyspark.sql import types as T
 
     def w(dt) -> int:
@@ -125,7 +130,7 @@ def _est_row_width(schema) -> int:
         if isinstance(dt, T.StringType):
             return 20
         if isinstance(dt, T.BinaryType):
-            return 100
+            return 512
         if isinstance(dt, T.ArrayType):
             return 16 * w(dt.elementType)  # assume ~16 elements
         if isinstance(dt, T.MapType):

@@ -61,9 +61,10 @@ def write_cells_geopackage(cells: DataFrame, path: str, attrs: dict,
 
     Rows stream through ``toLocalIterator()`` in fixed-size chunks, so
     driver memory is bounded by one Spark partition + one chunk regardless
-    of ``max_rows`` (a full ``collect()`` would materialize the cap).  A
-    table exceeding ``max_rows`` raises and leaves no file behind (the
-    single INSERT transaction rolls back)."""
+    of ``max_rows`` (a full ``collect()`` would materialize the cap).
+    The file is built at a temp path and renamed over ``path`` only on
+    success, so a failed export (max_rows exceeded, mid-stream error)
+    leaves any pre-existing file at ``path`` untouched."""
     from ..dggs import cells as cells_kernel
 
     if geometry not in ("point", "polygon"):
@@ -83,22 +84,24 @@ def write_cells_geopackage(cells: DataFrame, path: str, attrs: dict,
                      for i in range(len(cellids))]
         return blobs, cx, cy
 
+    tmp = path + ".tmp"
     try:
-        os.remove(path)
+        os.remove(tmp)
     except FileNotFoundError:
         pass
-    con = sqlite3.connect(path)
+    con = sqlite3.connect(tmp)
     try:
         n = _write_gpkg(con, cells, attrs, layer, cellid_col, max_rows,
                         band_cols, geometry, _chunk_rows)
     except Exception:
         con.close()
         try:
-            os.remove(path)
+            os.remove(tmp)
         except FileNotFoundError:
             pass
         raise
     con.close()
+    os.replace(tmp, path)
     return n
 
 

@@ -73,6 +73,17 @@ def build_sf1(spark) -> None:
     open(marker, "w").write("ok")
 
 
+def _git_rev() -> str:
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "-C", "/root/repo", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10).stdout.strip()
+    except Exception:
+        return "unknown"
+
+
 def main() -> int:
     import duckdb
 
@@ -99,7 +110,7 @@ def main() -> int:
         except Exception:
             return 0
 
-    n_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_cpus = os.cpu_count() or 32  # /proc/stat steal is HOST-wide
     results: dict[str, dict] = {}
     failures = []
     for name in names:
@@ -111,7 +122,10 @@ def main() -> int:
         # state (the artifact numbers carry their own credibility marker)
         stl = (steal_jiffies() - s0) / (t_spark * n_cpus * 100) * 100
         rec: dict = {"spark_rows": len(sdf), "spark_sec": round(t_spark, 2),
-                     "steal_pct": round(stl, 1)}
+                     "steal_pct": round(stl, 1),
+                     # per-row provenance: partial reruns merge into the
+                     # artifact, so each row must say which code produced it
+                     "rev": _git_rev(), "ts": int(time.time())}
         if name == "knn_cells":
             rec["knn_stats"] = spatial_join.last_knn_stats
         if name in ORACLES:

@@ -498,3 +498,10 @@ def test_geopackage_streaming_write_and_cap(spark, tmp_path, monkeypatch):
     with pytest.raises(ValueError, match="max_rows"):
         write_cells_geopackage(cells, capped, attrs, max_rows=5)
     assert not os.path.exists(capped)
+
+    # a failed re-export must not destroy the existing file (temp+rename)
+    with pytest.raises(ValueError, match="max_rows"):
+        write_cells_geopackage(cells, path, attrs, max_rows=5)
+    con = sqlite3.connect(path)
+    assert con.execute('SELECT count(*) FROM "data"').fetchone()[0] == 10
+    con.close()
