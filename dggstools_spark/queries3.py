@@ -11,6 +11,7 @@ bit-identical across engines; outputs are quantized to integers.
 
 from __future__ import annotations
 
+import os
 import shutil
 from typing import Callable
 
@@ -273,18 +274,38 @@ def _oracle_line_error() -> str:
 # --------------------------------------------------------------------------
 
 IO_RES = 3
-IO_PATH = "/tmp/dggs_q_cells_io"
+
+#: per-tag run dirs for queries whose RESULT DataFrame lazily reads files
+#: the query wrote (cells_io, merge_resume): a fixed /tmp path could be
+#: clobbered by a concurrent run between query build and the driver's
+#: collect (same hazard class the streaming queries fixed in r4).  The
+#: previous run's dir (same process) is removed on the next call; the
+#: current one must outlive the returned DataFrame, so it stays on disk
+#: until then.
+_RUN_DIRS: dict = {}
+
+
+def _run_dir(tag: str) -> str:
+    import tempfile
+
+    old = _RUN_DIRS.pop(tag, None)
+    if old:
+        shutil.rmtree(old, ignore_errors=True)
+    d = tempfile.mkdtemp(prefix=f"dggs_{tag}_")
+    _RUN_DIRS[tag] = d
+    return os.path.join(d, "t")
 
 
 def q_cells_io(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources import cells_io
 
+    io_path = _run_dir("q_cells_io")
     enc = _docs_cells(spark, sf_dir, IO_RES, keep=["doc_id"])
     cells = enc.groupBy("cellid").agg(
         F.count("*").cast("double").alias("band1"))
     attrs = cells_io.build_attrs(IO_RES, 1, None)
-    cells_io.write_cells(cells, IO_PATH, attrs, prefix_len=2)
-    back, attrs2 = cells_io.read_cells(spark, IO_PATH, prefix="Q")
+    cells_io.write_cells(cells, io_path, attrs, prefix_len=2)
+    back, attrs2 = cells_io.read_cells(spark, io_path, prefix="Q")
     assert attrs2["res_idx"] == IO_RES, "metadata sidecar roundtrip broke"
     return back.agg(
         F.count("*").alias("n_cells"),
@@ -313,13 +334,13 @@ def _oracle_cells_io() -> str:
 # --------------------------------------------------------------------------
 
 MERGE_RES = 3
-MERGE_PATH = "/tmp/dggs_q_merge_resume"
 FIRST_BATCHES = ("N", "O")
 
 
 def q_merge_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans import lineage
 
+    merge_path = _run_dir("q_merge_resume")
     enc = _docs_cells(spark, sf_dir, MERGE_RES, keep=["doc_id"])
     cells = enc.groupBy("cellid").agg(F.count("*").alias("n_docs")) \
         .withColumn("batch", F.substring("cellid", 1, 1))
@@ -328,18 +349,17 @@ def q_merge_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     # predicate through the encode lineage re-inlines the expression
     # encoder per job (CLAUDE.md constraint 2)
     cells = cells.localCheckpoint(eager=True)
-    shutil.rmtree(MERGE_PATH, ignore_errors=True)
     # phase 1: "the run that crashed" — only two batches complete
     for k in FIRST_BATCHES:
         part = cells.filter(F.col("batch") == k)
         if not part.isEmpty():
-            lineage.checkpointed_write(part, MERGE_PATH, k, ["cellid"])
+            lineage.checkpointed_write(part, merge_path, k, ["cellid"])
     # phase 2: resume writes exactly the remaining batches in ONE job
-    results = lineage.run_batches(cells, MERGE_PATH, "batch", ["cellid"])
+    results = lineage.run_batches(cells, merge_path, "batch", ["cellid"])
     for k, wrote in results.items():
         expect = k not in FIRST_BATCHES
         assert wrote == expect, f"resume invariant broke for batch {k}"
-    back = spark.read.parquet(f"{MERGE_PATH}/data")
+    back = spark.read.parquet(f"{merge_path}/data")
     return back.groupBy("batch_key").agg(
         F.count("*").alias("n_cells"),
         F.sum("n_docs").cast("bigint").alias("total_docs"),
