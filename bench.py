@@ -59,6 +59,28 @@ def parallel_burn(n_workers: int = 8) -> float:
     return time.time() - t0
 
 
+def read_psi_total(resource: str) -> int:
+    """Cumulative stall time (microseconds) from /proc/pressure/{cpu,io}
+    ("some" line, total= field).  Steal jiffies alone missed one 11.8 s
+    flagship run that carried only 0.8% steal (TODO_r5 #6) — host IO
+    contention doesn't show up as steal.  PSI is recorded for ATTRIBUTION,
+    not gating: identical-work runs generate their own cpu/io pressure
+    (local[32] oversubscribes this ~16-real-core VM by design), so an
+    absolute psi threshold would flag every healthy run.  The retry rule
+    therefore stays steal-based; psi contamination is read CROSS-RUN — a
+    run whose psi_io_pct is a multiple of the min across the best-of-N
+    identical runs was hit by a host episode (the work is the same, so the
+    pressure should be too)."""
+    try:
+        with open(f"/proc/pressure/{resource}") as f:
+            for line in f:
+                if line.startswith("some"):
+                    return int(line.rsplit("total=", 1)[1])
+    except Exception:
+        pass
+    return 0
+
+
 def read_steal_jiffies() -> int:
     """Cumulative CPU-steal jiffies from /proc/stat (column 8) — this VM's
     host steals in minutes-long episodes (cumulative steal observed in the
@@ -190,6 +212,12 @@ def main() -> None:
 
     queries = {}
     query_steal = {}
+    query_retried = {}  # name -> first (stolen) attempt's timing, for
+    # cross-round comparison: a retried entry's recorded time is the
+    # second (JVM-warmer) attempt, systematically faster than
+    # single-attempt peers (ADVICE r4) — keep the discarded first timing
+    # so round-over-round deltas on retried rows are interpretable
+    query_psi = {}
     if not flagship_only:
         from dggstools_spark.queries import QUERIES
 
@@ -204,6 +232,7 @@ def main() -> None:
             # residual uptick is self-identifying.
             for attempt in range(2):
                 s0, t0 = read_steal_jiffies(), time.time()
+                p0 = read_psi_total("io")
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 dt = time.time() - t0
                 # /proc/stat steal is HOST-wide: normalize by host vCPUs,
@@ -211,21 +240,26 @@ def main() -> None:
                 # 8x-inflated steal and retry every query spuriously)
                 host_cpus = os.cpu_count() or 32
                 stl = (read_steal_jiffies() - s0) / (dt * host_cpus * 100) * 100
+                psi_io = (read_psi_total("io") - p0) / (dt * 1e6) * 100
                 if stl < 1.0 or attempt == 1:
                     break
+                query_retried[name] = {
+                    "first_sec": round(dt, 3), "first_steal_pct": round(stl, 1)}
                 wait_for_quiet()
             queries[name] = round(dt, 3)
             query_steal[name] = round(stl, 1)
+            query_psi[name] = round(psi_io, 1)
 
     # best-of-N: the first run pays JVM JIT + Python worker spin-up, and this
     # sandbox has noisy neighbors — the best run approximates uncontended
     # steady state (what projects to a long-running cluster job)
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
-    runs, burns, steals = [], [], []
+    runs, burns, steals, psis_cpu, psis_io = [], [], [], [], []
 
     def one_flagship_run():
         burns.append(round(wait_for_quiet(), 3))  # steal-filter the start
         s0, t0 = read_steal_jiffies(), time.time()
+        pc0, pi0 = read_psi_total("cpu"), read_psi_total("io")
         runs.append(flagship(spark, n_docs))
         dt = time.time() - t0
         # % of this run's wall-clock CPU budget stolen by the host
@@ -233,6 +267,11 @@ def main() -> None:
         host_cpus = os.cpu_count() or 32
         steals.append(round(
             (read_steal_jiffies() - s0) / (dt * host_cpus * 100) * 100, 1))
+        # PSI stall % of wall (see read_psi_total: attribution, not gating
+        # — identical runs should show identical pressure, so an outlier
+        # vs the min across runs marks a host episode steal can miss)
+        psis_cpu.append(round((read_psi_total("cpu") - pc0) / (dt * 1e6) * 100, 1))
+        psis_io.append(round((read_psi_total("io") - pi0) / (dt * 1e6) * 100, 1))
 
     for _ in range(n_runs):
         one_flagship_run()
@@ -251,6 +290,8 @@ def main() -> None:
     result["flagship_runs"] = [round(t, 3) for t in runs]
     result["burn_sec"] = burns  # ~best burn on every run = quiet window held
     result["steal_pct"] = steals  # >0 marks runs hit by a mid-run episode
+    result["psi_cpu_pct"] = psis_cpu  # per-run PSI stall % (attribution —
+    result["psi_io_pct"] = psis_io  # read vs min across runs, not absolute)
 
     result.update(
         {
@@ -262,9 +303,28 @@ def main() -> None:
             "total_query_sec": round(sum(queries.values()), 3),
             "queries": queries,
             "query_steal_pct": query_steal,
+            "query_psi_io_pct": query_psi,
+            "query_retried": query_retried,
         }
     )
-    print(json.dumps(result))
+    # truncation-proofing (VERDICT r4 "What's wrong" #3): the driver
+    # captures a bounded tail of stdout, and BENCH_r04's JSON line was cut
+    # mid-line once query_steal_pct pushed it past the buffer — the first
+    # ~15 per-query times were unrecoverable from the committed artifact.
+    # Two mitigations: (1) the FULL result always lands in a committed
+    # sibling file; (2) the printed line is a compacted view — per-query
+    # steal/psi dicts keep only entries >= 0.5% (zeros dominate on clean
+    # sweeps and carry no information), cutting the line roughly in half.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_local.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    line = dict(result)
+    line["query_steal_pct"] = {
+        k: v for k, v in query_steal.items() if v >= 0.5}
+    line["query_psi_io_pct"] = {
+        k: v for k, v in query_psi.items() if v >= 0.5}
+    line["full_json"] = "BENCH_local.json"
+    print(json.dumps(line))
     spark.stop()
 
 

@@ -15,6 +15,7 @@
 
 import itertools
 import logging
+import math
 
 import numpy as np
 import pandas as pd
@@ -253,7 +254,14 @@ def simhash(df: DataFrame, text_col: str, id_col: str, out: str = "simhash64",
     is the original Arrow-UDF form (no shuffle, but a per-token Python
     ``hashlib.md5`` loop — its throughput ceiling); kept as the equivalence
     check (tests assert identical values) and for callers that cannot
-    afford the id join."""
+    afford the id join.
+
+    CONTRACT (relational impl only): ``id_col`` must be UNIQUE and
+    NON-NULL.  Duplicate ids would merge token votes across rows in the
+    per-id aggregate and then fan out via the join-back; a null id joins
+    nothing and yields a NULL hash — both silently diverge from the
+    pandas impl's per-row hash.  The pandas impl has no such requirement
+    (it never touches ``id_col``); use it when ids are not unique."""
     if impl == "pandas":
         return _simhash_pandas(df, text_col, out)
     if impl != "relational":
@@ -490,10 +498,22 @@ def winnow_auto_cap(fps: DataFrame, id_col: str = "doc_id",
     bound governs, dropping template fingerprints — the study's "max
     plausible cluster size of a genuinely copied passage" reading.
     ``floor`` keeps tiny corpora from capping below a real copy cluster.
-    Costs two tiny jobs over ``fps`` (one per-fp count agg + one distinct
-    id count) — callers should pass a materialized fps frame."""
+    The quantile is the EXACT order statistic, not approx_percentile: the
+    approx sketch's merge result varies with partitioning, so pair output
+    near the cap boundary could differ across runs/cluster layouts
+    (ADVICE r4).  Exactness is cheap here because q is high — the value at
+    ascending rank ceil(q*n) is the MIN of the top ceil((1-q)*n)+1
+    frequencies, a TakeOrdered over ~1% of the distinct-fingerprint frame,
+    no full sort, deterministic under any partitioning (order statistics
+    are permutation-invariant).  Costs three tiny jobs over ``fps``
+    (freq-frame count, top-k min, distinct id count) — callers should pass
+    a materialized fps frame."""
     freq = fps.groupBy("fp").agg(F.count("*").alias("_df"))
-    qv = freq.agg(F.expr(f"approx_percentile(_df, {q})").alias("q")).first()["q"] or 1
+    n_fp = freq.count()
+    k_desc = n_fp - max(1, int(math.ceil(q * n_fp))) + 1
+    qv = (freq.select("_df").sort(F.desc("_df")).limit(k_desc)
+          .agg(F.min("_df")).first()[0]) if n_fp else None
+    qv = qv or 1
     n_docs = fps.select(id_col).distinct().count()
     return max(2, int(min(float(qv), max(float(floor), corpus_frac * n_docs))))
 

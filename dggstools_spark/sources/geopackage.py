@@ -23,6 +23,7 @@ import json
 import os
 import sqlite3
 import struct
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -84,11 +85,14 @@ def write_cells_geopackage(cells: DataFrame, path: str, attrs: dict,
                      for i in range(len(cellids))]
         return blobs, cx, cy
 
-    tmp = path + ".tmp"
-    try:
-        os.remove(tmp)
-    except FileNotFoundError:
-        pass
+    # unique temp name (tempfile.mkstemp) in the TARGET directory so the
+    # final os.replace stays same-filesystem-atomic AND two concurrent
+    # exports to the same path can't clobber each other's in-progress tmp
+    # (a fixed path+'.tmp' would let the second writer remove the first's)
+    fd, tmp = tempfile.mkstemp(
+        prefix=os.path.basename(path) + ".", suffix=".tmp",
+        dir=os.path.dirname(os.path.abspath(path)))
+    os.close(fd)
     con = sqlite3.connect(tmp)
     try:
         n = _write_gpkg(con, cells, attrs, layer, cellid_col, max_rows,

@@ -8,7 +8,10 @@ rhealpixdggs-style encode/decode consistency).
 """
 
 import numpy as np
-from hypothesis import given, settings, strategies as st
+import pytest
+
+pytest.importorskip("hypothesis")  # optional dep (pyproject test extra)
+from hypothesis import given, settings, strategies as st  # noqa: E402
 
 from dggstools_spark.dggs import auids, cells
 from dggstools_spark.dggs.config import DEFAULT_CONFIG
