@@ -30,6 +30,20 @@ def get_spark(app_name: str = "dggstools-spark", master: str | None = None,
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # naive parquet timestamps are interpreted as UTC, matching DuckDB
         .config("spark.sql.session.timeZone", "UTC")
+        # Align Spark's whole-stage-codegen size cutoff with HotSpot's JIT
+        # limit (-XX:HugeMethodLimit=8000 bytecode): a generated stage
+        # method in (8000, 65535] bytes compiles under janino but HotSpot
+        # REFUSES to JIT it, so the stage runs in the bytecode interpreter
+        # — silently, with no CompileException for the strict-codegen guard
+        # to catch.  Measured on embed_pairs.count() at sf1 (the flat cos
+        # fold lands in the BroadcastHashJoin condition; adding the count's
+        # HashAggregate to that stage pushed the method past 8000 bytes):
+        # 185-191 s at the 65535 default vs 24-26 s with 8000, fully
+        # reversible by flipping the conf back (CLAUDE.md constraint 16).
+        # With 8000, Spark skips whole-stage codegen for exactly those
+        # stages and runs the volcano operators, each of which stays
+        # JIT-compiled.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         # keep parquet scans chunky enough for local[32]; on a cluster this is
         # left to spark.sql.files.maxPartitionBytes default (128m)
         # local mode: the driver JVM hosts all executor threads — size the

@@ -43,6 +43,17 @@ def strict_codegen(spark):
         spark.conf.set("spark.sql.codegen.fallback", old)
 
 
+def test_huge_method_limit_pinned(spark):
+    """The session factory must pin spark.sql.codegen.hugeMethodLimit=8000
+    (CLAUDE.md constraint 16): a generated stage method in (8000, 65535]
+    bytes compiles under janino but HotSpot refuses to JIT it, so the
+    stage silently runs in the bytecode interpreter — measured 185 s vs
+    26 s on embed_pairs.count() at sf1.  The strict-codegen guard below
+    CANNOT catch this (no CompileException is thrown), so the conf is the
+    defense and this test keeps it from being dropped in a refactor."""
+    assert spark.conf.get("spark.sql.codegen.hugeMethodLimit") == "8000"
+
+
 @pytest.mark.parametrize("qname", ["embed_pairs", "ivf_topk", "ann_topk"])
 def test_flat_fold_stages_compile(spark, sf_dir, qname):
     """The production flat-fold queries run green with codegen fallback
