@@ -45,7 +45,17 @@ def authalic_lat(phi: np.ndarray) -> np.ndarray:
 
 def geodetic_lat(beta: np.ndarray, iterations: int = 6) -> np.ndarray:
     """Authalic latitude (rad) -> geodetic latitude (rad), by Newton iteration
-    on q(phi) = q_p * sin(beta)."""
+    on q(phi) = q_p * sin(beta).
+
+    The iteration needs a pole guard: q is QUADRATICALLY flat at the poles
+    (dq/dphi ~ cos phi), so within ~1e-8 rad of a pole both the residual
+    and the derivative collapse into float noise and one Newton step is
+    noise/noise — measured: geodetic_lat(-pi/2) walked to +pi/2 (the WRONG
+    pole; S4's centroid decoded to lat=+90, caught by the r5 cap-config
+    hypothesis test).  Where dq < 1e-9 the step is skipped; there
+    |authalic - geodetic| < 1e-9 rad, so keeping phi = beta is exact to
+    well under any consumer's tolerance (authalic and geodetic latitudes
+    coincide AT the pole)."""
     beta = np.asarray(beta, dtype=np.float64)
     target = Q_P * np.sin(beta)
     phi = beta.copy()
@@ -55,7 +65,7 @@ def geodetic_lat(beta: np.ndarray, iterations: int = 6) -> np.ndarray:
         # dq/dphi = 2(1-e2) cos(phi) / (1 - e2 sin^2 phi)^2
         dq = 2.0 * (1.0 - e2) * np.cos(phi) / (1.0 - e2 * s * s) ** 2
         with np.errstate(divide="ignore", invalid="ignore"):
-            step = np.where(dq != 0.0, (_q_vec(s) - target) / dq, 0.0)
+            step = np.where(dq > 1e-9, (_q_vec(s) - target) / dq, 0.0)
         phi = phi - step
     return np.clip(phi, -PI / 2, PI / 2)
 
