@@ -435,11 +435,12 @@ ORACLES: dict[str, str] = {
 }
 
 
-# batch-2/3/4/5 queries live in queries{2,3,4,5}.py and are merged below
+# batch-2/3/4/5/6 queries live in queries{2,3,4,5,6}.py and are merged below
 from .queries2 import QUERIES2, ORACLES2  # noqa: E402
 from .queries3 import QUERIES3, ORACLES3  # noqa: E402
 from .queries4 import QUERIES4, ORACLES4  # noqa: E402
 from .queries5 import QUERIES5, ORACLES5  # noqa: E402
+from .queries6 import QUERIES6, ORACLES6  # noqa: E402
 
 QUERIES.update(QUERIES2)
 ORACLES.update(ORACLES2)
@@ -449,6 +450,8 @@ QUERIES.update(QUERIES4)
 ORACLES.update(ORACLES4)
 QUERIES.update(QUERIES5)
 ORACLES.update(ORACLES5)
+QUERIES.update(QUERIES6)
+ORACLES.update(ORACLES6)
 
 
 # --------------------------------------------------------------------------
@@ -468,11 +471,21 @@ ORACLES.update(ORACLES5)
 #   cells_json      — C7 JSON packing also exercised by cells_io, green
 #     since r3;
 #   embed_knn       — brute-force top-k yardstick; top-k is independently
-#     driver-checked via knn_cells/ann_topk/ivf_topk, green r1-r4.
+#     driver-checked via knn_cells/ann_topk/ivf_topk, green r1-r4;
+#   media_codecs    — multimodal decode twin of media_features (both were
+#     the multimodal pass evidence r1-r4; features stays in-window);
+#   rescale_modes   — R2 rescale twin of prefix_rollup (both were the R2
+#     pass evidence r1-r4; prefix_rollup stays in-window);
+#   auid_groups     — A7 evidence also carried by auid_roundtrip (codec
+#     value check) + auid_optimize/is_optimal (compaction), green r2-r4.
+# The r5 sampling batch (hash_sample/stratified_sample/weighted_mixture)
+# is promoted alongside the r4 four so all seven newest get driver rows.
 # --------------------------------------------------------------------------
 
-_PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup", "salted_topk"]
-_ROTATE_BACK = ["cell_counts_expr", "resample_cubic", "cells_json", "embed_knn"]
+_PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup", "salted_topk",
+                  "hash_sample", "stratified_sample", "weighted_mixture"]
+_ROTATE_BACK = ["cell_counts_expr", "resample_cubic", "cells_json", "embed_knn",
+                "media_codecs", "rescale_modes", "auid_groups"]
 
 
 def _reorder(d: dict) -> dict:

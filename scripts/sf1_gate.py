@@ -35,7 +35,10 @@ DEFAULT_QUERIES = ["minhash", "embed_pairs", "auid_optimize", "knn_cells",
                    # heavyweights + the two queries whose operators changed
                    # this round (relational simhash, quantized-mean IVF)
                    "ivf_refined", "ivf_topk", "ngram_pairs", "simhash",
-                   "dedup_exact", "ann_topk", "salted_topk", "dedup_clusters"]
+                   "dedup_exact", "ann_topk", "salted_topk", "dedup_clusters",
+                   # round-5: the stratified hash-rank sample exercises the
+                   # pre-shuffle WindowGroupLimit at 500k rows
+                   "stratified_sample"]
 SMALL_TABLES = ["region", "nation", "customer", "supplier", "part",
                 "orders", "lineitem", "events"]
 
