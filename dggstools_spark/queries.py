@@ -483,9 +483,13 @@ ORACLES.update(ORACLES6)
 # --------------------------------------------------------------------------
 
 _PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup", "salted_topk",
-                  "hash_sample", "stratified_sample", "weighted_mixture"]
+                  "hash_sample", "stratified_sample", "weighted_mixture",
+                  "bm25_topk"]
+# resample_area: third member of the R1 resample family (bilinear stays
+# in-window; cubic/area remain in the all-query replica gate + pytest incl.
+# the randomized numpy-overlap property test)
 _ROTATE_BACK = ["cell_counts_expr", "resample_cubic", "cells_json", "embed_knn",
-                "media_codecs", "rescale_modes", "auid_groups"]
+                "media_codecs", "rescale_modes", "auid_groups", "resample_area"]
 
 
 def _reorder(d: dict) -> dict:

@@ -27,7 +27,8 @@ def main() -> None:
              "all_touched", "rescale_modes", "subarea", "span_cells",
              "media_features", "auid_groups", "cells_json", "ivf_topk",
              "simhash", "winnow_pairs", "ngram_pairs",
-             "hash_sample", "stratified_sample", "weighted_mixture"]
+             "hash_sample", "stratified_sample", "weighted_mixture",
+             "bm25_topk"]
     # queries whose joins must stay broadcast (dimension-sized side): a
     # SortMergeJoin here is plan creep and fails the script.  embed_pairs'
     # bucket self-join and rescale_modes' agg-agg joins legitimately shuffle
