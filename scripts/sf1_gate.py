@@ -37,8 +37,9 @@ DEFAULT_QUERIES = ["minhash", "embed_pairs", "auid_optimize", "knn_cells",
                    "ivf_refined", "ivf_topk", "ngram_pairs", "simhash",
                    "dedup_exact", "ann_topk", "salted_topk", "dedup_clusters",
                    # round-5: the stratified hash-rank sample exercises the
-                   # pre-shuffle WindowGroupLimit at 500k rows
-                   "stratified_sample"]
+                   # pre-shuffle WindowGroupLimit at 500k rows; bm25 the
+                   # pruned-explode + broadcast-stats rank shape
+                   "stratified_sample", "bm25_topk"]
 SMALL_TABLES = ["region", "nation", "customer", "supplier", "part",
                 "orders", "lineitem", "events"]
 
