@@ -222,6 +222,97 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     return jac
 
 
+def bottomk_sketches(df: DataFrame, text_col: str, id_col: str,
+                     shingle_n: int = 3, k: int = 32) -> DataFrame:
+    """(id_col, h) bottom-k shingle sketch per doc: the k lexicographically
+    smallest md5 hex digests of the doc's distinct word n-grams.  A doc
+    with fewer than k distinct shingles keeps them all."""
+    from pyspark.sql.window import Window
+
+    sh = shingles(df.select(id_col, text_col), text_col, shingle_n) \
+        .select(id_col, "shingle").distinct()
+    hashed = sh.select(id_col, F.md5("shingle").alias("h"))
+    w = Window.partitionBy(id_col).orderBy("h")
+    return (hashed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))
+
+
+def bottomk_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                          shingle_n: int = 3, k: int = 32,
+                          threshold: float = 0.5,
+                          max_hash_df: int | None = 200) -> DataFrame:
+    """Estimated Jaccard near-dup pairs from bottom-k shingle sketches
+    (Broder 1997's min-wise sketch, bottom-k variant — public classic).
+
+    The scale lever ngram_jaccard_pairs lacks: ngram's exact self-join
+    grows with real pair mass x doc length, and its only brake — the
+    shingle doc-frequency cap — buys time by silently *losing recall on
+    exactly the hottest near-dup families* (SCALE.md round-5 lever table:
+    cap=100 kept 5,400 of 250,600 true pairs on the templated sf1 corpus).
+    Here every doc is first reduced to its k smallest shingle hashes, so
+
+    - candidate generation joins sketches (<= k rows/doc, corpus-wide mass
+      k*N regardless of doc length), and
+    - per-pair evaluation touches <= 2k sketch rows: jac_est =
+      |bottom-k(S_a u S_b) ^ S_a ^ S_b| / |bottom-k(S_a u S_b)| — the
+      standard (unbiased up to the without-replacement correction)
+      bottom-k estimator; bottom-k(A u B) is computable from the two
+      sketches alone.
+
+    Recall degrades gracefully (sampling error ~1/sqrt(k), uniform over
+    pairs) instead of cliff-dropping the hottest families.  ``max_hash_df``
+    still guards degenerate boilerplate hashes (a hash in >cap sketches is
+    template mass, not near-dup signal); dropped mass is observed via
+    guard_metrics like every other guard.
+
+    Output: (a_id, b_id, jac_est_ppm) with a_id < b_id, jac_est_ppm >=
+    round(1e6*threshold).  Exact integer arithmetic end-to-end — run- and
+    partitioning-stable, value-checkable against the DuckDB twin.
+    """
+    from pyspark.sql.window import Window
+
+    # the sketch frame feeds FOUR consumers (capped self-join a/b sides +
+    # union sides a/b); without a lineage cut Spark re-derives the
+    # scan+shingle+window pipeline once per consumer (no ReuseExchange —
+    # the subplans differ by alias), i.e. 4 corpus scans at 100 TB.  One
+    # lazy localCheckpoint = one scan, computed at the first action.  In a
+    # production pipeline the sketch table would be persisted to parquet
+    # and shared across runs (bottomk_sketches is public for exactly that).
+    sk = bottomk_sketches(df, text_col, id_col, shingle_n, k) \
+        .localCheckpoint(eager=False)
+    skc = _cap_hot_keys(sk, "h", max_hash_df)
+    cand = (
+        skc.select(F.col(id_col).alias("a_id"), "h")
+        .join(skc.select(F.col(id_col).alias("b_id"), "h"), "h")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id").distinct()
+    )
+    sa = sk.select(F.col(id_col).alias("a_id"), "h")
+    sb = sk.select(F.col(id_col).alias("b_id"), "h")
+    u = (
+        cand.join(sa, "a_id")
+        .select("a_id", "b_id", "h",
+                F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionByName(
+            cand.join(sb, "b_id")
+            .select("a_id", "b_id", "h",
+                    F.lit(0).alias("in_a"), F.lit(1).alias("in_b")))
+        .groupBy("a_id", "b_id", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("a_id", "b_id").orderBy("h")
+    bott = u.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    return (
+        bott.groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("_denom"),
+             F.sum(F.col("in_a") * F.col("in_b")).alias("_inter"))
+        .withColumn("jac_est_ppm", F.round(
+            F.col("_inter") * 1000000.0 / F.col("_denom")).cast("bigint"))
+        .filter(F.col("jac_est_ppm") >= int(round(threshold * 1e6)))
+        .select("a_id", "b_id", "jac_est_ppm")
+    )
+
+
 def _md5_halves(toks: "list[str]") -> "tuple":
     """Per-token 32-bit hash pair from the md5 hex digest (chars 1-8 and
     9-16) — portable: the DuckDB oracle reconstructs the identical values

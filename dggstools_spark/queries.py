@@ -441,6 +441,7 @@ from .queries3 import QUERIES3, ORACLES3  # noqa: E402
 from .queries4 import QUERIES4, ORACLES4  # noqa: E402
 from .queries5 import QUERIES5, ORACLES5  # noqa: E402
 from .queries6 import QUERIES6, ORACLES6  # noqa: E402
+from .queries7 import QUERIES7, ORACLES7  # noqa: E402
 
 QUERIES.update(QUERIES2)
 ORACLES.update(ORACLES2)
@@ -452,6 +453,8 @@ QUERIES.update(QUERIES5)
 ORACLES.update(ORACLES5)
 QUERIES.update(QUERIES6)
 ORACLES.update(ORACLES6)
+QUERIES.update(QUERIES7)
+ORACLES.update(ORACLES7)
 
 
 # --------------------------------------------------------------------------
@@ -480,16 +483,28 @@ ORACLES.update(ORACLES6)
 #     value check) + auid_optimize/is_optimal (compaction), green r2-r4.
 # The r5 sampling batch (hash_sample/stratified_sample/weighted_mixture)
 # is promoted alongside the r4 four so all seven newest get driver rows.
+# The r5 hygiene batch (decontaminate/gopher_quality/ngram_sampled) rotates
+# three more multi-round-green twins back:
+#   all_touched — J2 rasterize twin of pip_polygons (center burn stays
+#     in-window; all-touched SAT remains in the replica gate + pytest),
+#     green r2-r4;
+#   tile_arrays — S7/S8 raster-sink twin; sink evidence retained in-window
+#     by raster_roundtrip (R6 encode) and grid, green r2-r4;
+#   res_policy  — C6 policy table, value-checked vs a relational width
+#     table and exercised implicitly by every encode query's res choice,
+#     green r3-r4.
 # --------------------------------------------------------------------------
 
 _PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup", "salted_topk",
                   "hash_sample", "stratified_sample", "weighted_mixture",
-                  "bm25_topk"]
+                  "bm25_topk", "decontaminate", "gopher_quality",
+                  "ngram_sampled"]
 # resample_area: third member of the R1 resample family (bilinear stays
 # in-window; cubic/area remain in the all-query replica gate + pytest incl.
 # the randomized numpy-overlap property test)
 _ROTATE_BACK = ["cell_counts_expr", "resample_cubic", "cells_json", "embed_knn",
-                "media_codecs", "rescale_modes", "auid_groups", "resample_area"]
+                "media_codecs", "rescale_modes", "auid_groups", "resample_area",
+                "all_touched", "tile_arrays", "res_policy"]
 
 
 def _reorder(d: dict) -> dict:
