@@ -39,7 +39,12 @@ DEFAULT_QUERIES = ["minhash", "embed_pairs", "auid_optimize", "knn_cells",
                    # round-5: the stratified hash-rank sample exercises the
                    # pre-shuffle WindowGroupLimit at 500k rows; bm25 the
                    # pruned-explode + broadcast-stats rank shape
-                   "stratified_sample", "bm25_topk"]
+                   "stratified_sample", "bm25_topk",
+                   # round-5 hygiene batch: decontaminate exercises the
+                   # broadcast-probe + single-agg shape, gopher_quality the
+                   # triple-explode rank-1 windows, ngram_sampled the
+                   # bottom-k sketch estimator (the ngram_pairs lever)
+                   "decontaminate", "gopher_quality", "ngram_sampled"]
 SMALL_TABLES = ["region", "nation", "customer", "supplier", "part",
                 "orders", "lineitem", "events"]
 
