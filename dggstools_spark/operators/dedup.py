@@ -223,15 +223,40 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 
 
 def bottomk_sketches(df: DataFrame, text_col: str, id_col: str,
-                     shingle_n: int = 3, k: int = 32) -> DataFrame:
+                     shingle_n: int = 3, k: int = 32,
+                     max_hash_df: int | None = None) -> DataFrame:
     """(id_col, h) bottom-k shingle sketch per doc: the k lexicographically
     smallest md5 hex digests of the doc's distinct word n-grams.  A doc
-    with fewer than k distinct shingles keeps them all."""
+    with fewer than k distinct shingles keeps them all.
+
+    ``max_hash_df`` applies the idf-like document-frequency trim BEFORE
+    sketching: shingle hashes held by more than that many docs are removed
+    from the hash universe, and the sketch is the true bottom-k of the
+    TRIMMED universe.  On boilerplate-heavy corpora this is what makes the
+    sketch informative at all — without it the k smallest hashes of every
+    doc are the same template shingles, so every sketch looks alike (the
+    sf1 probe measured exactly that: 30M candidate pairs of which <0.1%
+    were real).  Unlike _cap_hot_keys this keeps singleton hashes — they
+    carry the union-size signal the estimator's denominator needs."""
+    from pyspark.sql import Observation
     from pyspark.sql.window import Window
 
     sh = shingles(df.select(id_col, text_col), text_col, shingle_n) \
         .select(id_col, "shingle").distinct()
     hashed = sh.select(id_col, F.md5("shingle").alias("h"))
+    if max_hash_df is not None:
+        wdf = Window.partitionBy("h")
+        hashed = hashed.withColumn("_df", F.count("*").over(wdf))
+        obs = Observation(f"hot_hash_trim:{next(_GUARD_SEQ)}")
+        hashed = hashed.observe(
+            obs,
+            F.sum(F.when(F.col("_df") > max_hash_df, 1).otherwise(0))
+            .alias("dropped_rows"),
+            F.max("_df").alias("max_bucket_n"),
+        )
+        _GUARD_OBS.append((obs._name, obs))
+        del _GUARD_OBS[:-_GUARD_OBS_MAX]
+        hashed = hashed.filter(F.col("_df") <= max_hash_df).drop("_df")
     w = Window.partitionBy(id_col).orderBy("h")
     return (hashed.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k).drop("_rn"))
@@ -261,9 +286,19 @@ def bottomk_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 
     Recall degrades gracefully (sampling error ~1/sqrt(k), uniform over
     pairs) instead of cliff-dropping the hottest families.  ``max_hash_df``
-    still guards degenerate boilerplate hashes (a hash in >cap sketches is
-    template mass, not near-dup signal); dropped mass is observed via
-    guard_metrics like every other guard.
+    is the idf-like hash-universe trim applied BEFORE sketching (see
+    bottomk_sketches) — on boilerplate corpora it is what keeps sketches
+    informative; dropped mass is observed via guard_metrics.
+
+    Candidate pruning is EXACT: for a pair with n_shared shared sketch
+    hashes, the estimator's numerator |bottom-k(S_a u S_b) ^ S_a ^ S_b|
+    is <= n_shared and its denominator is min(k, |S_a| + |S_b| -
+    n_shared), both computable from the cheap count-per-pair aggregation —
+    so a pair that cannot reach the threshold never enters the per-pair
+    union/window stage.  That stage's mass is therefore proportional to
+    the OUTPUT, not to the candidate cross mass (the naive shape measured
+    30M candidate pairs x 2k fan-out on the templated sf1 corpus and
+    thrashed; this shape prunes to the ~10^3 viable pairs first).
 
     Output: (a_id, b_id, jac_est_ppm) with a_id < b_id, jac_est_ppm >=
     round(1e6*threshold).  Exact integer arithmetic end-to-end — run- and
@@ -271,21 +306,42 @@ def bottomk_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     """
     from pyspark.sql.window import Window
 
-    # the sketch frame feeds FOUR consumers (capped self-join a/b sides +
-    # union sides a/b); without a lineage cut Spark re-derives the
-    # scan+shingle+window pipeline once per consumer (no ReuseExchange —
-    # the subplans differ by alias), i.e. 4 corpus scans at 100 TB.  One
-    # lazy localCheckpoint = one scan, computed at the first action.  In a
-    # production pipeline the sketch table would be persisted to parquet
-    # and shared across runs (bottomk_sketches is public for exactly that).
-    sk = bottomk_sketches(df, text_col, id_col, shingle_n, k) \
+    # the sketch frame feeds several consumers (candidate self-join a/b
+    # sides + union sides a/b + sizes); without a lineage cut Spark
+    # re-derives the scan+shingle+window pipeline once per consumer (no
+    # ReuseExchange — the subplans differ by alias), i.e. 5 corpus scans
+    # at 100 TB.  One lazy localCheckpoint = one scan.  In a production
+    # pipeline the sketch table would be persisted to parquet and shared
+    # across runs (bottomk_sketches is public for exactly that).
+    sk = bottomk_sketches(df, text_col, id_col, shingle_n, k,
+                          max_hash_df=max_hash_df) \
         .localCheckpoint(eager=False)
-    skc = _cap_hot_keys(sk, "h", max_hash_df)
-    cand = (
+    sizes = sk.groupBy(id_col).agg(F.count("*").alias("sz"))
+
+    # candidate generation: only hashes in >= 2 sketches can produce a
+    # pair (min_bucket guard; no max — the universe is already trimmed)
+    skc = _cap_hot_keys(sk, "h", None)
+    shared = (
         skc.select(F.col(id_col).alias("a_id"), "h")
         .join(skc.select(F.col(id_col).alias("b_id"), "h"), "h")
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id").distinct()
+        .groupBy("a_id", "b_id").agg(F.count("*").alias("n_shared"))
+    )
+    thr_ppm = int(round(threshold * 1e6))
+    cand = (
+        shared
+        .join(sizes.select(F.col(id_col).alias("a_id"),
+                           F.col("sz").alias("_sza")), "a_id")
+        .join(sizes.select(F.col(id_col).alias("b_id"),
+                           F.col("sz").alias("_szb")), "b_id")
+        # survival requires 1e6*num/denom to round to >= thr_ppm with
+        # num <= n_shared, denom = min(k, |union|); the -1 absorbs the
+        # round-half boundary so pruning can never drop a passing pair
+        .filter(F.col("n_shared") * 1000000
+                >= (thr_ppm - 1)
+                * F.least(F.lit(k),
+                          F.col("_sza") + F.col("_szb") - F.col("n_shared")))
+        .select("a_id", "b_id")
     )
     sa = sk.select(F.col(id_col).alias("a_id"), "h")
     sb = sk.select(F.col(id_col).alias("b_id"), "h")
@@ -308,7 +364,7 @@ def bottomk_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
              F.sum(F.col("in_a") * F.col("in_b")).alias("_inter"))
         .withColumn("jac_est_ppm", F.round(
             F.col("_inter") * 1000000.0 / F.col("_denom")).cast("bigint"))
-        .filter(F.col("jac_est_ppm") >= int(round(threshold * 1e6)))
+        .filter(F.col("jac_est_ppm") >= thr_ppm)
         .select("a_id", "b_id", "jac_est_ppm")
     )
 

@@ -156,21 +156,39 @@ def q_ngram_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_ngram_sampled() -> str:
+    thr_ppm = int(round(NS_THRESHOLD * 1e6))
     return f"""
     WITH {_TL},
     sh AS MATERIALIZED (
         SELECT DISTINCT doc_id, shingle FROM ({_sh_sql(3, "shingle")})),
-    hashed AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+    -- idf-like trim BEFORE sketching (bottomk_sketches max_hash_df):
+    -- hashes held by > cap docs leave the universe; singletons stay
+    hashed AS MATERIALIZED (
+        SELECT doc_id, h FROM (
+            SELECT doc_id, md5(shingle) AS h,
+                   count(*) OVER (PARTITION BY md5(shingle)) AS df
+            FROM sh)
+        WHERE df <= {NS_MAX_DF}),
     sk AS MATERIALIZED (
         SELECT doc_id, h FROM (SELECT doc_id, h, row_number() OVER
                                (PARTITION BY doc_id ORDER BY h) AS rn
                                FROM hashed)
         WHERE rn <= {NS_K}),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sk GROUP BY doc_id),
     skc AS (SELECT doc_id, h FROM sk
-            WHERE h IN (SELECT h FROM sk GROUP BY h
-                        HAVING count(*) BETWEEN 2 AND {NS_MAX_DF})),
-    cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-             FROM skc a JOIN skc b USING (h) WHERE a.doc_id < b.doc_id),
+            WHERE h IN (SELECT h FROM sk GROUP BY h HAVING count(*) >= 2)),
+    shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                      count(*) AS n_shared
+               FROM skc a JOIN skc b USING (h) WHERE a.doc_id < b.doc_id
+               GROUP BY a.doc_id, b.doc_id),
+    -- exact prune: numerator <= n_shared, denominator =
+    -- min(k, sza + szb - n_shared); -1 absorbs the round-half boundary
+    cand AS (SELECT a_id, b_id FROM shared
+             JOIN sizes sa ON sa.doc_id = a_id
+             JOIN sizes sb ON sb.doc_id = b_id
+             WHERE n_shared * 1000000
+                   >= ({thr_ppm} - 1)
+                      * least({NS_K}, sa.sz + sb.sz - n_shared)),
     u AS (SELECT a_id, b_id, h, max(in_a) AS in_a, max(in_b) AS in_b
           FROM (SELECT c.a_id, c.b_id, s.h, 1 AS in_a, 0 AS in_b
                 FROM cand c JOIN sk s ON s.doc_id = c.a_id
@@ -186,7 +204,7 @@ def _oracle_ngram_sampled() -> str:
            CAST(round(sum(in_a * in_b) * 1000000.0 / count(*)) AS BIGINT)
                AS jac_est_ppm
     FROM bott GROUP BY a_id, b_id
-    HAVING jac_est_ppm >= {int(round(NS_THRESHOLD * 1e6))}
+    HAVING jac_est_ppm >= {thr_ppm}
     """
 
 
