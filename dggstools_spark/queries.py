@@ -442,6 +442,7 @@ from .queries4 import QUERIES4, ORACLES4  # noqa: E402
 from .queries5 import QUERIES5, ORACLES5  # noqa: E402
 from .queries6 import QUERIES6, ORACLES6  # noqa: E402
 from .queries7 import QUERIES7, ORACLES7  # noqa: E402
+from .queries8 import QUERIES8, ORACLES8  # noqa: E402
 
 QUERIES.update(QUERIES2)
 ORACLES.update(ORACLES2)
@@ -455,6 +456,8 @@ QUERIES.update(QUERIES6)
 ORACLES.update(ORACLES6)
 QUERIES.update(QUERIES7)
 ORACLES.update(ORACLES7)
+QUERIES.update(QUERIES8)
+ORACLES.update(ORACLES8)
 
 
 # --------------------------------------------------------------------------
@@ -498,13 +501,19 @@ ORACLES.update(ORACLES7)
 _PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup", "salted_topk",
                   "hash_sample", "stratified_sample", "weighted_mixture",
                   "bm25_topk", "decontaminate", "gopher_quality",
-                  "ngram_sampled"]
+                  "ngram_sampled", "pack_stats", "pii_scrub"]
 # resample_area: third member of the R1 resample family (bilinear stays
 # in-window; cubic/area remain in the all-query replica gate + pytest incl.
 # the randomized numpy-overlap property test)
+# ivf_refined — Lloyd-refine twin of ivf_topk (IVF evidence stays
+#   in-window via ivf_topk; refined remains in replica gate + sf1 gate),
+#   green r3-r4; geodesic_area — A2 spherical-excess value check, geodesy
+#   also exercised in-window by line_error (A6) + area_per_class (A1),
+#   green r2-r4
 _ROTATE_BACK = ["cell_counts_expr", "resample_cubic", "cells_json", "embed_knn",
                 "media_codecs", "rescale_modes", "auid_groups", "resample_area",
-                "all_touched", "tile_arrays", "res_policy"]
+                "all_touched", "tile_arrays", "res_policy",
+                "ivf_refined", "geodesic_area"]
 
 
 def _reorder(d: dict) -> dict:

@@ -28,7 +28,9 @@ def main() -> None:
              "media_features", "auid_groups", "cells_json", "ivf_topk",
              "simhash", "winnow_pairs", "ngram_pairs",
              "hash_sample", "stratified_sample", "weighted_mixture",
-             "bm25_topk"]
+             "bm25_topk",
+             "decontaminate", "gopher_quality", "ngram_sampled",
+             "pack_stats", "pii_scrub"]
     # queries whose joins must stay broadcast (dimension-sized side): a
     # SortMergeJoin here is plan creep and fails the script.  embed_pairs'
     # bucket self-join and rescale_modes' agg-agg joins legitimately shuffle

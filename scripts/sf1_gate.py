@@ -44,7 +44,9 @@ DEFAULT_QUERIES = ["minhash", "embed_pairs", "auid_optimize", "knn_cells",
                    # broadcast-probe + single-agg shape, gopher_quality the
                    # triple-explode rank-1 windows, ngram_sampled the
                    # bottom-k sketch estimator (the ngram_pairs lever)
-                   "decontaminate", "gopher_quality", "ngram_sampled"]
+                   "decontaminate", "gopher_quality", "ngram_sampled",
+                   # pack_stats: the per-shard running-sum window shape
+                   "pack_stats"]
 SMALL_TABLES = ["region", "nation", "customer", "supplier", "part",
                 "orders", "lineitem", "events"]
 
