@@ -697,3 +697,86 @@ def winnow_pairs(df: DataFrame, text_col: str, id_col: str = "doc_id",
     return (a.join(b, "fp").filter(F.col("doc_a") < F.col("doc_b"))
             .groupBy("doc_a", "doc_b")
             .agg(F.count("*").alias("n_shared")))
+
+
+# --------------------------------------------------------------------------
+# Cross-corpus incremental dedup: flag INCOMING documents that duplicate an
+# EXISTING snapshot (the production "dedup the new crawl against the
+# training set we already have" step — neither side is deduped against
+# itself here; that is the self-join family above).
+# --------------------------------------------------------------------------
+
+def cross_corpus_dedup(existing: DataFrame, incoming: DataFrame,
+                       text_col: str, id_col: str,
+                       n_hashes: int = 4, band_size: int = 2,
+                       shingle_n: int = 3, threshold: float = 0.5,
+                       max_bucket: int | None = None) -> DataFrame:
+    """Per incoming doc: (id_col, exact_dup, near_dup, kept) flags vs the
+    existing snapshot.
+
+    - exact_dup: byte-identical normalized content exists in the snapshot
+      (md5(lower(trim(text))) semi-join — one hash join, no window).
+    - near_dup: shares >= 1 MinHash LSH band with an existing doc AND the
+      exact word-shingle Jaccard against at least one such candidate is
+      >= ``threshold``.  Candidate generation is a band-key equi-join
+      (incoming bands x existing bands — never a cartesian); verification
+      joins shingles only for candidate pairs.
+    - kept = 1 - greatest(exact_dup, near_dup): the admission decision.
+
+    ``max_bucket`` (optional) caps existing-side band buckets with
+    min_bucket=1 (unlike the self-join guard, a singleton existing bucket
+    still matches incoming probes, so singletons must survive).
+
+    Scale: snapshot >> incoming in production; every join is a
+    hash-partitioned equi-join on fp / band_key / shingle, so the snapshot
+    side streams — nothing is broadcast or collected.  Candidate volume is
+    bounded by band-bucket products exactly as in minhash_lsh_pairs.
+    """
+    fp = F.md5(F.lower(F.trim(F.col(text_col))))
+    ex_fp = existing.select(fp.alias("fp")).distinct()
+    in_fp = incoming.select(F.col(id_col), fp.alias("fp"))
+    exact = (in_fp.join(ex_fp, "fp", "left_semi")
+             .select(id_col).withColumn("_exact", F.lit(1)))
+
+    ex_bands = lsh_bands(existing, text_col, id_col, n_hashes, band_size,
+                         shingle_n).withColumnRenamed(id_col, "_ex_id")
+    if max_bucket is not None:
+        ex_bands = _cap_hot_keys(ex_bands, "band_key", max_bucket,
+                                 min_bucket=1)
+    in_bands = lsh_bands(incoming, text_col, id_col, n_hashes, band_size,
+                         shingle_n).withColumnRenamed(id_col, "_in_id")
+    cand = (in_bands.join(ex_bands, "band_key")
+            .select("_in_id", "_ex_id").distinct())
+
+    # exact-Jaccard verification over distinct word shingles, candidates only
+    in_sh = shingles(incoming.select(id_col, text_col), text_col, shingle_n) \
+        .select(F.col(id_col).alias("_in_id"), "shingle").distinct()
+    ex_sh = shingles(existing.select(id_col, text_col), text_col, shingle_n) \
+        .select(F.col(id_col).alias("_ex_id"), "shingle").distinct()
+    n_in = in_sh.groupBy("_in_id").agg(F.count("*").alias("_n_in"))
+    n_ex = ex_sh.groupBy("_ex_id").agg(F.count("*").alias("_n_ex"))
+    inter = (cand.join(in_sh, "_in_id")
+             .join(ex_sh, ["_ex_id", "shingle"])
+             .groupBy("_in_id", "_ex_id")
+             .agg(F.count("*").alias("_n_int")))
+    near = (inter.join(n_in, "_in_id").join(n_ex, "_ex_id")
+            .filter(F.col("_n_int") * F.lit(1000000)
+                    >= F.lit(int(threshold * 1e6))
+                    * (F.col("_n_in") + F.col("_n_ex") - F.col("_n_int")))
+            .select("_in_id").distinct().withColumn("_near", F.lit(1)))
+
+    # flag assembly via union + groupBy-max instead of two left join-backs:
+    # one hash aggregate on id (map-side combinable), no join sort — every
+    # incoming id appears exactly once in the base leg, so max() recovers
+    # the per-doc flags exactly
+    base = incoming.select(F.col(id_col),
+                           F.lit(0).alias("_exact"), F.lit(0).alias("_near"))
+    ex_leg = exact.select(F.col(id_col), F.col("_exact"),
+                          F.lit(0).alias("_near"))
+    nr_leg = near.select(F.col("_in_id").alias(id_col),
+                         F.lit(0).alias("_exact"), F.col("_near"))
+    return (base.unionByName(ex_leg).unionByName(nr_leg)
+            .groupBy(id_col)
+            .agg(F.max("_exact").alias("exact_dup"),
+                 F.max("_near").alias("near_dup"))
+            .withColumn("kept", 1 - F.greatest("exact_dup", "near_dup")))

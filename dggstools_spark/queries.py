@@ -443,6 +443,7 @@ from .queries5 import QUERIES5, ORACLES5  # noqa: E402
 from .queries6 import QUERIES6, ORACLES6  # noqa: E402
 from .queries7 import QUERIES7, ORACLES7  # noqa: E402
 from .queries8 import QUERIES8, ORACLES8  # noqa: E402
+from .queries9 import QUERIES9, ORACLES9  # noqa: E402
 
 QUERIES.update(QUERIES2)
 ORACLES.update(ORACLES2)
@@ -458,6 +459,8 @@ QUERIES.update(QUERIES7)
 ORACLES.update(ORACLES7)
 QUERIES.update(QUERIES8)
 ORACLES.update(ORACLES8)
+QUERIES.update(QUERIES9)
+ORACLES.update(ORACLES9)
 
 
 # --------------------------------------------------------------------------
@@ -501,7 +504,8 @@ ORACLES.update(ORACLES8)
 _PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup", "salted_topk",
                   "hash_sample", "stratified_sample", "weighted_mixture",
                   "bm25_topk", "decontaminate", "gopher_quality",
-                  "ngram_sampled", "pack_stats", "pii_scrub"]
+                  "ngram_sampled", "pack_stats", "pii_scrub",
+                  "passage_dedup", "cross_dedup", "corpus_stats"]
 # resample_area: third member of the R1 resample family (bilinear stays
 # in-window; cubic/area remain in the all-query replica gate + pytest incl.
 # the randomized numpy-overlap property test)
@@ -510,10 +514,21 @@ _PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup", "salted_topk"
 #   green r3-r4; geodesic_area — A2 spherical-excess value check, geodesy
 #   also exercised in-window by line_error (A6) + area_per_class (A1),
 #   green r2-r4
+# The r5 batch-9 trio (passage_dedup/cross_dedup/corpus_stats) rotates
+# three more multi-round-green twins back:
+#   cells_by_revenue — lineitem revenue-agg shape twin of pricing_summary
+#     (both green r1-r4; pricing_summary stays in-window), cell-keyed
+#     rollup evidence retained by cell_counts + prefix_rollup;
+#   token_stats — C10 scalar-text twin of lang_quality (both green since
+#     r2; lang_quality stays in-window);
+#   is_optimal — A10 optimality predicate; the AUID compaction family
+#     keeps auid_optimize (A9 fixpoint value check) + auid_roundtrip
+#     (codec) in-window, green r2-r4
 _ROTATE_BACK = ["cell_counts_expr", "resample_cubic", "cells_json", "embed_knn",
                 "media_codecs", "rescale_modes", "auid_groups", "resample_area",
                 "all_touched", "tile_arrays", "res_policy",
-                "ivf_refined", "geodesic_area"]
+                "ivf_refined", "geodesic_area",
+                "cells_by_revenue", "token_stats", "is_optimal"]
 
 
 def _reorder(d: dict) -> dict:
