@@ -46,7 +46,13 @@ DEFAULT_QUERIES = ["minhash", "embed_pairs", "auid_optimize", "knn_cells",
                    # bottom-k sketch estimator (the ngram_pairs lever)
                    "decontaminate", "gopher_quality", "ngram_sampled",
                    # pack_stats: the per-shard running-sum window shape
-                   "pack_stats"]
+                   "pack_stats",
+                   # round-5 batches 8-9: regex scrubbing (pii_scrub), the
+                   # corpus-rewrite passage window (passage_dedup), the
+                   # snapshot-vs-incoming join stack (cross_dedup), and the
+                   # distribution-table percentile profile (corpus_stats)
+                   "pii_scrub", "passage_dedup", "cross_dedup",
+                   "corpus_stats"]
 SMALL_TABLES = ["region", "nation", "customer", "supplier", "part",
                 "orders", "lineitem", "events"]
 
