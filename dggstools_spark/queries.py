@@ -444,6 +444,7 @@ from .queries6 import QUERIES6, ORACLES6  # noqa: E402
 from .queries7 import QUERIES7, ORACLES7  # noqa: E402
 from .queries8 import QUERIES8, ORACLES8  # noqa: E402
 from .queries9 import QUERIES9, ORACLES9  # noqa: E402
+from .queries10 import QUERIES10, ORACLES10  # noqa: E402
 
 QUERIES.update(QUERIES2)
 ORACLES.update(ORACLES2)
@@ -461,6 +462,8 @@ QUERIES.update(QUERIES8)
 ORACLES.update(ORACLES8)
 QUERIES.update(QUERIES9)
 ORACLES.update(ORACLES9)
+QUERIES.update(QUERIES10)
+ORACLES.update(ORACLES10)
 
 
 # --------------------------------------------------------------------------
@@ -505,7 +508,8 @@ _PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup", "salted_topk"
                   "hash_sample", "stratified_sample", "weighted_mixture",
                   "bm25_topk", "decontaminate", "gopher_quality",
                   "ngram_sampled", "pack_stats", "pii_scrub",
-                  "passage_dedup", "cross_dedup", "corpus_stats"]
+                  "passage_dedup", "cross_dedup", "corpus_stats",
+                  "html_extract", "vocab_topk", "epoch_shuffle"]
 # resample_area: third member of the R1 resample family (bilinear stays
 # in-window; cubic/area remain in the all-query replica gate + pytest incl.
 # the randomized numpy-overlap property test)
@@ -524,11 +528,24 @@ _PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup", "salted_topk"
 #   is_optimal — A10 optimality predicate; the AUID compaction family
 #     keeps auid_optimize (A9 fixpoint value check) + auid_roundtrip
 #     (codec) in-window, green r2-r4
+# The r5 batch-10 trio (html_extract/vocab_topk/epoch_shuffle) rotates
+# three more multi-round-green twins back:
+#   winnow_pairs — passage-fingerprint pair REPORTING; the passage family
+#     keeps passage_dedup (the production rewrite) in-window, and the
+#     shingle-pair machinery stays covered by ngram_pairs + ngram_sampled
+#     (green r2-r4 + sf1 row);
+#   stream_ingest — the streaming family keeps stream_dedup (same
+#     readStream/watermark kernel + state) and stream_stateful in-window
+#     (green r1-r4);
+#   rmse — J3 raster↔raster metric; area_error (A12, in-window) composes
+#     the same correspondence machinery, and the metrics family keeps
+#     extent/line_error/area_per_class in-window (green r1-r4)
 _ROTATE_BACK = ["cell_counts_expr", "resample_cubic", "cells_json", "embed_knn",
                 "media_codecs", "rescale_modes", "auid_groups", "resample_area",
                 "all_touched", "tile_arrays", "res_policy",
                 "ivf_refined", "geodesic_area",
-                "cells_by_revenue", "token_stats", "is_optimal"]
+                "cells_by_revenue", "token_stats", "is_optimal",
+                "winnow_pairs", "stream_ingest", "rmse"]
 
 
 def _reorder(d: dict) -> dict:
