@@ -30,7 +30,9 @@ def main() -> None:
              "hash_sample", "stratified_sample", "weighted_mixture",
              "bm25_topk",
              "decontaminate", "gopher_quality", "ngram_sampled",
-             "pack_stats", "pii_scrub"]
+             "pack_stats", "pii_scrub",
+             "passage_dedup", "cross_dedup", "corpus_stats",
+             "html_extract", "vocab_topk", "epoch_shuffle"]
     # queries whose joins must stay broadcast (dimension-sized side): a
     # SortMergeJoin here is plan creep and fails the script.  embed_pairs'
     # bucket self-join and rescale_modes' agg-agg joins legitimately shuffle

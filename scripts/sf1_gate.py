@@ -52,7 +52,11 @@ DEFAULT_QUERIES = ["minhash", "embed_pairs", "auid_optimize", "knn_cells",
                    # snapshot-vs-incoming join stack (cross_dedup), and the
                    # distribution-table percentile profile (corpus_stats)
                    "pii_scrub", "passage_dedup", "cross_dedup",
-                   "corpus_stats"]
+                   "corpus_stats",
+                   # round-5 batch 10: planted-HTML regex extraction, the
+                   # TakeOrderedAndProject vocab cut, the sharded
+                   # epoch-order digest
+                   "html_extract", "vocab_topk", "epoch_shuffle"]
 SMALL_TABLES = ["region", "nation", "customer", "supplier", "part",
                 "orders", "lineitem", "events"]
 
