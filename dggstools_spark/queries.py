@@ -445,6 +445,7 @@ from .queries7 import QUERIES7, ORACLES7  # noqa: E402
 from .queries8 import QUERIES8, ORACLES8  # noqa: E402
 from .queries9 import QUERIES9, ORACLES9  # noqa: E402
 from .queries10 import QUERIES10, ORACLES10  # noqa: E402
+from .queries11 import QUERIES11, ORACLES11  # noqa: E402
 
 QUERIES.update(QUERIES2)
 ORACLES.update(ORACLES2)
@@ -464,6 +465,8 @@ QUERIES.update(QUERIES9)
 ORACLES.update(ORACLES9)
 QUERIES.update(QUERIES10)
 ORACLES.update(ORACLES10)
+QUERIES.update(QUERIES11)
+ORACLES.update(ORACLES11)
 
 
 # --------------------------------------------------------------------------
@@ -509,7 +512,8 @@ _PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup", "salted_topk"
                   "bm25_topk", "decontaminate", "gopher_quality",
                   "ngram_sampled", "pack_stats", "pii_scrub",
                   "passage_dedup", "cross_dedup", "corpus_stats",
-                  "html_extract", "vocab_topk", "epoch_shuffle"]
+                  "html_extract", "vocab_topk", "epoch_shuffle",
+                  "lm_score", "dsir_select", "pq_topk"]
 # resample_area: third member of the R1 resample family (bilinear stays
 # in-window; cubic/area remain in the all-query replica gate + pytest incl.
 # the randomized numpy-overlap property test)
@@ -540,12 +544,22 @@ _PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup", "salted_topk"
 #   rmse — J3 raster↔raster metric; area_error (A12, in-window) composes
 #     the same correspondence machinery, and the metrics family keeps
 #     extent/line_error/area_per_class in-window (green r1-r4)
+# The r5 batch-11 trio (lm_score/dsir_select/pq_topk) rotates three more
+# multi-round-green twins back:
+#   simhash — near-dup signature twin of minhash (minhash + ngram_pairs +
+#     embed_pairs stay in-window), green r1-r4 + sf1 row;
+#   grid — R7 grid generator; the raster family keeps raster_roundtrip
+#     (R4/R6) + nodata_stride (F1/F4) in-window, green r1-r4;
+#   event_sessions — windowed sessionization; window-over-partition shapes
+#     stay driver-checked via epoch_shuffle/pack_stats/salted_topk, green
+#     r1-r4
 _ROTATE_BACK = ["cell_counts_expr", "resample_cubic", "cells_json", "embed_knn",
                 "media_codecs", "rescale_modes", "auid_groups", "resample_area",
                 "all_touched", "tile_arrays", "res_policy",
                 "ivf_refined", "geodesic_area",
                 "cells_by_revenue", "token_stats", "is_optimal",
-                "winnow_pairs", "stream_ingest", "rmse"]
+                "winnow_pairs", "stream_ingest", "rmse",
+                "simhash", "grid", "event_sessions"]
 
 
 def _reorder(d: dict) -> dict:
