@@ -97,3 +97,40 @@ def bm25_topk(df: DataFrame, text_col: str, id_col: str,
     return (bm25_scores(df, text_col, id_col, terms)
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def bm25_oracle_sql(table: str, text_col: str, id_col: str,
+                    terms: "list[str]", k: int) -> str:
+    """DuckDB twin of bm25_topk (shared-snippet rule) — parameterized so
+    composite queries (hybrid_rerank) reuse the identical recall stage."""
+    terms_sql = ", ".join(f"'{t}'" for t in sorted({t.lower() for t in terms}))
+    idf = "ln(((_n - _df + 0.5) / (_df + 0.5)) + 1.0)"
+    avgdl = "(CAST(_sumdl AS DOUBLE) / _n)"
+    score = (f"{idf} * _tf * ({K1} + 1.0)"
+             f" / (_tf + {K1} * (1.0 - {B} + {B} * _dl / {avgdl}))")
+    return f"""
+    WITH toks AS (
+      SELECT {id_col}, len(string_split(lower({text_col}), ' ')) AS _dl,
+             unnest(string_split(lower({text_col}), ' ')) AS _t
+      FROM {table}),
+    hits AS (SELECT * FROM toks WHERE _t IN ({terms_sql})),
+    tf AS (SELECT {id_col}, _t, count(*) AS _tf, min(_dl) AS _dl
+           FROM hits GROUP BY {id_col}, _t),
+    stats AS (SELECT count(*) AS _n,
+                     CAST(sum(len(string_split(lower({text_col}), ' ')))
+                          AS BIGINT) AS _sumdl
+              FROM {table}),
+    dfreq AS (SELECT _t, count(DISTINCT {id_col}) AS _df
+              FROM hits GROUP BY _t),
+    per_term AS (
+      SELECT tf.{id_col},
+             CAST(round(({score}) * {1 << Q_SHIFT}) AS BIGINT) AS _s
+      FROM tf JOIN dfreq USING (_t) CROSS JOIN stats),
+    scores AS (SELECT {id_col}, CAST(sum(_s) AS BIGINT) AS score_q20
+               FROM per_term GROUP BY {id_col})
+    SELECT {id_col}, score_q20, rank FROM (
+      SELECT {id_col}, score_q20,
+             row_number() OVER (ORDER BY score_q20 DESC, {id_col}) AS rank
+      FROM scores)
+    WHERE rank <= {k}
+    """

@@ -68,3 +68,54 @@ def vocab_topk_sql(table: str, text_col: str, v: int = 100) -> str:
                 // (SELECT _total FROM total) AS BIGINT) AS cum_ppm
     FROM top
     """
+
+
+def oov_rate(df: DataFrame, text_col: str, id_col: str,
+             v: int = 100) -> DataFrame:
+    """Vocabulary APPLICATION, the induction's dual: per-document
+    out-of-vocabulary rate against the corpus top-V vocabulary —
+    (id, n_toks, n_oov, oov_ppm) with oov_ppm = floor(1e6 * n_oov /
+    n_toks).  The coverage curve vocab_topk reports corpus-wide, this
+    reports per document — the filter signal ("drop docs the tokenizer
+    can't represent") and the shard-level QA metric.
+
+    Scale design (100 TB): the vocabulary is V rows by construction —
+    BROADCAST left join onto the token stream (no shuffle), then one
+    map-side-combining per-doc hash aggregate.  Token counting reuses the
+    induction's explode, so both ends of the vocab lifecycle share one
+    tokenization contract."""
+    vocab = (tokens(df.select(text_col), text_col)
+             .groupBy("tok").agg(F.count("*").alias("cnt"))
+             .orderBy(F.desc("cnt"), F.asc("tok")).limit(v)
+             .select("tok", F.lit(1).alias("_iv")))
+    toks = tokens(df.filter(F.col(text_col).isNotNull())
+                  .select(id_col, text_col), text_col).drop(text_col)
+    return (toks.join(F.broadcast(vocab), "tok", "left")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_toks"),
+                 F.sum(F.when(F.col("_iv").isNull(), 1)
+                       .otherwise(0)).alias("n_oov"))
+            .withColumn("oov_ppm", F.expr("(n_oov * 1000000) div n_toks")))
+
+
+def oov_rate_sql(table: str, text_col: str, id_col: str,
+                 v: int = 100) -> str:
+    """DuckDB twin (shared-snippet rule): same top-V cut (cnt desc, tok),
+    same integer floor division."""
+    return f"""
+    WITH toks AS MATERIALIZED (
+        SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS tok
+        FROM {table} WHERE {text_col} IS NOT NULL),
+    vocab AS MATERIALIZED (
+        SELECT tok FROM (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
+        ORDER BY cnt DESC, tok LIMIT {v}),
+    marked AS (SELECT t.{id_col},
+                      CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS _oov
+               FROM toks t LEFT JOIN vocab v USING (tok))
+    SELECT {id_col},
+           CAST(count(*) AS BIGINT) AS n_toks,
+           CAST(sum(_oov) AS BIGINT) AS n_oov,
+           CAST((CAST(sum(_oov) AS BIGINT) * 1000000) // count(*) AS BIGINT)
+               AS oov_ppm
+    FROM marked GROUP BY {id_col}
+    """

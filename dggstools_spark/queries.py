@@ -446,6 +446,7 @@ from .queries8 import QUERIES8, ORACLES8  # noqa: E402
 from .queries9 import QUERIES9, ORACLES9  # noqa: E402
 from .queries10 import QUERIES10, ORACLES10  # noqa: E402
 from .queries11 import QUERIES11, ORACLES11  # noqa: E402
+from .queries12 import QUERIES12, ORACLES12  # noqa: E402
 
 QUERIES.update(QUERIES2)
 ORACLES.update(ORACLES2)
@@ -467,6 +468,8 @@ QUERIES.update(QUERIES10)
 ORACLES.update(ORACLES10)
 QUERIES.update(QUERIES11)
 ORACLES.update(ORACLES11)
+QUERIES.update(QUERIES12)
+ORACLES.update(ORACLES12)
 
 
 # --------------------------------------------------------------------------
@@ -513,7 +516,8 @@ _PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup", "salted_topk"
                   "ngram_sampled", "pack_stats", "pii_scrub",
                   "passage_dedup", "cross_dedup", "corpus_stats",
                   "html_extract", "vocab_topk", "epoch_shuffle",
-                  "lm_score", "dsir_select", "pq_topk"]
+                  "lm_score", "dsir_select", "pq_topk",
+                  "oov_rate", "hybrid_rerank", "embed_clusters"]
 # resample_area: third member of the R1 resample family (bilinear stays
 # in-window; cubic/area remain in the all-query replica gate + pytest incl.
 # the randomized numpy-overlap property test)
@@ -553,13 +557,25 @@ _PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup", "salted_topk"
 #   event_sessions — windowed sessionization; window-over-partition shapes
 #     stay driver-checked via epoch_shuffle/pack_stats/salted_topk, green
 #     r1-r4
+# The r5 batch-12 trio (oov_rate/hybrid_rerank/embed_clusters) rotates
+# three more multi-round-green twins back:
+#   extent — A4/A5 extent + same-res check; the alignment machinery stays
+#     driver-checked via area_error (A12, composes the same raster
+#     correspondence) and cells_io (R8 lift path), green r1-r4;
+#   subarea — J6 containment over the AUID trie; the AUID family keeps
+#     auid_optimize (A9 fixpoint) + auid_roundtrip (codec) in-window,
+#     green r1-r4;
+#   nodata_stride — F1/F4 nodata + stride filters are plain pushed
+#     predicates also exercised inside raster_roundtrip (in-window),
+#     green r1-r4
 _ROTATE_BACK = ["cell_counts_expr", "resample_cubic", "cells_json", "embed_knn",
                 "media_codecs", "rescale_modes", "auid_groups", "resample_area",
                 "all_touched", "tile_arrays", "res_policy",
                 "ivf_refined", "geodesic_area",
                 "cells_by_revenue", "token_stats", "is_optimal",
                 "winnow_pairs", "stream_ingest", "rmse",
-                "simhash", "grid", "event_sessions"]
+                "simhash", "grid", "event_sessions",
+                "extent", "subarea", "nodata_stride"]
 
 
 def _reorder(d: dict) -> dict:

@@ -138,38 +138,9 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_bm25_topk() -> str:
-    from .operators.text_rank import B, K1, Q_SHIFT
+    from .operators.text_rank import bm25_oracle_sql
 
-    terms = ", ".join(f"'{t}'" for t in sorted(BM_TERMS))
-    idf = "ln(((_n - _df + 0.5) / (_df + 0.5)) + 1.0)"
-    avgdl = "(CAST(_sumdl AS DOUBLE) / _n)"
-    score = (f"{idf} * _tf * ({K1} + 1.0)"
-             f" / (_tf + {K1} * (1.0 - {B} + {B} * _dl / {avgdl}))")
-    return f"""
-    WITH toks AS (
-      SELECT doc_id, len(string_split(lower(text), ' ')) AS _dl,
-             unnest(string_split(lower(text), ' ')) AS _t
-      FROM documents),
-    hits AS (SELECT * FROM toks WHERE _t IN ({terms})),
-    tf AS (SELECT doc_id, _t, count(*) AS _tf, min(_dl) AS _dl
-           FROM hits GROUP BY doc_id, _t),
-    stats AS (SELECT count(*) AS _n,
-                     CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
-                       AS _sumdl
-              FROM documents),
-    dfreq AS (SELECT _t, count(DISTINCT doc_id) AS _df FROM hits GROUP BY _t),
-    per_term AS (
-      SELECT tf.doc_id,
-             CAST(round(({score}) * {1 << Q_SHIFT}) AS BIGINT) AS _s
-      FROM tf JOIN dfreq USING (_t) CROSS JOIN stats),
-    scores AS (SELECT doc_id, CAST(sum(_s) AS BIGINT) AS score_q20
-               FROM per_term GROUP BY doc_id)
-    SELECT doc_id, score_q20, rank FROM (
-      SELECT doc_id, score_q20,
-             row_number() OVER (ORDER BY score_q20 DESC, doc_id) AS rank
-      FROM scores)
-    WHERE rank <= {BM_K}
-    """
+    return bm25_oracle_sql("documents", "text", "doc_id", BM_TERMS, BM_K)
 
 
 QUERIES6["bm25_topk"] = q_bm25_topk

@@ -32,7 +32,9 @@ def main() -> None:
              "decontaminate", "gopher_quality", "ngram_sampled",
              "pack_stats", "pii_scrub",
              "passage_dedup", "cross_dedup", "corpus_stats",
-             "html_extract", "vocab_topk", "epoch_shuffle"]
+             "html_extract", "vocab_topk", "epoch_shuffle",
+             "lm_score", "dsir_select", "pq_topk",
+             "oov_rate", "hybrid_rerank", "embed_clusters"]
     # queries whose joins must stay broadcast (dimension-sized side): a
     # SortMergeJoin here is plan creep and fails the script.  embed_pairs'
     # bucket self-join and rescale_modes' agg-agg joins legitimately shuffle
