@@ -447,6 +447,7 @@ from .queries9 import QUERIES9, ORACLES9  # noqa: E402
 from .queries10 import QUERIES10, ORACLES10  # noqa: E402
 from .queries11 import QUERIES11, ORACLES11  # noqa: E402
 from .queries12 import QUERIES12, ORACLES12  # noqa: E402
+from .queries13 import QUERIES13, ORACLES13  # noqa: E402
 
 QUERIES.update(QUERIES2)
 ORACLES.update(ORACLES2)
@@ -470,6 +471,8 @@ QUERIES.update(QUERIES11)
 ORACLES.update(ORACLES11)
 QUERIES.update(QUERIES12)
 ORACLES.update(ORACLES12)
+QUERIES.update(QUERIES13)
+ORACLES.update(ORACLES13)
 
 
 # --------------------------------------------------------------------------
@@ -517,7 +520,8 @@ _PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup", "salted_topk"
                   "passage_dedup", "cross_dedup", "corpus_stats",
                   "html_extract", "vocab_topk", "epoch_shuffle",
                   "lm_score", "dsir_select", "pq_topk",
-                  "oov_rate", "hybrid_rerank", "embed_clusters"]
+                  "oov_rate", "hybrid_rerank", "embed_clusters",
+                  "mixture_plan", "text_normalize", "dup_profile"]
 # resample_area: third member of the R1 resample family (bilinear stays
 # in-window; cubic/area remain in the all-query replica gate + pytest incl.
 # the randomized numpy-overlap property test)
@@ -568,7 +572,20 @@ _PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup", "salted_topk"
 #   nodata_stride — F1/F4 nodata + stride filters are plain pushed
 #     predicates also exercised inside raster_roundtrip (in-window),
 #     green r1-r4
-_ROTATE_BACK = ["cell_counts_expr", "resample_cubic", "cells_json", "embed_knn",
+# The r5 batch-13 trio (mixture_plan/text_normalize/dup_profile) rotates
+# three more multi-round-green twins back:
+#   dedup_exact — F5 exact dedup; the md5(lower(trim)) fingerprint rule
+#     stays driver-checked via dup_profile (same fp snippet) and
+#     cross_dedup's exact-fp semi-join, green r1-r4;
+#   class_encode — J4/W2 first-seen dictionary; the rank-table + broadcast
+#     join-back shape stays driver-checked via vocab_topk/oov_rate, and
+#     first-seen-order logic remains pytest + replica-gate covered, green
+#     r1-r4;
+#   lang_quality — C10 scalar text signals; quality filtering is
+#     independently driver-checked via gopher_quality + lm_score, token
+#     scalars via text_normalize/vocab family, green r1-r4
+_ROTATE_BACK = ["dedup_exact", "class_encode", "lang_quality",
+                "cell_counts_expr", "resample_cubic", "cells_json", "embed_knn",
                 "media_codecs", "rescale_modes", "auid_groups", "resample_area",
                 "all_touched", "tile_arrays", "res_policy",
                 "ivf_refined", "geodesic_area",

@@ -34,7 +34,8 @@ def main() -> None:
              "passage_dedup", "cross_dedup", "corpus_stats",
              "html_extract", "vocab_topk", "epoch_shuffle",
              "lm_score", "dsir_select", "pq_topk",
-             "oov_rate", "hybrid_rerank", "embed_clusters"]
+             "oov_rate", "hybrid_rerank", "embed_clusters",
+             "mixture_plan", "text_normalize", "dup_profile"]
     # queries whose joins must stay broadcast (dimension-sized side): a
     # SortMergeJoin here is plan creep and fails the script.  embed_pairs'
     # bucket self-join and rescale_modes' agg-agg joins legitimately shuffle
