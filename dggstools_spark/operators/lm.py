@@ -33,7 +33,11 @@ Scale design (100 TB):
   tables when the vocabulary is small (the common case: token vocab ≪
   corpus);
 - the per-doc rollup is one more hash aggregate on doc_id.
-Total: two corpus-sized shuffles (bigram counts, doc rollup) + the join.
+Total: two corpus-sized shuffles (bigram counts, doc rollup) + the join,
+over THREE corpus scans (score bigrams, model bigrams, vocab count) — the
+c12 table is localCheckpointed by default so the context-count rollup
+reads the materialized vocab²-bounded table instead of re-scanning the
+corpus (see ``materialize_model``).
 
 Reference parity: the reference engine has no LM scorer; this extends its
 F2 class-filter family to the LLM-pipeline tier (SURVEY.md §2 extension
@@ -65,16 +69,27 @@ def doc_bigrams(df: DataFrame, text_col: str, out: str = "bg") -> DataFrame:
 
 
 def lm_score(df: DataFrame, text_col: str, id_col: str,
-             train_df: DataFrame | None = None) -> DataFrame:
+             train_df: DataFrame | None = None,
+             materialize_model: bool = True) -> DataFrame:
     """(id, n_bigrams, sum_ppm, avg_ppm) per document: add-one-smoothed
     bigram likelihood in exact integer ppm (see module docstring).
 
     ``train_df`` optionally supplies a separate training corpus (same
     text column); by default the model is trained on ``df`` itself —
-    the CCNet self-scoring setup."""
+    the CCNet self-scoring setup.
+
+    ``materialize_model`` localCheckpoints the bigram-count table after it
+    is built: without the cut, Catalyst recomputes the whole c12 subtree
+    (scan + explode + agg) a second time to derive the context counts —
+    the plan audit showed 4 corpus scans where 3 suffice, and at 100 TB
+    the extra scan dominates.  The count table itself is vocab²-bounded
+    (≪ corpus), so materializing it is the cheap side of the trade.
+    Values are identical either way (the checkpoint only cuts lineage)."""
     train = train_df if train_df is not None else df
     train_bg = doc_bigrams(train.select(text_col), text_col)
     c12 = train_bg.groupBy("bg").agg(F.count("*").alias("c12"))
+    if materialize_model:
+        c12 = c12.localCheckpoint(eager=True)
     # context counts c(w1 ·) roll up from the bigram table (vocab-sized
     # input — never a second corpus pass)
     c1 = (c12.groupBy(F.substring_index("bg", " ", 1).alias("w1"))
