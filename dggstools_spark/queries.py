@@ -448,6 +448,7 @@ from .queries10 import QUERIES10, ORACLES10  # noqa: E402
 from .queries11 import QUERIES11, ORACLES11  # noqa: E402
 from .queries12 import QUERIES12, ORACLES12  # noqa: E402
 from .queries13 import QUERIES13, ORACLES13  # noqa: E402
+from .queries14 import QUERIES14, ORACLES14  # noqa: E402
 
 QUERIES.update(QUERIES2)
 ORACLES.update(ORACLES2)
@@ -473,6 +474,8 @@ QUERIES.update(QUERIES12)
 ORACLES.update(ORACLES12)
 QUERIES.update(QUERIES13)
 ORACLES.update(ORACLES13)
+QUERIES.update(QUERIES14)
+ORACLES.update(ORACLES14)
 
 
 # --------------------------------------------------------------------------
@@ -521,7 +524,8 @@ _PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup", "salted_topk"
                   "html_extract", "vocab_topk", "epoch_shuffle",
                   "lm_score", "dsir_select", "pq_topk",
                   "oov_rate", "hybrid_rerank", "embed_clusters",
-                  "mixture_plan", "text_normalize", "dup_profile"]
+                  "mixture_plan", "text_normalize", "dup_profile",
+                  "novelty_score", "lang_confusion", "cluster_keep"]
 # resample_area: third member of the R1 resample family (bilinear stays
 # in-window; cubic/area remain in the all-query replica gate + pytest incl.
 # the randomized numpy-overlap property test)
@@ -584,7 +588,21 @@ _PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup", "salted_topk"
 #   lang_quality — C10 scalar text signals; quality filtering is
 #     independently driver-checked via gopher_quality + lm_score, token
 #     scalars via text_normalize/vocab family, green r1-r4
-_ROTATE_BACK = ["dedup_exact", "class_encode", "lang_quality",
+# The r5 batch-14 trio (novelty_score/lang_confusion/cluster_keep) rotates
+# three more multi-round-green twins back:
+#   minhash — near-dup signature evidence stays in-window THREE ways:
+#     ngram_pairs (exact shingle pairs), embed_pairs (LSH bucket join) and
+#     cross_dedup, whose oracle replays the minhash sig/band construction
+#     bit-exactly; green r1-r4 + sf1 row;
+#   salted_topk — W3 skew top-k; exact top-k shapes stay driver-checked
+#     via bm25_topk/dsir_select/hybrid_rerank/pq_topk/vocab_topk, and the
+#     salting lever keeps its measured SCALE.md demo + pytest; green r5;
+#   stratified_sample — sampling family keeps hash_sample +
+#     weighted_mixture in-window (same content-keyed rank kernel); the
+#     pre-shuffle WindowGroupLimit shape is also pack/epoch-adjacent;
+#     green r5 + sf1 row
+_ROTATE_BACK = ["minhash", "salted_topk", "stratified_sample",
+                "dedup_exact", "class_encode", "lang_quality",
                 "cell_counts_expr", "resample_cubic", "cells_json", "embed_knn",
                 "media_codecs", "rescale_modes", "auid_groups", "resample_area",
                 "all_touched", "tile_arrays", "res_policy",
