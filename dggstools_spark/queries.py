@@ -449,6 +449,7 @@ from .queries11 import QUERIES11, ORACLES11  # noqa: E402
 from .queries12 import QUERIES12, ORACLES12  # noqa: E402
 from .queries13 import QUERIES13, ORACLES13  # noqa: E402
 from .queries14 import QUERIES14, ORACLES14  # noqa: E402
+from .queries15 import QUERIES15, ORACLES15  # noqa: E402
 
 QUERIES.update(QUERIES2)
 ORACLES.update(ORACLES2)
@@ -476,6 +477,8 @@ QUERIES.update(QUERIES13)
 ORACLES.update(ORACLES13)
 QUERIES.update(QUERIES14)
 ORACLES.update(ORACLES14)
+QUERIES.update(QUERIES15)
+ORACLES.update(ORACLES15)
 
 
 # --------------------------------------------------------------------------
@@ -516,16 +519,19 @@ ORACLES.update(ORACLES14)
 #     green r3-r4.
 # --------------------------------------------------------------------------
 
-_PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup", "salted_topk",
-                  "hash_sample", "stratified_sample", "weighted_mixture",
+# (a name in BOTH lists would stay promoted — _reorder draws `promoted`
+# before subtracting the tail — so rotated-back names must leave this list)
+_PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup",
+                  "hash_sample",
                   "bm25_topk", "decontaminate", "gopher_quality",
-                  "ngram_sampled", "pack_stats", "pii_scrub",
+                  "pack_stats",
                   "passage_dedup", "cross_dedup", "corpus_stats",
                   "html_extract", "vocab_topk", "epoch_shuffle",
                   "lm_score", "dsir_select", "pq_topk",
                   "oov_rate", "hybrid_rerank", "embed_clusters",
                   "mixture_plan", "text_normalize", "dup_profile",
-                  "novelty_score", "lang_confusion", "cluster_keep"]
+                  "novelty_score", "lang_confusion", "cluster_keep",
+                  "len_histogram", "corpus_diff", "fertility"]
 # resample_area: third member of the R1 resample family (bilinear stays
 # in-window; cubic/area remain in the all-query replica gate + pytest incl.
 # the randomized numpy-overlap property test)
@@ -601,7 +607,19 @@ _PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup", "salted_topk"
 #     weighted_mixture in-window (same content-keyed rank kernel); the
 #     pre-shuffle WindowGroupLimit shape is also pack/epoch-adjacent;
 #     green r5 + sf1 row
-_ROTATE_BACK = ["minhash", "salted_topk", "stratified_sample",
+# The r5 batch-15 trio (len_histogram/corpus_diff/fertility) rotates three
+# more green twins back:
+#   weighted_mixture — sampling family keeps hash_sample in-window, and
+#     mixture_plan (in-window) now derives the weights this op consumes;
+#     green r5 driver row + sf1;
+#   ngram_sampled — the bottom-k sketch estimator; the exact ngram_pairs
+#     join it approximates stays in-window, the sketch lever keeps its
+#     SCALE.md recall study + pytest; green r5 driver row + sf1;
+#   pii_scrub — chained-regex scan shape; html_extract + text_normalize
+#     (both in-window) drive the identical Java∩RE2 projection family
+#     with value-checked md5s; green r5 driver row + sf1
+_ROTATE_BACK = ["weighted_mixture", "ngram_sampled", "pii_scrub",
+                "minhash", "salted_topk", "stratified_sample",
                 "dedup_exact", "class_encode", "lang_quality",
                 "cell_counts_expr", "resample_cubic", "cells_json", "embed_knn",
                 "media_codecs", "rescale_modes", "auid_groups", "resample_area",

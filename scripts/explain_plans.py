@@ -36,7 +36,8 @@ def main() -> None:
              "lm_score", "dsir_select", "pq_topk",
              "oov_rate", "hybrid_rerank", "embed_clusters",
              "mixture_plan", "text_normalize", "dup_profile",
-             "novelty_score", "lang_confusion", "cluster_keep"]
+             "novelty_score", "lang_confusion", "cluster_keep",
+             "len_histogram", "corpus_diff", "fertility"]
     # queries whose joins must stay broadcast (dimension-sized side): a
     # SortMergeJoin here is plan creep and fails the script.  embed_pairs'
     # bucket self-join and rescale_modes' agg-agg joins legitimately shuffle
