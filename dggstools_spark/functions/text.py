@@ -26,9 +26,51 @@ def punct_ratio(text: str) -> str:
     return f"CAST({parts} AS DOUBLE) / greatest(length({text}), 1)"
 
 
+def quality_q20(text: str) -> str:
+    """EXACT-INTEGER quality score in q20 fixed point (0..~2^20): the
+    integer mirror of quality_score with floor-quantized weights —
+    least(toks,64)*8192 + least(stop,8)*39321 + least(punct*4*2^20 div
+    len, 209715).  Pure integer arithmetic end to end, so the value is
+    bit-identical across engines and safe to hash/rank/argmax.
+
+    Exists because quality_score's round(x, 6) is NOT engine-portable at
+    exact .xxxxxx5 boundaries (CLAUDE.md constraint 17, found by the sf1
+    cluster_keep gate: Spark rounds the shortest decimal representation
+    HALF_UP, DuckDB rounds the binary double — 210 of 50k docs differed
+    by 1e-6; the tok term t/128 lands on those boundaries constantly).
+    Use THIS snippet wherever the score is hashed or compared.
+
+    Integer division is the one dialect split (Spark ``div`` vs DuckDB
+    ``//``), so this is a template: use quality_q20_spark /
+    quality_q20_duckdb."""
+    raise NotImplementedError("use quality_q20_spark / quality_q20_duckdb")
+
+
+def _quality_q20(text: str, idiv: str) -> str:
+    toks = token_count(text)
+    stop = " + ".join(occurrences(f"lower({text})", f" {w} ")
+                      for w in ("the", "and", "of", "a", "in"))
+    punct = " + ".join(occurrences(text, p) for p in (".", ",", "!", "?", ";"))
+    return (f"(least(CAST({toks} AS BIGINT), 64) * 8192"
+            f" + least(CAST({stop} AS BIGINT), 8) * 39321"
+            f" + least((CAST({punct} AS BIGINT) * 4194304)"
+            f" {idiv} greatest(length({text}), 1), 209715))")
+
+
+def quality_q20_spark(text: str) -> str:
+    return _quality_q20(text, "div")
+
+
+def quality_q20_duckdb(text: str) -> str:
+    return _quality_q20(text, "//")
+
+
 def quality_score(text: str) -> str:
-    """Simple length/punct/stopword quality heuristic in [0, 1], rounded to a
-    stable 6 decimals so cross-engine float hashing is deterministic."""
+    """Simple length/punct/stopword quality heuristic in [0, 1], rounded to
+    6 decimals.  WARNING (CLAUDE.md constraint 17): round(x, 6) straddles
+    engine rounding semantics when x sits exactly on a .xxxxxx5 boundary —
+    fine for display/filtering, NOT safe to hash or argmax across engines;
+    use quality_q20 for those."""
     toks = token_count(text)
     stop = " + ".join(occurrences(f"lower({text})", f" {w} ")
                       for w in ("the", "and", "of", "a", "in"))

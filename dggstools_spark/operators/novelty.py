@@ -85,14 +85,16 @@ def novelty_score_sql(table: str, text_col: str, id_col: str,
 def cluster_keep(clusters: DataFrame, docs: DataFrame, text_col: str,
                  id_col: str, quality_sql: str) -> DataFrame:
     """(cluster_id, keep_id, n_members, best_q20): per near-dup cluster,
-    the member with the highest quantized quality score (ties → lowest
-    id).  ``clusters`` is dedup_clusters output (id, cluster_id);
-    ``quality_sql`` is a shared scalar snippet over ``text_col`` (e.g.
-    functions.text.quality_score)."""
+    the member with the highest quality score (ties → lowest id).
+    ``clusters`` is dedup_clusters output (id, cluster_id);
+    ``quality_sql`` is a scalar snippet over ``text_col`` that MUST
+    evaluate to an INTEGER score (e.g. functions.text.quality_q20_spark)
+    — float scores quantized via round() are not engine-portable at .5
+    boundaries (CLAUDE.md constraint 17; the sf1 gate caught exactly
+    that with round(quality_score * 2^20))."""
     scored = docs.select(
         id_col,
-        F.expr(f"CAST(round(({quality_sql}) * {KEEP_QUANT}) AS BIGINT)")
-        .alias("_q20"))
+        F.expr(f"CAST(({quality_sql}) AS BIGINT)").alias("_q20"))
     return (clusters.join(scored, id_col)
             .groupBy("cluster_id")
             .agg(F.count("*").alias("n_members"),
@@ -106,12 +108,12 @@ def cluster_keep(clusters: DataFrame, docs: DataFrame, text_col: str,
 
 def cluster_keep_sql(clusters_cte: str, table: str, text_col: str,
                      id_col: str, quality_sql: str) -> str:
-    """DuckDB twin: ``clusters_cte`` is SQL producing (id, cluster_id)."""
+    """DuckDB twin: ``clusters_cte`` is SQL producing (id, cluster_id);
+    ``quality_sql`` must evaluate to an INTEGER score (see cluster_keep)."""
     return f"""
     WITH cl AS MATERIALIZED ({clusters_cte}),
     scored AS (SELECT {id_col},
-                      CAST(round(({quality_sql}) * {KEEP_QUANT}) AS BIGINT)
-                          AS _q20
+                      CAST(({quality_sql}) AS BIGINT) AS _q20
                FROM {table}),
     j AS (SELECT cl.cluster_id, cl.{id_col}, scored._q20
           FROM cl JOIN scored USING ({id_col}))

@@ -191,26 +191,37 @@ FROM documents GROUP BY 1
 # --------------------------------------------------------------------------
 
 def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-doc quality is the EXACT-INTEGER q20 form and the group mean is
+    # an integer-ratio ppm: round(avg(round(q,6))*1e6) straddled engine
+    # rounding at .xxxxxx5 boundaries (CLAUDE.md constraint 17 — 210 of
+    # 50k sf1 docs differed by 1e-6 per doc, so the avg moved too)
     docs = load(spark, sf_dir, "documents")
     return (
         docs.withColumn("lang_guess", F.expr(T.lang_id("text")))
         .withColumn("toks", F.expr(T.token_count("text")))
-        .withColumn("q", F.expr(T.quality_score("text")))
+        .withColumn("q20", F.expr(T.quality_q20_spark("text")))
         .groupBy("lang_guess")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("toks").alias("total_tokens"),
-            F.round(F.avg("q") * 1000000).cast("bigint").alias("avg_quality_ppm"),
+            F.sum("q20").alias("_sq"),
         )
+        .withColumn("avg_quality_ppm",
+                    F.expr(f"(_sq * 1000000) div (n_docs * {1 << 20})"))
+        .drop("_sq")
     )
 
 
 _ORACLE_LANG = f"""
-SELECT {T.lang_id('text')} AS lang_guess,
-       count(*) AS n_docs,
-       CAST(sum({T.token_count('text')}) AS BIGINT) AS total_tokens,
-       CAST(round(avg({T.quality_score('text')}) * 1000000) AS BIGINT) AS avg_quality_ppm
-FROM documents GROUP BY 1
+SELECT lang_guess, n_docs, total_tokens,
+       CAST((_sq * 1000000) // (n_docs * {1 << 20}) AS BIGINT)
+           AS avg_quality_ppm
+FROM (
+    SELECT {T.lang_id('text')} AS lang_guess,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum({T.token_count('text')}) AS BIGINT) AS total_tokens,
+           CAST(sum({T.quality_q20_duckdb('text')}) AS BIGINT) AS _sq
+    FROM documents GROUP BY 1)
 """
 
 

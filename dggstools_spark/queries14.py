@@ -103,7 +103,7 @@ def q_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 max_doc_freq=queries5.NG_MAX_DF)
     clusters = dedup_clusters(pairs).select("doc_id", "cluster_id")
     return cluster_keep(clusters, docs, "text", "doc_id",
-                        T.quality_score("text"))
+                        T.quality_q20_spark("text"))
 
 
 def _oracle_cluster_keep() -> str:
@@ -122,7 +122,7 @@ def _oracle_cluster_keep() -> str:
     SELECT n AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY n
     """
     return cluster_keep_sql(reach, "documents", "text", "doc_id",
-                            T.quality_score("text"))
+                            T.quality_q20_duckdb("text"))
 
 
 QUERIES14["cluster_keep"] = q_cluster_keep

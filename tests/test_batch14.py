@@ -42,13 +42,13 @@ def test_cluster_keep_argmax_quality_tie_min_id(spark):
         "doc_id long, cluster_id long")
     docs = _docs(spark, [(1, "low"), (2, "high"), (3, "high"),
                          (7, "same"), (8, "same")])
-    # quality snippet: doc text length (portable, deterministic)
+    # quality snippet: doc text length (integer, portable, deterministic)
     out = {r.cluster_id: r for r in
            cluster_keep(clusters, docs, "text", "doc_id",
                         "length(text)").collect()}
     # cluster 0: docs 2 and 3 tie on 'high' (len 4) -> keep min id 2
     assert out[0].keep_id == 2 and out[0].n_members == 3
-    assert out[0].best_q20 == 4 * (1 << 20)
+    assert out[0].best_q20 == 4
     # cluster 7: exact tie -> min id 7
     assert out[7].keep_id == 7 and out[7].n_members == 2
 
@@ -81,3 +81,31 @@ def test_lang_confusion_query_rows(spark, tmp_path):
     assert rows[("es", "es")].n_docs == 1
     assert rows[("en", "und")].n_docs == 1
     assert rows[("en", "en")].row_ppm == PPM // 2
+
+
+# ------------------------------------------- constraint-17 regression pin
+
+def test_quality_q20_cross_engine_exact(spark):
+    """quality_q20 must be bit-identical Spark vs DuckDB — the integer
+    replacement for round(quality_score, 6), whose .xxxxxx5-boundary
+    divergence the sf1 cluster_keep gate caught (CLAUDE.md c17)."""
+    import duckdb
+    from dggstools_spark.functions.text import (quality_q20_duckdb,
+                                                quality_q20_spark)
+
+    texts = []
+    for t in (1, 2, 7, 33, 64, 65, 128):
+        base = " ".join(["w"] * t)
+        texts.append(base)
+        texts.append(base + " the and of a in . , ! ? ;")
+        texts.append((base + " .") * 2)
+    rows = [(i, s) for i, s in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.q for r in df.selectExpr(
+        "doc_id", f"{quality_q20_spark('text')} AS q").collect()}
+    con = duckdb.connect()
+    con.register("docs", __import__("pandas").DataFrame(
+        rows, columns=["doc_id", "text"]))
+    exp = dict(con.sql(
+        f"SELECT doc_id, {quality_q20_duckdb('text')} FROM docs").fetchall())
+    assert got == exp
