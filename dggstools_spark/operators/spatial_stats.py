@@ -1,0 +1,200 @@
+"""Grid-native spatial statistics over DGGS cell tables: focal (moving-
+window) smoothing and global spatial autocorrelation (Moran's I).
+
+The analytics layer a DGGS engine exists to enable: once data is keyed by
+rHEALPix cells, neighborhood operations become pure relational algebra on
+the (face, row, col) lattice — no geometry library, no spatial index.
+Cell → lattice uses the closed form of the cellid digit string: digit d
+at depth i contributes (d div 3, d mod 3) · 3^(res-1-i) to (row, col)
+(dggs/cells.cellids_to_face_rowcol:137-142 is the numpy twin; the SQL
+here is digit-for-digit the same fold, so both engines derive identical
+lattice coordinates).
+
+- ``focal_mean``: queen-adjacency (3×3) moving average of a cell value —
+  the classic raster focal/smoothing op (reference rescale is the parent
+  rollup; this is the SAME-resolution window).  Adjacency within a face:
+  offsets explode (9 rows per cell) → one hash equi-join on
+  (face, row, col) → one agg.  Cells on face edges simply match fewer
+  neighbors (documented interior-adjacency semantics — cross-face
+  wraps are a cell-topology concern the reference also never exposes).
+- ``morans_i``: global Moran's I under 8-neighbor (queen) weights,
+  computed EXACTLY in integer arithmetic: values are centered on the
+  floor mean (d_i = x_i - (Σx div N) — deterministic, engine-exact;
+  the classic real-mean centering differs by O(1/N) and is not
+  integer-representable), and
+
+      I_ppm = (N · Σ_{ij adj} d_i d_j · 1e6) div (W · Σ d_i²)
+
+  evaluated in DECIMAL(38,0)/HUGEINT so the product never overflows
+  (CLAUDE.md constraint 13 family — no float aggregation anywhere).
+
+Scale design (100 TB): the cell table arrives post-aggregation (cells ≪
+points); both ops are one 9× offset explode + one shuffle hash join on
+the natural (face, row, col) key + map-side-combining aggregates.  The
+lattice decode runs AFTER the groupBy so the giant encode expression is
+never re-inlined (CLAUDE.md constraint 2 — the agg is the lineage
+boundary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+PPM = 1_000_000
+
+#: queen adjacency (excl. self)
+_NEIGHBOR_OFFSETS = [(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)
+                     if not (dr == 0 and dc == 0)]
+
+
+def _rowcol_terms(res: int, idiv: str) -> "tuple[str, str]":
+    """(row_sql, col_sql) from a same-res `cellid` string column — the
+    digit fold of cellids_to_face_rowcol as flat SQL (res terms each)."""
+    row_terms, col_terms = [], []
+    for i in range(1, res + 1):
+        digit = f"CAST(substring(cellid, {i + 1}, 1) AS BIGINT)"
+        w = 3 ** (res - i)
+        row_terms.append(f"(({digit}) {idiv} 3) * {w}")
+        col_terms.append(f"(({digit}) % 3) * {w}")
+    return " + ".join(row_terms), " + ".join(col_terms)
+
+
+def face_sql() -> str:
+    """0..5 face index from the cellid head char (portable)."""
+    return "instr('NOPQRS', substring(cellid, 1, 1)) - 1"
+
+
+def with_lattice(cells: DataFrame, res: int) -> DataFrame:
+    """Add (face, row, col) lattice coordinates to a same-res cell table."""
+    row_sql, col_sql = _rowcol_terms(res, "div")
+    return (cells
+            .withColumn("face", F.expr(face_sql()).cast("int"))
+            .withColumn("row", F.expr(row_sql))
+            .withColumn("col", F.expr(col_sql)))
+
+
+def lattice_select_sql(source_sql: str, res: int,
+                       value_col: str = "v") -> str:
+    """DuckDB twin of with_lattice over ``source_sql`` → (cellid, v,
+    face, row, col)."""
+    row_sql, col_sql = _rowcol_terms(res, "//")
+    # src MATERIALIZED: cellid is referenced ~2·res+1 times below — if the
+    # source contains the expression encoder, DuckDB would inline the
+    # ~50k-node tree into every digit reference (CLAUDE.md constraint 7)
+    return f"""
+    WITH _src AS MATERIALIZED ({source_sql})
+    SELECT cellid, {value_col} AS v,
+           CAST({face_sql()} AS INT) AS face,
+           CAST({row_sql} AS BIGINT) AS row,
+           CAST({col_sql} AS BIGINT) AS col
+    FROM _src
+    """
+
+
+def _offsets_sql(include_self: bool) -> str:
+    offs = (_NEIGHBOR_OFFSETS + [(0, 0)]) if include_self \
+        else _NEIGHBOR_OFFSETS
+    rows = ", ".join(f"struct({dr} AS dr, {dc} AS dc)" for dr, dc in offs)
+    return f"explode(array({rows}))"
+
+
+def focal_mean(cells: DataFrame, res: int,
+               value_col: str = "v") -> DataFrame:
+    """(cellid, v, n_window, focal_sum, focal_mean_ppm): 3×3 queen-window
+    mean (incl. self) of an integer cell value, exact ppm.  Cells at face
+    edges average over the neighbors that exist (n_window < 9)."""
+    lat = with_lattice(cells.select("cellid", F.col(value_col).alias("v")),
+                       res)
+    contrib = (lat
+               .select("face", "row", "col", "v",
+                       F.expr(_offsets_sql(True)).alias("o"))
+               .select("face",
+                       (F.col("row") + F.col("o.dr")).alias("row"),
+                       (F.col("col") + F.col("o.dc")).alias("col"),
+                       F.col("v").alias("nv")))
+    return (lat.join(contrib, ["face", "row", "col"])
+            .groupBy("cellid", "v")
+            .agg(F.count("*").alias("n_window"),
+                 F.sum("nv").alias("focal_sum"))
+            .withColumn("focal_mean_ppm",
+                        F.expr(f"(focal_sum * {PPM}) div n_window")))
+
+
+def focal_mean_sql(source_sql: str, res: int,
+                   value_col: str = "v") -> str:
+    """DuckDB twin of focal_mean; ``source_sql`` yields (cellid, v)."""
+    lat = lattice_select_sql(source_sql, res, value_col)
+    offs = " UNION ALL ".join(
+        f"SELECT {dr} AS dr, {dc} AS dc"
+        for dr, dc in _NEIGHBOR_OFFSETS + [(0, 0)])
+    return f"""
+    WITH lat AS MATERIALIZED ({lat}),
+    contrib AS (
+        SELECT face, row + dr AS row, col + dc AS col, v AS nv
+        FROM lat, ({offs}) o)
+    SELECT l.cellid, l.v,
+           CAST(count(*) AS BIGINT) AS n_window,
+           CAST(sum(c.nv) AS BIGINT) AS focal_sum,
+           CAST((CAST(sum(c.nv) AS BIGINT) * {PPM}) // count(*) AS BIGINT)
+               AS focal_mean_ppm
+    FROM lat l JOIN contrib c USING (face, row, col)
+    GROUP BY l.cellid, l.v
+    """
+
+
+def morans_i(cells: DataFrame, res: int,
+             value_col: str = "v") -> DataFrame:
+    """One row (n_cells, w_pairs, pair_sum, ssq, morans_i_ppm): global
+    Moran's I under queen weights, floor-mean centered, exact integers
+    (see module docstring).  morans_i_ppm ≈ I · 1e6; positive =
+    clustered, ~0 = random, negative = dispersed."""
+    lat = with_lattice(cells.select("cellid", F.col(value_col).alias("v")),
+                       res).localCheckpoint(eager=True)  # reused 3×; tiny
+    mean = lat.agg(F.sum("v").alias("_s"), F.count("*").alias("_n"))
+    d = (lat.crossJoin(F.broadcast(mean))
+         .select("face", "row", "col",
+                 F.expr("v - (_s div _n)").alias("d")))
+    nbr = (d.select("face", "row", "col", F.col("d").alias("nd"))
+           .select("face", "row", "col", "nd",
+                   F.expr(_offsets_sql(False)).alias("o"))
+           .select("face",
+                   (F.col("row") + F.col("o.dr")).alias("row"),
+                   (F.col("col") + F.col("o.dc")).alias("col"), "nd"))
+    pairs = (d.join(nbr, ["face", "row", "col"])
+             .agg(F.count("*").alias("w_pairs"),
+                  F.sum(F.col("d") * F.col("nd")).alias("pair_sum")))
+    tot = d.agg(F.count("*").alias("n_cells"),
+                F.sum(F.expr("d * d")).alias("ssq"))
+    return (tot.crossJoin(pairs)
+            .withColumn("morans_i_ppm", F.expr(
+                f"CAST((CAST(n_cells AS DECIMAL(38,0)) * pair_sum * {PPM})"
+                f" div (CAST(w_pairs AS DECIMAL(38,0)) * ssq) AS BIGINT)"))
+            .select("n_cells", "w_pairs", "pair_sum", "ssq",
+                    "morans_i_ppm"))
+
+
+def morans_i_sql(source_sql: str, res: int, value_col: str = "v") -> str:
+    """DuckDB twin of morans_i (HUGEINT keeps the product exact)."""
+    lat = lattice_select_sql(source_sql, res, value_col)
+    offs = " UNION ALL ".join(
+        f"SELECT {dr} AS dr, {dc} AS dc" for dr, dc in _NEIGHBOR_OFFSETS)
+    return f"""
+    WITH lat AS MATERIALIZED ({lat}),
+    m AS (SELECT sum(v) AS _s, count(*) AS _n FROM lat),
+    d AS MATERIALIZED (
+        SELECT face, row, col, v - (SELECT _s // _n FROM m) AS d FROM lat),
+    nbr AS (SELECT face, row + dr AS row, col + dc AS col, d AS nd
+            FROM d, ({offs}) o),
+    pairs AS (SELECT count(*) AS w_pairs,
+                     CAST(sum(d.d * nbr.nd) AS BIGINT) AS pair_sum
+              FROM d JOIN nbr USING (face, row, col)),
+    tot AS (SELECT count(*) AS n_cells,
+                   CAST(sum(d * d) AS BIGINT) AS ssq FROM d)
+    SELECT CAST(n_cells AS BIGINT) AS n_cells,
+           CAST(w_pairs AS BIGINT) AS w_pairs,
+           pair_sum, ssq,
+           CAST((CAST(n_cells AS HUGEINT) * pair_sum * {PPM})
+                // (CAST(w_pairs AS HUGEINT) * ssq) AS BIGINT)
+               AS morans_i_ppm
+    FROM tot, pairs
+    """

@@ -461,6 +461,7 @@ from .queries12 import QUERIES12, ORACLES12  # noqa: E402
 from .queries13 import QUERIES13, ORACLES13  # noqa: E402
 from .queries14 import QUERIES14, ORACLES14  # noqa: E402
 from .queries15 import QUERIES15, ORACLES15  # noqa: E402
+from .queries16 import QUERIES16, ORACLES16  # noqa: E402
 
 QUERIES.update(QUERIES2)
 ORACLES.update(ORACLES2)
@@ -490,6 +491,8 @@ QUERIES.update(QUERIES14)
 ORACLES.update(ORACLES14)
 QUERIES.update(QUERIES15)
 ORACLES.update(ORACLES15)
+QUERIES.update(QUERIES16)
+ORACLES.update(ORACLES16)
 
 
 # --------------------------------------------------------------------------
@@ -534,15 +537,16 @@ ORACLES.update(ORACLES15)
 # before subtracting the tail — so rotated-back names must leave this list)
 _PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup",
                   "hash_sample",
-                  "bm25_topk", "decontaminate", "gopher_quality",
+                  "decontaminate", "gopher_quality",
                   "pack_stats",
                   "passage_dedup", "cross_dedup", "corpus_stats",
-                  "html_extract", "vocab_topk", "epoch_shuffle",
+                  "html_extract", "epoch_shuffle",
                   "lm_score", "dsir_select", "pq_topk",
                   "oov_rate", "hybrid_rerank", "embed_clusters",
                   "mixture_plan", "text_normalize", "dup_profile",
                   "novelty_score", "lang_confusion", "cluster_keep",
-                  "len_histogram", "corpus_diff", "fertility"]
+                  "len_histogram", "corpus_diff", "fertility",
+                  "focal_mean", "morans_i"]
 # resample_area: third member of the R1 resample family (bilinear stays
 # in-window; cubic/area remain in the all-query replica gate + pytest incl.
 # the randomized numpy-overlap property test)
@@ -629,7 +633,16 @@ _PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup",
 #   pii_scrub — chained-regex scan shape; html_extract + text_normalize
 #     (both in-window) drive the identical Java∩RE2 projection family
 #     with value-checked md5s; green r5 driver row + sf1
-_ROTATE_BACK = ["weighted_mixture", "ngram_sampled", "pii_scrub",
+# The r5 batch-16 pair (focal_mean/morans_i) rotates two more green twins
+# back:
+#   bm25_topk — hybrid_rerank (in-window) embeds the IDENTICAL recall
+#     stage and its oracle replays the bm25 CTE verbatim (shared
+#     bm25_oracle_sql snippet); green r5 driver row + sf1;
+#   vocab_topk — oov_rate (in-window) embeds the identical top-V
+#     induction cut inside its query and oracle; green r5 driver row +
+#     sf1
+_ROTATE_BACK = ["bm25_topk", "vocab_topk",
+                "weighted_mixture", "ngram_sampled", "pii_scrub",
                 "minhash", "salted_topk", "stratified_sample",
                 "dedup_exact", "class_encode", "lang_quality",
                 "cell_counts_expr", "resample_cubic", "cells_json", "embed_knn",

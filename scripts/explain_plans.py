@@ -37,7 +37,8 @@ def main() -> None:
              "oov_rate", "hybrid_rerank", "embed_clusters",
              "mixture_plan", "text_normalize", "dup_profile",
              "novelty_score", "lang_confusion", "cluster_keep",
-             "len_histogram", "corpus_diff", "fertility"]
+             "len_histogram", "corpus_diff", "fertility",
+             "focal_mean", "morans_i"]
     # queries whose joins must stay broadcast (dimension-sized side): a
     # SortMergeJoin here is plan creep and fails the script.  embed_pairs'
     # bucket self-join and rescale_modes' agg-agg joins legitimately shuffle

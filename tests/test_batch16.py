@@ -1,0 +1,83 @@
+"""Grid-native spatial statistics (round 5, batch 16)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from dggstools_spark.operators.spatial_stats import (focal_mean, morans_i,
+                                                     with_lattice)
+
+PPM = 1_000_000
+
+
+def _cells(spark, rows):
+    return spark.createDataFrame(rows, "cellid string, v long")
+
+
+def test_with_lattice_matches_kernel(spark):
+    from dggstools_spark.dggs.cells import cellids_to_face_rowcol
+
+    ids = ["N1234", "Q00005"[:5], "S8888", "P0102"]
+    df = _cells(spark, [(c, 1) for c in ids])
+    got = {r.cellid: (r.face, r.row, r.col)
+           for r in with_lattice(df, 4).collect()}
+    res, f, r, c = cellids_to_face_rowcol(ids)
+    for i, cid in enumerate(ids):
+        assert got[cid] == (int(f[i]), int(r[i]), int(c[i])), cid
+
+
+def test_focal_mean_window(spark):
+    # res=1 lattice on face N: cells at (row,col) from digit d=(r*3+c).
+    # Fill a full 3x3 face with v = 10*d; centre cell (1,1)=d4 averages
+    # all nine.
+    rows = [(f"N{d}", 10 * d) for d in range(9)]
+    out = {r.cellid: r for r in focal_mean(_cells(spark, rows), 1).collect()}
+    assert out["N4"].n_window == 9
+    assert out["N4"].focal_sum == sum(10 * d for d in range(9))
+    assert out["N4"].focal_mean_ppm == (360 * PPM) // 9
+    # corner cell d0 at (0,0): window = {0,1,3,4}
+    assert out["N0"].n_window == 4
+    assert out["N0"].focal_sum == 0 + 10 + 30 + 40
+
+
+def test_morans_i_checkerboard_negative(spark):
+    # perfect checkerboard on a 3x3 face -> strong negative autocorrelation
+    vals = {0: 100, 1: 0, 2: 100, 3: 0, 4: 100, 5: 0, 6: 100, 7: 0, 8: 100}
+    rows = [(f"N{d}", v) for d, v in vals.items()]
+    r = morans_i(_cells(spark, rows), 1).collect()[0]
+    assert r.n_cells == 9
+    # queen adjacency on 3x3: 4*3 + 4*5 + 8 = 40 directed pairs
+    assert r.w_pairs == 40
+    assert r.morans_i_ppm < 0
+
+
+def test_morans_i_constant_blocks_positive(spark):
+    # two flat halves (rows 0-1 high, row 2 low) -> positive autocorrelation
+    vals = {d: (100 if d < 6 else 0) for d in range(9)}
+    rows = [(f"N{d}", v) for d, v in vals.items()]
+    r = morans_i(_cells(spark, rows), 1).collect()[0]
+    assert r.morans_i_ppm > 0
+
+
+def test_morans_i_matches_numpy(spark):
+    rng = np.random.RandomState(3)
+    vals = rng.randint(0, 50, size=9)
+    rows = [(f"N{d}", int(vals[d])) for d in range(9)]
+    r = morans_i(_cells(spark, rows), 1).collect()[0]
+    # numpy replica with floor-mean centering
+    grid = vals.reshape(3, 3).astype(np.int64)
+    d = grid - (grid.sum() // 9)
+    pair = ssq = w = 0
+    for i in range(3):
+        for j in range(3):
+            ssq += int(d[i, j]) ** 2
+            for di in (-1, 0, 1):
+                for dj in (-1, 0, 1):
+                    if (di, dj) == (0, 0):
+                        continue
+                    ii, jj = i + di, j + dj
+                    if 0 <= ii < 3 and 0 <= jj < 3:
+                        pair += int(d[i, j]) * int(d[ii, jj])
+                        w += 1
+    assert (r.w_pairs, r.pair_sum, r.ssq) == (w, pair, ssq)
+    exp = int(9 * pair * PPM / (w * ssq))  # trunc toward zero, all ints
+    assert abs(r.morans_i_ppm - exp) <= 1
