@@ -198,3 +198,49 @@ def morans_i_sql(source_sql: str, res: int, value_col: str = "v") -> str:
                AS morans_i_ppm
     FROM tot, pairs
     """
+
+
+def hotspots(cells: DataFrame, res: int, k: int,
+             value_col: str = "v") -> DataFrame:
+    """(cellid, v, n_window, focal_sum, ratio_ppm, rank): Getis-Ord-style
+    local hotspot score — the 3×3 window mean relative to the global mean,
+    exact integer ppm:
+
+        ratio_ppm = (focal_sum · N · 1e6) div (n_window · Σv)
+
+    (> 1e6 ⇒ locally hotter than the corpus average), top-``k`` by
+    (ratio desc, cellid).  One extra single-row broadcast + the
+    WindowGroupLimit rank cut on top of focal_mean's plan."""
+    from pyspark.sql.window import Window
+
+    tot = cells.agg(F.sum(value_col).alias("_tv"),
+                    F.count("*").alias("_tn"))
+    w = Window.orderBy(F.desc("ratio_ppm"), F.asc("cellid"))
+    return (focal_mean(cells, res, value_col)
+            .crossJoin(F.broadcast(tot))
+            .withColumn("ratio_ppm", F.expr(
+                f"(focal_sum * _tn * {PPM}) div (n_window * _tv)"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("cellid", "v", "n_window", "focal_sum",
+                    "ratio_ppm", "rank"))
+
+
+def hotspots_sql(source_sql: str, res: int, k: int,
+                 value_col: str = "v") -> str:
+    """DuckDB twin of hotspots."""
+    focal = focal_mean_sql(source_sql, res, value_col)
+    return f"""
+    WITH f AS MATERIALIZED ({focal}),
+    tot AS (SELECT sum(v) AS _tv, count(*) AS _tn FROM f)
+    SELECT cellid, v, n_window, focal_sum, ratio_ppm,
+           CAST(rank AS INT) AS rank
+    FROM (
+        SELECT f.*, CAST((focal_sum * _tn * {PPM}) // (n_window * _tv)
+                         AS BIGINT) AS ratio_ppm,
+               row_number() OVER (
+                   ORDER BY (focal_sum * _tn * {PPM}) // (n_window * _tv)
+                            DESC, cellid) AS rank
+        FROM f, tot)
+    WHERE rank <= {k}
+    """

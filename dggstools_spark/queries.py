@@ -462,6 +462,7 @@ from .queries13 import QUERIES13, ORACLES13  # noqa: E402
 from .queries14 import QUERIES14, ORACLES14  # noqa: E402
 from .queries15 import QUERIES15, ORACLES15  # noqa: E402
 from .queries16 import QUERIES16, ORACLES16  # noqa: E402
+from .queries17 import QUERIES17, ORACLES17  # noqa: E402
 
 QUERIES.update(QUERIES2)
 ORACLES.update(ORACLES2)
@@ -493,6 +494,8 @@ QUERIES.update(QUERIES15)
 ORACLES.update(ORACLES15)
 QUERIES.update(QUERIES16)
 ORACLES.update(ORACLES16)
+QUERIES.update(QUERIES17)
+ORACLES.update(ORACLES17)
 
 
 # --------------------------------------------------------------------------
@@ -536,8 +539,7 @@ ORACLES.update(ORACLES16)
 # (a name in BOTH lists would stay promoted — _reorder draws `promoted`
 # before subtracting the tail — so rotated-back names must leave this list)
 _PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup",
-                  "hash_sample",
-                  "decontaminate", "gopher_quality",
+                  "gopher_quality",
                   "pack_stats",
                   "passage_dedup", "cross_dedup", "corpus_stats",
                   "html_extract", "epoch_shuffle",
@@ -546,7 +548,8 @@ _PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup",
                   "mixture_plan", "text_normalize", "dup_profile",
                   "novelty_score", "lang_confusion", "cluster_keep",
                   "len_histogram", "corpus_diff", "fertility",
-                  "focal_mean", "morans_i"]
+                  "focal_mean", "morans_i",
+                  "hotspots", "stream_sessions"]
 # resample_area: third member of the R1 resample family (bilinear stays
 # in-window; cubic/area remain in the all-query replica gate + pytest incl.
 # the randomized numpy-overlap property test)
@@ -641,7 +644,16 @@ _PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup",
 #   vocab_topk — oov_rate (in-window) embeds the identical top-V
 #     induction cut inside its query and oracle; green r5 driver row +
 #     sf1
-_ROTATE_BACK = ["bm25_topk", "vocab_topk",
+# The r5 batch-17 pair (hotspots/stream_sessions) rotates two more green
+# twins back:
+#   decontaminate — benchmark n-gram overlap; the broadcast-probe n-gram
+#     machinery stays driver-checked via novelty_score (same shingle df
+#     kernel) + cross_dedup (shingle-verify); green r5 driver row + sf1;
+#   hash_sample — content-keyed Bernoulli; the md5-rank kernel stays
+#     driver-checked via epoch_shuffle (same hash-order machinery) and
+#     dsir/bucket hashing; green r5 driver row + sf1
+_ROTATE_BACK = ["decontaminate", "hash_sample",
+                "bm25_topk", "vocab_topk",
                 "weighted_mixture", "ngram_sampled", "pii_scrub",
                 "minhash", "salted_topk", "stratified_sample",
                 "dedup_exact", "class_encode", "lang_quality",

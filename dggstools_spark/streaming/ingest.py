@@ -77,3 +77,25 @@ def dedup_stream(docs: DataFrame, text_col: str = "text",
               .withWatermark("event_time", watermark)
               .dropDuplicatesWithinWatermark([*keys, "_h"]))
     return hashed.groupBy(*keys).agg(F.count("*").alias("n_unique"))
+
+
+def session_stream(events: DataFrame, key_col: str, ts_col: str = "event_time",
+                   gap: str = "5 minutes",
+                   watermark: str = "30 minutes") -> DataFrame:
+    """Streaming SESSION-WINDOW aggregation (Spark's native session_window,
+    the third windowing family next to tumbling ingest and
+    applyInPandasWithState): events merge into a session while each
+    arrives before the previous window's end (ts < prev + gap); a gap of
+    inactivity >= ``gap`` closes the session.  Returns one row per
+    (key, session): start/end, event count.
+
+    Scale design: session windows are a keyed stateful aggregation —
+    state is per-open-session (bounded by active keys), merged by Spark's
+    session-window state store; the watermark bounds how long a session
+    can stay open to late data.  The deterministic test/oracle mode runs
+    availableNow + complete output (same contract as tile_counts_stream)."""
+    return (events
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.session_window(F.col(ts_col), gap).alias("win"),
+                     F.col(key_col))
+            .agg(F.count("*").alias("n_events")))
