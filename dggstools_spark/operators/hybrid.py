@@ -51,6 +51,13 @@ def hybrid_rerank(docs: DataFrame, emb: DataFrame, terms: "list[str]",
         .select(id_col, "score_q20")
     e = emb.select(F.col(vec_id).alias(id_col), vec_col)
     q = query_vec.select(q_vec)
+    # the rerank stage's generated method is ~16.8 KB (codegen audit) —
+    # past the 8 KB JIT cliff, so under the session's hugeMethodLimit it
+    # runs as volcano operators.  On an N-row post-recall frame that is
+    # irrelevant, and the constraint-15 norms-pre-join split was MEASURED
+    # and rejected here: CollapseProject re-merges the norm projections
+    # into the join stage and grows the method to 28.6 KB (same re-merge
+    # the embed_pairs split-signature study hit, TODO_r4 #4).
     dot = dot_spark(vec_col, q_vec, dim)
     cos = (f"round(({dot}) / (({nrm_spark(vec_col, dim)})"
            f" * ({nrm_spark(q_vec, dim)})), 9)")
