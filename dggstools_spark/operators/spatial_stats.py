@@ -244,3 +244,78 @@ def hotspots_sql(source_sql: str, res: int, k: int,
         FROM f, tot)
     WHERE rank <= {k}
     """
+
+
+def local_moran(cells: DataFrame, res: int, k: int,
+                value_col: str = "v") -> DataFrame:
+    """(cellid, d, nbr_sum, n_nbrs, lisa, quadrant, rank): per-cell LISA
+    (Anselin's local Moran's I, unnormalized integer core): with d_i the
+    floor-mean-centered value, lisa_i = d_i · Σ_{j adj i} d_j — positive
+    where a cell RESEMBLES its neighborhood (HH or LL cluster), negative
+    where it is an OUTLIER (high in a low pocket or vice versa).
+    ``quadrant`` labels HH/LL/HL/LH by the signs of d and the neighbor
+    sum; output is the top-``k`` |lisa| cells (WindowGroupLimit), the
+    "which cells are anomalous" drill-down of the global morans_i.
+
+    Same plan family as focal_mean: one offset explode + one hash
+    equi-join + per-cell agg, all exact integers."""
+    from pyspark.sql.window import Window
+
+    lat = with_lattice(cells.select("cellid", F.col(value_col).alias("v")),
+                       res).localCheckpoint(eager=True)  # reused twice
+    mean = lat.agg(F.sum("v").alias("_s"), F.count("*").alias("_n"))
+    d = (lat.crossJoin(F.broadcast(mean))
+         .select("cellid", "face", "row", "col",
+                 F.expr("v - (_s div _n)").alias("d")))
+    nbr = (d.select("face", "row", "col", F.col("d").alias("nd"))
+           .select("face", "row", "col", "nd",
+                   F.expr(_offsets_sql(False)).alias("o"))
+           .select("face",
+                   (F.col("row") + F.col("o.dr")).alias("row"),
+                   (F.col("col") + F.col("o.dc")).alias("col"), "nd"))
+    per = (d.join(nbr, ["face", "row", "col"])
+           .groupBy("cellid", "d")
+           .agg(F.sum("nd").alias("nbr_sum"),
+                F.count("*").alias("n_nbrs"))
+           .withColumn("lisa", F.expr("d * nbr_sum"))
+           .withColumn("quadrant", F.expr(
+               "CASE WHEN d >= 0 AND nbr_sum >= 0 THEN 'HH'"
+               " WHEN d < 0 AND nbr_sum < 0 THEN 'LL'"
+               " WHEN d >= 0 THEN 'HL' ELSE 'LH' END")))
+    w = Window.orderBy(F.desc(F.abs(F.col("lisa"))), F.asc("cellid"))
+    return (per.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("cellid", "d", "nbr_sum", "n_nbrs", "lisa",
+                    "quadrant", "rank"))
+
+
+def local_moran_sql(source_sql: str, res: int, k: int,
+                    value_col: str = "v") -> str:
+    """DuckDB twin of local_moran."""
+    lat = lattice_select_sql(source_sql, res, value_col)
+    offs = " UNION ALL ".join(
+        f"SELECT {dr} AS dr, {dc} AS dc" for dr, dc in _NEIGHBOR_OFFSETS)
+    return f"""
+    WITH lat AS MATERIALIZED ({lat}),
+    m AS (SELECT sum(v) AS _s, count(*) AS _n FROM lat),
+    d AS MATERIALIZED (
+        SELECT cellid, face, row, col,
+               v - (SELECT _s // _n FROM m) AS d FROM lat),
+    nbr AS (SELECT face, row + dr AS row, col + dc AS col, d AS nd
+            FROM d, ({offs}) o),
+    per AS (
+        SELECT d.cellid, CAST(d.d AS BIGINT) AS d,
+               CAST(sum(nbr.nd) AS BIGINT) AS nbr_sum,
+               CAST(count(*) AS BIGINT) AS n_nbrs
+        FROM d JOIN nbr USING (face, row, col)
+        GROUP BY d.cellid, d.d)
+    SELECT cellid, d, nbr_sum, n_nbrs,
+           CAST(d * nbr_sum AS BIGINT) AS lisa,
+           CASE WHEN d >= 0 AND nbr_sum >= 0 THEN 'HH'
+                WHEN d < 0 AND nbr_sum < 0 THEN 'LL'
+                WHEN d >= 0 THEN 'HL' ELSE 'LH' END AS quadrant,
+           CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+              ORDER BY abs(d * nbr_sum) DESC, cellid) AS rank FROM per)
+    WHERE rank <= {k}
+    """

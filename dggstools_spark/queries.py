@@ -541,7 +541,7 @@ ORACLES.update(ORACLES17)
 _PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup",
                   "gopher_quality",
                   "pack_stats",
-                  "passage_dedup", "cross_dedup", "corpus_stats",
+                  "passage_dedup", "cross_dedup",
                   "html_extract", "epoch_shuffle",
                   "lm_score", "dsir_select", "pq_topk",
                   "oov_rate", "hybrid_rerank", "embed_clusters",
@@ -549,7 +549,7 @@ _PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup",
                   "novelty_score", "lang_confusion", "cluster_keep",
                   "len_histogram", "corpus_diff", "fertility",
                   "focal_mean", "morans_i",
-                  "hotspots", "stream_sessions"]
+                  "hotspots", "stream_sessions", "local_moran"]
 # resample_area: third member of the R1 resample family (bilinear stays
 # in-window; cubic/area remain in the all-query replica gate + pytest incl.
 # the randomized numpy-overlap property test)
@@ -652,7 +652,12 @@ _PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup",
 #   hash_sample — content-keyed Bernoulli; the md5-rank kernel stays
 #     driver-checked via epoch_shuffle (same hash-order machinery) and
 #     dsir/bucket hashing; green r5 driver row + sf1
-_ROTATE_BACK = ["decontaminate", "hash_sample",
+# batch-18 (local_moran) rotates one more green twin back:
+#   corpus_stats — exact distribution percentiles; distribution profiling
+#     stays driver-checked via len_histogram (bucket histogram + waste
+#     curve) and gopher_quality; green r5 driver row + sf1
+_ROTATE_BACK = ["corpus_stats",
+                "decontaminate", "hash_sample",
                 "bm25_topk", "vocab_topk",
                 "weighted_mixture", "ngram_sampled", "pii_scrub",
                 "minhash", "salted_topk", "stratified_sample",

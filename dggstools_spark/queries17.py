@@ -122,3 +122,27 @@ def _oracle_stream_sessions() -> str:
 
 QUERIES17["stream_sessions"] = q_stream_sessions
 ORACLES17["stream_sessions"] = _oracle_stream_sessions()
+
+
+# --------------------------------------------------------------------------
+# q_local_moran — batch 18: the per-cell drill-down of morans_i (Anselin
+# LISA, integer core), top-25 |lisa| cells with HH/LL/HL/LH quadrants.
+# --------------------------------------------------------------------------
+
+LISA_K = 25
+
+
+def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.spatial_stats import local_moran
+
+    return local_moran(_cells(spark, sf_dir), CELL_RES, LISA_K)
+
+
+def _oracle_local_moran() -> str:
+    from .operators.spatial_stats import local_moran_sql
+
+    return local_moran_sql(_cells_sql(), CELL_RES, LISA_K)
+
+
+QUERIES17["local_moran"] = q_local_moran
+ORACLES17["local_moran"] = _oracle_local_moran()

@@ -59,3 +59,23 @@ def test_session_stream_gap_semantics(spark, tmp_path):
     # u1: two sessions (3 events, then 2 events 10 min later); u2: one
     assert got == [("u1", 1700000000.0, 3), ("u1", 1700000600.0, 2),
                    ("u2", 1700000000.0, 1)]
+
+
+# ----------------------------------------------------------- local_moran
+
+def test_local_moran_quadrants(spark):
+    from dggstools_spark.operators.spatial_stats import local_moran
+
+    # one high cell (d0=90) in a low field: HL outlier with negative lisa;
+    # its neighbors are low cells next to the spike -> LH, negative too
+    rows = [(f"N{d}", 90 if d == 0 else 1) for d in range(9)]
+    df = spark.createDataFrame(rows, "cellid string, v long")
+    out = {r.cellid: r for r in local_moran(df, 1, k=9).collect()}
+    # mean floor = 98 // 9 = 10; d(N0) = 80, others -9
+    assert out["N0"].d == 80
+    assert out["N0"].quadrant == "HL" and out["N0"].lisa < 0
+    assert out["N1"].quadrant == "LH" and out["N1"].lisa < 0
+    # far corner N8: neighbors all low -> LL cluster, positive lisa
+    assert out["N8"].quadrant == "LL" and out["N8"].lisa > 0
+    # the spike dominates |lisa| ranking
+    assert out["N0"].rank == 1
