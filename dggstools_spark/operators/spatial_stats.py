@@ -319,3 +319,64 @@ def local_moran_sql(source_sql: str, res: int, k: int,
               ORDER BY abs(d * nbr_sum) DESC, cellid) AS rank FROM per)
     WHERE rank <= {k}
     """
+
+
+def _lcp(a: str, b: str) -> str:
+    out = []
+    for x, y in zip(a, b):
+        if x != y:
+            break
+        out.append(x)
+    return "".join(out)
+
+
+def bbox_cells(cells: DataFrame, res: int, corner_a: str,
+               corner_b: str) -> DataFrame:
+    """Cells inside the lattice rectangle spanned by two same-face corner
+    cellids — THE canonical DGGS range query.  Two-stage filter, in scale
+    order: (1) prefix prune — every cell in the rectangle shares the
+    corners' longest common prefix, a plain ``startswith`` that partition-
+    prunes a prefix-partitioned cell store (sources/cells_io layout) and
+    row-group-skips parquet; (2) exact (row, col) range from the lattice
+    closed form.  Returns (cellid, v, row, col) within the box."""
+    fa, fb = corner_a[0], corner_b[0]
+    if fa != fb:
+        raise ValueError("bbox corners must share a face "
+                         f"(got {fa!r} vs {fb!r})")
+    if len(corner_a) != res + 1 or len(corner_b) != res + 1:
+        raise ValueError("corner cellids must be at the query resolution")
+    prefix = _lcp(corner_a, corner_b)
+    lat = with_lattice(cells, res)
+    ra, rb = sorted((_rowcol_of(corner_a)[0], _rowcol_of(corner_b)[0]))
+    ca, cb = sorted((_rowcol_of(corner_a, col=True)[0],
+                     _rowcol_of(corner_b, col=True)[0]))
+    return (lat
+            .filter(F.col("cellid").startswith(prefix))
+            .filter((F.col("row") >= ra) & (F.col("row") <= rb)
+                    & (F.col("col") >= ca) & (F.col("col") <= cb))
+            .select("cellid", "v", "row", "col"))
+
+
+def _rowcol_of(cellid: str, col: bool = False) -> "tuple[int]":
+    """Driver-side (row,) or (col,) of a cellid — the same digit fold."""
+    acc = 0
+    for ch in cellid[1:]:
+        d = int(ch)
+        acc = acc * 3 + (d % 3 if col else d // 3)
+    return (acc,)
+
+
+def bbox_cells_sql(source_sql: str, res: int, corner_a: str,
+                   corner_b: str, value_col: str = "v") -> str:
+    """DuckDB twin of bbox_cells."""
+    prefix = _lcp(corner_a, corner_b)
+    ra, rb = sorted((_rowcol_of(corner_a)[0], _rowcol_of(corner_b)[0]))
+    ca, cb = sorted((_rowcol_of(corner_a, col=True)[0],
+                     _rowcol_of(corner_b, col=True)[0]))
+    lat = lattice_select_sql(source_sql, res, value_col)
+    return f"""
+    WITH lat AS MATERIALIZED ({lat})
+    SELECT cellid, v, row, col FROM lat
+    WHERE cellid LIKE '{prefix}%'
+      AND row BETWEEN {ra} AND {rb} AND col BETWEEN {ca} AND {cb}
+    """

@@ -463,6 +463,7 @@ from .queries14 import QUERIES14, ORACLES14  # noqa: E402
 from .queries15 import QUERIES15, ORACLES15  # noqa: E402
 from .queries16 import QUERIES16, ORACLES16  # noqa: E402
 from .queries17 import QUERIES17, ORACLES17  # noqa: E402
+from .queries18 import QUERIES18, ORACLES18  # noqa: E402
 
 QUERIES.update(QUERIES2)
 ORACLES.update(ORACLES2)
@@ -496,6 +497,8 @@ QUERIES.update(QUERIES16)
 ORACLES.update(ORACLES16)
 QUERIES.update(QUERIES17)
 ORACLES.update(ORACLES17)
+QUERIES.update(QUERIES18)
+ORACLES.update(ORACLES18)
 
 
 # --------------------------------------------------------------------------
@@ -539,9 +542,7 @@ ORACLES.update(ORACLES17)
 # (a name in BOTH lists would stay promoted — _reorder draws `promoted`
 # before subtracting the tail — so rotated-back names must leave this list)
 _PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup",
-                  "gopher_quality",
-                  "pack_stats",
-                  "passage_dedup", "cross_dedup",
+                  "passage_dedup",
                   "html_extract", "epoch_shuffle",
                   "lm_score", "dsir_select", "pq_topk",
                   "oov_rate", "hybrid_rerank", "embed_clusters",
@@ -549,7 +550,8 @@ _PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup",
                   "novelty_score", "lang_confusion", "cluster_keep",
                   "len_histogram", "corpus_diff", "fertility",
                   "focal_mean", "morans_i",
-                  "hotspots", "stream_sessions", "local_moran"]
+                  "hotspots", "stream_sessions", "local_moran",
+                  "tile_pyramid", "bbox_cells", "zonal_stats"]
 # resample_area: third member of the R1 resample family (bilinear stays
 # in-window; cubic/area remain in the all-query replica gate + pytest incl.
 # the randomized numpy-overlap property test)
@@ -656,7 +658,18 @@ _PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup",
 #   corpus_stats — exact distribution percentiles; distribution profiling
 #     stays driver-checked via len_histogram (bucket histogram + waste
 #     curve) and gopher_quality; green r5 driver row + sf1
-_ROTATE_BACK = ["corpus_stats",
+# batch-19 (tile_pyramid/bbox_cells/zonal_stats) rotates three more green
+# twins back:
+#   gopher_quality — quality-filter family stays driver-checked via
+#     lm_score (LM filter), novelty_score and cluster_keep (q20 scorer);
+#     green r5 driver row + sf1;
+#   pack_stats — the packing shape stays driver-checked via len_histogram
+#     (waste curve) and epoch_shuffle (shard windows); green r5 + sf1;
+#   cross_dedup — its oracle replays minhash sig/bands + exact-fp
+#     semi-join verbatim, machinery still driver-checked via ngram_pairs
+#     + passage_dedup + dup_profile (same fp rule); green r5 + sf1
+_ROTATE_BACK = ["gopher_quality", "pack_stats", "cross_dedup",
+                "corpus_stats",
                 "decontaminate", "hash_sample",
                 "bm25_topk", "vocab_topk",
                 "weighted_mixture", "ngram_sampled", "pii_scrub",

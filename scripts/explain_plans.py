@@ -38,7 +38,8 @@ def main() -> None:
              "mixture_plan", "text_normalize", "dup_profile",
              "novelty_score", "lang_confusion", "cluster_keep",
              "len_histogram", "corpus_diff", "fertility",
-             "focal_mean", "morans_i", "hotspots", "local_moran"]
+             "focal_mean", "morans_i", "hotspots", "local_moran",
+             "tile_pyramid", "bbox_cells", "zonal_stats"]
     # queries whose joins must stay broadcast (dimension-sized side): a
     # SortMergeJoin here is plan creep and fails the script.  embed_pairs'
     # bucket self-join and rescale_modes' agg-agg joins legitimately shuffle
