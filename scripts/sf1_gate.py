@@ -149,6 +149,46 @@ def main() -> int:
                      "rev": _git_rev(), "ts": int(time.time())}
         if name == "knn_cells":
             rec["knn_stats"] = spatial_join.last_knn_stats
+        if name == "embed_clusters":
+            # the registered oracle is a recursive reachability CTE whose
+            # row mass is Σ|component|² — tractable at sf0.01, intractable
+            # over the ~2M near-clique sf1 edges (TODO_r6 #8).  At sf1 we
+            # verify against an EXACT linear union-find over the pair list
+            # (pairs themselves come from the oracle-side embed_pairs SQL,
+            # which carries its own sf1 row).
+            import pandas as pd
+
+            from dggstools_spark.queries import ORACLES as _O
+
+            t0 = time.time()
+            pairs = con.execute(_O["embed_pairs"]).fetchall()
+            parent: dict = {}
+
+            def find(x):
+                while parent.setdefault(x, x) != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b, _ in pairs:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            odf = pd.DataFrame(
+                sorted((n, find(n)) for n in parent),
+                columns=["vec_id", "cluster_id"])
+            rec.update(
+                oracle_rows=len(odf), duckdb_sec=round(time.time() - t0, 2),
+                oracle_kind="union_find_over_embed_pairs_sql",
+                rows_match=len(sdf) == len(odf),
+                schema_match=sorted(sdf.columns) == sorted(odf.columns),
+                hash_match=canonical_hash(sdf) == canonical_hash(odf))
+            ok = rec["rows_match"] and rec["schema_match"] and rec["hash_match"]
+            if not ok:
+                failures.append(name)
+            results[name] = rec
+            print(f"{name}: {'OK' if ok else 'MISMATCH'} {rec}", flush=True)
+            continue
         if name in ORACLES:
             t0 = time.time()
             odf = con.execute(ORACLES[name]).fetchdf()
