@@ -59,7 +59,11 @@ def dsir_scores(df: DataFrame, text_col: str, id_col: str,
     """(id, is_target, n_toks, score[, rank]) — hashed-unigram importance
     score per document; ``target`` is a boolean Column marking the target
     slice (e.g. ``F.col('lang') == 'en'``).  With ``k``, returns only the
-    top-k raw documents by (score desc, id) with their rank."""
+    top-k raw documents by (score desc, id) with their rank.
+
+    Contract: ``id_col`` must be unique and non-null — duplicate ids merge
+    token multisets in the per-doc rollup (same contract as
+    dedup.simhash)."""
     toks = (tokens(df.filter(F.col(text_col).isNotNull())
                    .select(id_col, target.cast("int").alias("tgt"), text_col),
                    text_col)

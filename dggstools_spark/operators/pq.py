@@ -114,7 +114,10 @@ def _subvectors(df: DataFrame, vec_col: str, id_col: str, out_id: str,
 def pq_encode(emb: DataFrame, codebook: DataFrame,
               vec_col: str = "embedding", id_col: str = "vec_id",
               m: int = PQ_M, dsub: int = PQ_DSUB) -> DataFrame:
-    """(id, codes array<int>): nearest-centroid code per subspace.  The
+    """(id, codes array<int>): nearest-centroid code per subspace.
+    Contract: every vector must have at least m*dsub dimensions — shorter
+    arrays slice to short subvectors whose element_at reads return NULL
+    and poison the distance silently.  The
     argmin is a min-struct hash aggregate (map-side combine), not a window
     — no per-(vector, subspace) shuffle beyond the agg itself."""
     sv = _subvectors(emb, vec_col, id_col, id_col, m, dsub)

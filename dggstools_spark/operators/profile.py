@@ -83,7 +83,10 @@ def corpus_diff(a: DataFrame, b: DataFrame, text_col: str,
                 id_col: str) -> DataFrame:
     """(status, n_docs, n_toks): added / removed / changed / unchanged
     between snapshot ``a`` (old) and ``b`` (new); n_toks counts the NEW
-    side for added/changed/unchanged and the OLD side for removed."""
+    side for added/changed/unchanged and the OLD side for removed.
+
+    Contract: ``id_col`` must be unique per snapshot — duplicate ids
+    fan out the outer join and double-count their statuses."""
     def proj(df: DataFrame, tag: str) -> DataFrame:
         return (df.filter(F.col(text_col).isNotNull())
                 .select(F.col(id_col),
