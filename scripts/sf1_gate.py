@@ -56,7 +56,19 @@ DEFAULT_QUERIES = ["minhash", "embed_pairs", "auid_optimize", "knn_cells",
                    # round-5 batch 10: planted-HTML regex extraction, the
                    # TakeOrderedAndProject vocab cut, the sharded
                    # epoch-order digest
-                   "html_extract", "vocab_topk", "epoch_shuffle"]
+                   "html_extract", "vocab_topk", "epoch_shuffle",
+                   # round-5 batches 11-19 heavyweights: bigram-LM scoring
+                   # (model-table checkpoint), PQ ADC scan, two-stage
+                   # retrieval, cross-doc novelty, embedding CC (union-find
+                   # oracle special case), the lattice analytics family,
+                   # session windows, and the GIS trio
+                   "lm_score", "dsir_select", "pq_topk", "hybrid_rerank",
+                   "embed_clusters", "novelty_score", "cluster_keep",
+                   "focal_mean", "morans_i", "hotspots", "local_moran",
+                   "stream_sessions", "tile_pyramid", "bbox_cells",
+                   "zonal_stats", "oov_rate", "text_normalize",
+                   "mixture_plan", "dup_profile", "lang_confusion",
+                   "len_histogram", "corpus_diff", "fertility"]
 SMALL_TABLES = ["region", "nation", "customer", "supplier", "part",
                 "orders", "lineitem", "events"]
 
