@@ -37,7 +37,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # (SURVEY J1/C2; pandas-UDF Arrow path)
 # --------------------------------------------------------------------------
 
-CELL_RES = 5
+from .queries3 import CELL_RES  # noqa: E402 (moved to the leaf module)
 
 
 def q_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -20,8 +20,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .functions import encode_sql
-from .queries import CELL_RES
-from .queries3 import load
+from .queries3 import CELL_RES, load
 from .sources import synth
 
 QUERIES16: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {}

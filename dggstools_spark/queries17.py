@@ -16,8 +16,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .queries import CELL_RES
-from .queries3 import load
+from .queries3 import CELL_RES, load
 from .queries16 import _cells, _cells_sql
 
 QUERIES17: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {}

@@ -18,8 +18,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .functions import encode_sql
-from .queries import CELL_RES
-from .queries3 import load
+from .queries3 import CELL_RES, load
 from .queries16 import _cells, _cells_sql
 from .sources import synth
 

@@ -18,6 +18,10 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .dggs.config import DEFAULT_CONFIG
+
+#: flagship cell resolution shared by the registry (lives here — a leaf
+#: module — so queries16+ can import it without circling through queries.py)
+CELL_RES = 5
 from .functions import encode_sql
 from .operators import metrics
 from .operators import spatial_join as spatial_join_mod
