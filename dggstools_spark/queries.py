@@ -464,6 +464,7 @@ from .queries15 import QUERIES15, ORACLES15  # noqa: E402
 from .queries16 import QUERIES16, ORACLES16  # noqa: E402
 from .queries17 import QUERIES17, ORACLES17  # noqa: E402
 from .queries18 import QUERIES18, ORACLES18  # noqa: E402
+from .queries19 import QUERIES19, ORACLES19  # noqa: E402
 
 QUERIES.update(QUERIES2)
 ORACLES.update(ORACLES2)
@@ -499,6 +500,8 @@ QUERIES.update(QUERIES17)
 ORACLES.update(ORACLES17)
 QUERIES.update(QUERIES18)
 ORACLES.update(ORACLES18)
+QUERIES.update(QUERIES19)
+ORACLES.update(ORACLES19)
 
 
 # --------------------------------------------------------------------------
@@ -551,7 +554,8 @@ _PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup",
                   "len_histogram", "corpus_diff", "fertility",
                   "focal_mean", "morans_i",
                   "hotspots", "stream_sessions", "local_moran",
-                  "tile_pyramid", "bbox_cells", "zonal_stats"]
+                  "tile_pyramid", "bbox_cells", "zonal_stats",
+                  "dedup_pipeline"]
 # resample_area: third member of the R1 resample family (bilinear stays
 # in-window; cubic/area remain in the all-query replica gate + pytest incl.
 # the randomized numpy-overlap property test)
@@ -668,7 +672,13 @@ _PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup",
 #   cross_dedup — its oracle replays minhash sig/bands + exact-fp
 #     semi-join verbatim, machinery still driver-checked via ngram_pairs
 #     + passage_dedup + dup_profile (same fp rule); green r5 + sf1
-_ROTATE_BACK = ["gopher_quality", "pack_stats", "cross_dedup",
+# batch-20 (dedup_pipeline capstone) rotates one more green twin back:
+#   line_error — A6 line metric; the geodesy/correspondence machinery
+#     stays driver-checked via area_per_class (A1) + area_error (A12),
+#     and line_error keeps its worked-example pytest + replica-gate row;
+#     green r1-r5
+_ROTATE_BACK = ["line_error",
+                "gopher_quality", "pack_stats", "cross_dedup",
                 "corpus_stats",
                 "decontaminate", "hash_sample",
                 "bm25_topk", "vocab_topk",

@@ -685,10 +685,13 @@ def q_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                threshold=NG_THRESHOLD, max_doc_freq=NG_MAX_DF)
 
 
-def _oracle_ngram_pairs() -> str:
+def _oracle_ngram_pairs(table: str = "documents") -> str:
+    """``table`` may be any (doc_id, text) relation — the dedup_pipeline
+    capstone runs the identical construction over the exact-dedup
+    survivors CTE."""
     return f"""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
-                  FROM documents),
+                  FROM {table}),
     -- list_slice matches Spark's slice() short-doc rule (same convention
     -- as the minhash oracle)
     sh AS MATERIALIZED (

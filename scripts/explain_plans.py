@@ -39,7 +39,8 @@ def main() -> None:
              "novelty_score", "lang_confusion", "cluster_keep",
              "len_histogram", "corpus_diff", "fertility",
              "focal_mean", "morans_i", "hotspots", "local_moran",
-             "tile_pyramid", "bbox_cells", "zonal_stats"]
+             "tile_pyramid", "bbox_cells", "zonal_stats",
+             "dedup_pipeline"]
     # queries whose joins must stay broadcast (dimension-sized side): a
     # SortMergeJoin here is plan creep and fails the script.  embed_pairs'
     # bucket self-join and rescale_modes' agg-agg joins legitimately shuffle
