@@ -218,6 +218,11 @@ def main() -> None:
     # single-attempt peers (ADVICE r4) — keep the discarded first timing
     # so round-over-round deltas on retried rows are interpretable
     query_psi = {}
+    query_psi_cpu = {}  # psi_cpu catches the sub-steal contention that
+    # swung flagship runs 3->22% psi at steal 0.0 (VERDICT r5 #1)
+    query_runs = {}  # heavy rows (>=3 s): all best-of-3 runs with their
+    # own steal/psi stamps, so a committed artifact can attribute its own
+    # variance (VERDICT r5 #1)
 
     # The flagship (the headline docs/sec metric) runs BEFORE the query
     # sweep: measured r5, running it after the 59-query sweep depressed
@@ -284,25 +289,54 @@ def main() -> None:
             # around each query and retry ONCE after re-gating if the run
             # was visibly stolen; the JSON keeps the per-query steal% so a
             # residual uptick is self-identifying.
-            for attempt in range(2):
+            def timed_run():
+                """One noop-sink run -> (sec, steal%, psi_cpu%, psi_io%).
+                /proc/stat steal is HOST-wide: normalize by host vCPUs,
+                not SPARK_GRAFT_CPUS (a cpus=4 run would otherwise read
+                8x-inflated steal and retry every query spuriously)."""
+                host_cpus = os.cpu_count() or 32
                 s0, t0 = read_steal_jiffies(), time.time()
-                p0 = read_psi_total("io")
+                pc0, pi0 = read_psi_total("cpu"), read_psi_total("io")
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 dt = time.time() - t0
-                # /proc/stat steal is HOST-wide: normalize by host vCPUs,
-                # not SPARK_GRAFT_CPUS (a cpus=4 run would otherwise read
-                # 8x-inflated steal and retry every query spuriously)
-                host_cpus = os.cpu_count() or 32
-                stl = (read_steal_jiffies() - s0) / (dt * host_cpus * 100) * 100
-                psi_io = (read_psi_total("io") - p0) / (dt * 1e6) * 100
+                return (dt,
+                        (read_steal_jiffies() - s0) / (dt * host_cpus * 100) * 100,
+                        (read_psi_total("cpu") - pc0) / (dt * 1e6) * 100,
+                        (read_psi_total("io") - pi0) / (dt * 1e6) * 100)
+
+            for attempt in range(2):
+                dt, stl, psi_cpu, psi_io = timed_run()
                 if stl < 1.0 or attempt == 1:
                     break
                 query_retried[name] = {
                     "first_sec": round(dt, 3), "first_steal_pct": round(stl, 1)}
                 wait_for_quiet()
+            # Heavy rows get best-of-3 FRESH runs (VERDICT r5 #1): single-run
+            # timings on >=3 s rows swung 2.7-4.9x round-over-round at
+            # steal 0.0 — the host carries sub-steal contention the jiffies
+            # can't see (flagship psi_cpu swung 3->22% at steal 0).  The min
+            # is the steady-state estimate; ALL runs are kept in query_runs
+            # with their own steal/psi stamps, so the artifact attributes
+            # its own variance: identical back-to-back runs do identical
+            # work, so a pressure outlier vs the run-set min marks a host
+            # episode even when steal reads 0.
+            if dt >= 3.0:
+                reruns = [{"sec": round(dt, 3), "steal_pct": round(stl, 1),
+                           "psi_cpu_pct": round(psi_cpu, 1),
+                           "psi_io_pct": round(psi_io, 1)}]
+                for _ in range(2):
+                    dt2, stl2, pc2, pi2 = timed_run()
+                    reruns.append({"sec": round(dt2, 3),
+                                   "steal_pct": round(stl2, 1),
+                                   "psi_cpu_pct": round(pc2, 1),
+                                   "psi_io_pct": round(pi2, 1)})
+                    if dt2 < dt:
+                        dt, stl, psi_cpu, psi_io = dt2, stl2, pc2, pi2
+                query_runs[name] = reruns
             queries[name] = round(dt, 3)
             query_steal[name] = round(stl, 1)
             query_psi[name] = round(psi_io, 1)
+            query_psi_cpu[name] = round(psi_cpu, 1)
 
     result.update(
         {
@@ -315,7 +349,9 @@ def main() -> None:
             "queries": queries,
             "query_steal_pct": query_steal,
             "query_psi_io_pct": query_psi,
+            "query_psi_cpu_pct": query_psi_cpu,
             "query_retried": query_retried,
+            "query_runs": query_runs,
         }
     )
     # truncation-proofing (VERDICT r4 "What's wrong" #3): the driver
@@ -334,6 +370,13 @@ def main() -> None:
         k: v for k, v in query_steal.items() if v >= 0.5}
     line["query_psi_io_pct"] = {
         k: v for k, v in query_psi.items() if v >= 0.5}
+    # A filtered-to-empty dict is indistinguishable from "never recorded"
+    # (VERDICT r5 read BENCH_r05's {} exactly that way) — stamp how many
+    # entries WERE recorded and the max observed, so {} reads as "all clean".
+    line["query_psi_recorded"] = len(query_psi)
+    line["query_psi_max_pct"] = max(query_psi.values(), default=0.0)
+    line["query_steal_recorded"] = len(query_steal)
+    line["query_steal_max_pct"] = max(query_steal.values(), default=0.0)
     line["full_json"] = "BENCH_local.json"
     print(json.dumps(line))
     spark.stop()

@@ -21,9 +21,11 @@ integer, associative, run-stable, engine-exact.  The log-space variant is
 a one-line swap where bit-exactness is not required.
 
 Scale design (100 TB):
-- ONE corpus pass: explode tokens, bucket via built-in md5 (JVM-side,
+- TWO corpus passes (one to build the B-row bucket stats — materialized
+  via localCheckpoint so the scan+explode subtree is never re-derived —
+  and one to score): explode tokens, bucket via built-in md5 (JVM-side,
   codegen), and aggregate target/raw counts in the same map-side-combining
-  hash aggregate (conditional sum — no second pass for the target slice);
+  hash aggregate (conditional sum — no extra pass for the target slice);
 - the bucket table is B rows (4096 default): weights are computed on it
   driver-free and BROADCAST back to the token stream, so scoring adds no
   shuffle beyond the per-doc rollup;
@@ -69,8 +71,15 @@ def dsir_scores(df: DataFrame, text_col: str, id_col: str,
                    text_col)
             .select(id_col, "tgt",
                     F.pmod(_bucket("tok"), F.lit(n_buckets)).alias("b")))
+    # Materialize the B-row bucket stats (ADVICE r5): without the lineage
+    # cut, `tot` and the weights join each re-derive stats from the full
+    # scan+explode subtree — 3 corpus passes where 2 suffice (the same
+    # re-scan disease lm.materialize_model fixes).  stats is n_buckets
+    # rows, so the checkpoint is ~free; after it, weight derivation is
+    # driver-free arithmetic on a materialized 4096-row table.
     stats = toks.groupBy("b").agg(
         F.count("*").alias("r_cnt"), F.sum("tgt").alias("t_cnt"))
+    stats = stats.localCheckpoint(eager=True)
     tot = stats.agg(F.sum("r_cnt").alias("R"), F.sum("t_cnt").alias("T"))
     weights = (stats.crossJoin(F.broadcast(tot))
                .withColumn("w", F.expr(

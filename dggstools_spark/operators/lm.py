@@ -97,24 +97,40 @@ def lm_score(df: DataFrame, text_col: str, id_col: str,
     vocab = (tokens(train.filter(F.col(text_col).isNotNull())
                     .select(text_col), text_col)
              .agg(F.countDistinct("tok").alias("V")))
+    # LEFT joins (ADVICE r5): when train_df is a separate corpus, bigrams
+    # (or contexts) unseen in training must receive the documented add-one
+    # mass ppm = 1e6 div (0 + V), not be dropped — an inner join silently
+    # undercounted n_bigrams and inflated avg_ppm for exactly the
+    # out-of-domain docs the scorer exists to flag.  Self-train is
+    # unaffected (every doc bigram exists in its own model, so the
+    # coalesce never fires and the r1-r5 oracle values are unchanged).
     scored = (doc_bigrams(df.select(id_col, text_col), text_col)
               .select(id_col, "bg",
                       F.substring_index("bg", " ", 1).alias("w1"))
-              .join(c12, "bg")
-              .join(c1, "w1")
+              .join(c12, "bg", "left")
+              .join(c1, "w1", "left")
               .crossJoin(F.broadcast(vocab))
               .withColumn("ppm", F.expr(
-                  f"((c12 + 1) * {LM_PPM}) div (c1 + V)")))
+                  f"((coalesce(c12, 0) + 1) * {LM_PPM})"
+                  " div (coalesce(c1, 0) + V)")))
     return (scored.groupBy(id_col)
             .agg(F.count("*").alias("n_bigrams"),
                  F.sum("ppm").alias("sum_ppm"))
             .withColumn("avg_ppm", F.expr("sum_ppm div n_bigrams")))
 
 
-def lm_score_sql(table: str, text_col: str, id_col: str) -> str:
+def lm_score_sql(table: str, text_col: str, id_col: str,
+                 train_where: str | None = None) -> str:
     """DuckDB twin (shared-snippet rule): identical integer arithmetic,
     `//` for Spark's `div`, bigram CTEs MATERIALIZED so the exploded form
-    is computed once (constraint-7 family)."""
+    is computed once (constraint-7 family).
+
+    ``train_where`` optionally restricts the TRAINING corpus to a SQL
+    predicate over ``table`` — the oracle for the cross-corpus
+    ``train_df`` path: model counts and vocabulary come from the filtered
+    slice, every document is scored, and unseen bigrams/contexts take the
+    add-one mass via LEFT JOIN + COALESCE (mirroring the Spark side)."""
+    tw = f"AND ({train_where})" if train_where else ""
     return f"""
     WITH d AS (SELECT {id_col}, string_split({text_col}, ' ') AS t
                FROM {table}
@@ -126,19 +142,28 @@ def lm_score_sql(table: str, text_col: str, id_col: str) -> str:
                       i -> array_to_string(list_slice(t, i + 1, i + 2), ' ')))
                AS bg
         FROM d),
-    c12 AS MATERIALIZED (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg),
+    tbg AS MATERIALIZED (
+        SELECT unnest(list_transform(range(len(t) - 1),
+                      i -> array_to_string(list_slice(t, i + 1, i + 2), ' ')))
+               AS bg
+        FROM (SELECT string_split({text_col}, ' ') AS t
+              FROM {table}
+              WHERE {text_col} IS NOT NULL
+                AND len(string_split({text_col}, ' ')) >= 2 {tw})),
+    c12 AS MATERIALIZED (SELECT bg, count(*) AS c12 FROM tbg GROUP BY bg),
     c1 AS MATERIALIZED (
         SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1
         FROM c12 GROUP BY 1),
     vocab AS (SELECT count(DISTINCT tok) AS V FROM (
         SELECT unnest(string_split({text_col}, ' ')) AS tok
-        FROM {table} WHERE {text_col} IS NOT NULL)),
+        FROM {table} WHERE {text_col} IS NOT NULL {tw})),
     scored AS (
         SELECT b.{id_col},
-               ((c.c12 + 1) * {LM_PPM}) // (x.c1 + v.V) AS ppm
+               ((COALESCE(c.c12, 0) + 1) * {LM_PPM})
+                 // (COALESCE(x.c1, 0) + v.V) AS ppm
         FROM bg b
-        JOIN c12 c USING (bg)
-        JOIN c1 x ON x.w1 = split_part(b.bg, ' ', 1), vocab v)
+        LEFT JOIN c12 c USING (bg)
+        LEFT JOIN c1 x ON x.w1 = split_part(b.bg, ' ', 1), vocab v)
     SELECT {id_col},
            CAST(count(*) AS BIGINT) AS n_bigrams,
            CAST(sum(ppm) AS BIGINT) AS sum_ppm,

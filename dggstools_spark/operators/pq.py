@@ -101,13 +101,24 @@ def pq_codebook(emb: DataFrame, vec_col: str = "embedding",
 
 def _subvectors(df: DataFrame, vec_col: str, id_col: str, out_id: str,
                 m: int, dsub: int) -> DataFrame:
+    # Loud guard (ADVICE r5): a vector shorter than m*dsub would slice to a
+    # short subvector whose element_at reads return NULL and poison the
+    # distances SILENTLY — and Spark's min(struct) and DuckDB's ORDER BY
+    # place NULLs differently, so the engines would diverge instead of
+    # failing.  One codegen'd int compare per row; the DuckDB twin raises
+    # the same way (error() in the sv CTE).
     return (df
             .select(F.col(id_col).alias(out_id),
                     F.explode(F.expr(f"sequence(0, {m - 1})")).alias("m"),
                     F.col(vec_col))
             .withColumn("svec", F.expr(
-                f"transform(slice({vec_col}, m * {dsub} + 1, {dsub}),"
-                f" x -> CAST(x AS DOUBLE))"))
+                f"CASE WHEN size({vec_col}) >= {m * dsub}"
+                f" THEN transform(slice({vec_col}, m * {dsub} + 1, {dsub}),"
+                f" x -> CAST(x AS DOUBLE))"
+                f" ELSE raise_error(concat('pq: vector for id ',"
+                f" CAST({out_id} AS STRING), ' has ',"
+                f" CAST(size({vec_col}) AS STRING),"
+                f" ' dims, need >= {m * dsub}')) END"))
             .drop(vec_col))
 
 
@@ -115,9 +126,10 @@ def pq_encode(emb: DataFrame, codebook: DataFrame,
               vec_col: str = "embedding", id_col: str = "vec_id",
               m: int = PQ_M, dsub: int = PQ_DSUB) -> DataFrame:
     """(id, codes array<int>): nearest-centroid code per subspace.
-    Contract: every vector must have at least m*dsub dimensions — shorter
-    arrays slice to short subvectors whose element_at reads return NULL
-    and poison the distance silently.  The
+    Contract: every vector must have at least m*dsub dimensions — enforced
+    loudly by _subvectors (raise_error / DuckDB error()), identical on
+    both engines, instead of short slices silently poisoning distances
+    through NULL element_at reads.  The
     argmin is a min-struct hash aggregate (map-side combine), not a window
     — no per-(vector, subspace) shuffle beyond the agg itself."""
     sv = _subvectors(emb, vec_col, id_col, id_col, m, dsub)
@@ -193,9 +205,12 @@ def pq_topk_sql(emb_table: str, topk: int, query_pred: str,
         FROM seeds, range({m}) t(m)),
     sv AS MATERIALIZED (
         SELECT {id_col}, t.m,
-               list_transform(list_slice({vec_col}, t.m * {dsub} + 1,
-                                         t.m * {dsub} + {dsub}),
-                              x -> CAST(x AS DOUBLE)) AS svec
+               CASE WHEN len({vec_col}) >= {m * dsub}
+                    THEN list_transform(list_slice({vec_col},
+                                                   t.m * {dsub} + 1,
+                                                   t.m * {dsub} + {dsub}),
+                                        x -> CAST(x AS DOUBLE))
+                    ELSE error('pq: vector shorter than m*dsub') END AS svec
         FROM {emb_table}, range({m}) t(m)),
     pc AS MATERIALIZED (
         SELECT {id_col}, m, cid, {dq} AS dq

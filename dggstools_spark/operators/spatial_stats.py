@@ -17,10 +17,20 @@ lattice coordinates).
   (face, row, col) → one agg.  Cells on face edges simply match fewer
   neighbors (documented interior-adjacency semantics — cross-face
   wraps are a cell-topology concern the reference also never exposes).
+  SEAM VISIBILITY (VERDICT r5): every per-cell op emits ``on_seam``
+  (1 iff the cell touches its face boundary, i.e. row or col is 0 or
+  3^res−1 — a closed form of the cellid, engine-exact), and the global
+  morans_i row carries ``n_seam_cells``, so face-boundary cells whose
+  neighborhoods are under-counted are identifiable/filterable
+  downstream instead of silently under-weighted.
 - ``morans_i``: global Moran's I under 8-neighbor (queen) weights,
   computed EXACTLY in integer arithmetic: values are centered on the
-  floor mean (d_i = x_i - (Σx div N) — deterministic, engine-exact;
-  the classic real-mean centering differs by O(1/N) and is not
+  TRUNCATED integer mean (d_i = x_i - (Σx div N); Spark `div` and
+  DuckDB `//` both truncate toward zero — for a negative value sum the
+  center is the truncated mean, NOT the floor; numpy `//` DOES floor
+  and would disagree on negative sums, the same sign-semantics family
+  as CLAUDE.md constraint 5.  Deterministic, engine-exact; the classic
+  real-mean centering differs by O(1/N) and is not
   integer-representable), and
 
       I_ppm = (N · Σ_{ij adj} d_i d_j · 1e6) div (W · Σ d_i²)
@@ -91,6 +101,13 @@ def lattice_select_sql(source_sql: str, res: int,
     """
 
 
+def seam_pred_sql(res: int) -> str:
+    """Boolean SQL over (row, col): cell touches its face boundary at
+    ``res`` (queen neighborhood crosses the seam → under-counted)."""
+    edge = 3 ** res - 1
+    return (f"(row = 0 OR col = 0 OR row = {edge} OR col = {edge})")
+
+
 def _offsets_sql(include_self: bool) -> str:
     offs = (_NEIGHBOR_OFFSETS + [(0, 0)]) if include_self \
         else _NEIGHBOR_OFFSETS
@@ -100,11 +117,15 @@ def _offsets_sql(include_self: bool) -> str:
 
 def focal_mean(cells: DataFrame, res: int,
                value_col: str = "v") -> DataFrame:
-    """(cellid, v, n_window, focal_sum, focal_mean_ppm): 3×3 queen-window
-    mean (incl. self) of an integer cell value, exact ppm.  Cells at face
-    edges average over the neighbors that exist (n_window < 9)."""
-    lat = with_lattice(cells.select("cellid", F.col(value_col).alias("v")),
-                       res)
+    """(cellid, v, n_window, focal_sum, focal_mean_ppm, on_seam): 3×3
+    queen-window mean (incl. self) of an integer cell value, exact ppm.
+    Cells at face edges average over the neighbors that exist
+    (n_window < 9); ``on_seam`` = 1 iff the cell touches its face
+    boundary (neighborhood crosses the seam — see module docstring)."""
+    lat = (with_lattice(cells.select("cellid",
+                                     F.col(value_col).alias("v")), res)
+           .withColumn("on_seam",
+                       F.expr(seam_pred_sql(res)).cast("int")))
     contrib = (lat
                .select("face", "row", "col", "v",
                        F.expr(_offsets_sql(True)).alias("o"))
@@ -113,11 +134,13 @@ def focal_mean(cells: DataFrame, res: int,
                        (F.col("col") + F.col("o.dc")).alias("col"),
                        F.col("v").alias("nv")))
     return (lat.join(contrib, ["face", "row", "col"])
-            .groupBy("cellid", "v")
+            .groupBy("cellid", "v", "on_seam")
             .agg(F.count("*").alias("n_window"),
                  F.sum("nv").alias("focal_sum"))
             .withColumn("focal_mean_ppm",
-                        F.expr(f"(focal_sum * {PPM}) div n_window")))
+                        F.expr(f"(focal_sum * {PPM}) div n_window"))
+            .select("cellid", "v", "n_window", "focal_sum",
+                    "focal_mean_ppm", "on_seam"))
 
 
 def focal_mean_sql(source_sql: str, res: int,
@@ -127,6 +150,7 @@ def focal_mean_sql(source_sql: str, res: int,
     offs = " UNION ALL ".join(
         f"SELECT {dr} AS dr, {dc} AS dc"
         for dr, dc in _NEIGHBOR_OFFSETS + [(0, 0)])
+    seam = seam_pred_sql(res)
     return f"""
     WITH lat AS MATERIALIZED ({lat}),
     contrib AS (
@@ -136,24 +160,28 @@ def focal_mean_sql(source_sql: str, res: int,
            CAST(count(*) AS BIGINT) AS n_window,
            CAST(sum(c.nv) AS BIGINT) AS focal_sum,
            CAST((CAST(sum(c.nv) AS BIGINT) * {PPM}) // count(*) AS BIGINT)
-               AS focal_mean_ppm
+               AS focal_mean_ppm,
+           CAST(CASE WHEN {seam} THEN 1 ELSE 0 END AS INT) AS on_seam
     FROM lat l JOIN contrib c USING (face, row, col)
-    GROUP BY l.cellid, l.v
+    GROUP BY l.cellid, l.v, CASE WHEN {seam} THEN 1 ELSE 0 END
     """
 
 
 def morans_i(cells: DataFrame, res: int,
              value_col: str = "v") -> DataFrame:
-    """One row (n_cells, w_pairs, pair_sum, ssq, morans_i_ppm): global
-    Moran's I under queen weights, floor-mean centered, exact integers
-    (see module docstring).  morans_i_ppm ≈ I · 1e6; positive =
-    clustered, ~0 = random, negative = dispersed."""
+    """One row (n_cells, w_pairs, pair_sum, ssq, morans_i_ppm,
+    n_seam_cells): global Moran's I under queen weights, truncated-mean
+    centered, exact integers (see module docstring).  morans_i_ppm ≈
+    I · 1e6; positive = clustered, ~0 = random, negative = dispersed.
+    ``n_seam_cells`` counts cells on a face boundary (their queen
+    neighborhoods are under-counted — seam visibility, VERDICT r5)."""
     lat = with_lattice(cells.select("cellid", F.col(value_col).alias("v")),
                        res).localCheckpoint(eager=True)  # reused 3×; tiny
     mean = lat.agg(F.sum("v").alias("_s"), F.count("*").alias("_n"))
     d = (lat.crossJoin(F.broadcast(mean))
          .select("face", "row", "col",
-                 F.expr("v - (_s div _n)").alias("d")))
+                 F.expr("v - (_s div _n)").alias("d"),
+                 F.expr(seam_pred_sql(res)).cast("int").alias("on_seam")))
     nbr = (d.select("face", "row", "col", F.col("d").alias("nd"))
            .select("face", "row", "col", "nd",
                    F.expr(_offsets_sql(False)).alias("o"))
@@ -164,45 +192,51 @@ def morans_i(cells: DataFrame, res: int,
              .agg(F.count("*").alias("w_pairs"),
                   F.sum(F.col("d") * F.col("nd")).alias("pair_sum")))
     tot = d.agg(F.count("*").alias("n_cells"),
-                F.sum(F.expr("d * d")).alias("ssq"))
+                F.sum(F.expr("d * d")).alias("ssq"),
+                F.sum("on_seam").alias("n_seam_cells"))
     return (tot.crossJoin(pairs)
             .withColumn("morans_i_ppm", F.expr(
                 f"CAST((CAST(n_cells AS DECIMAL(38,0)) * pair_sum * {PPM})"
                 f" div (CAST(w_pairs AS DECIMAL(38,0)) * ssq) AS BIGINT)"))
             .select("n_cells", "w_pairs", "pair_sum", "ssq",
-                    "morans_i_ppm"))
+                    "morans_i_ppm", "n_seam_cells"))
 
 
 def morans_i_sql(source_sql: str, res: int, value_col: str = "v") -> str:
     """DuckDB twin of morans_i (HUGEINT keeps the product exact)."""
     lat = lattice_select_sql(source_sql, res, value_col)
+    seam = seam_pred_sql(res)
     offs = " UNION ALL ".join(
         f"SELECT {dr} AS dr, {dc} AS dc" for dr, dc in _NEIGHBOR_OFFSETS)
     return f"""
     WITH lat AS MATERIALIZED ({lat}),
     m AS (SELECT sum(v) AS _s, count(*) AS _n FROM lat),
     d AS MATERIALIZED (
-        SELECT face, row, col, v - (SELECT _s // _n FROM m) AS d FROM lat),
+        SELECT face, row, col, v - (SELECT _s // _n FROM m) AS d,
+               CASE WHEN {seam} THEN 1 ELSE 0 END AS on_seam FROM lat),
     nbr AS (SELECT face, row + dr AS row, col + dc AS col, d AS nd
             FROM d, ({offs}) o),
     pairs AS (SELECT count(*) AS w_pairs,
                      CAST(sum(d.d * nbr.nd) AS BIGINT) AS pair_sum
               FROM d JOIN nbr USING (face, row, col)),
     tot AS (SELECT count(*) AS n_cells,
-                   CAST(sum(d * d) AS BIGINT) AS ssq FROM d)
+                   CAST(sum(d * d) AS BIGINT) AS ssq,
+                   CAST(sum(on_seam) AS BIGINT) AS n_seam_cells FROM d)
     SELECT CAST(n_cells AS BIGINT) AS n_cells,
            CAST(w_pairs AS BIGINT) AS w_pairs,
            pair_sum, ssq,
            CAST((CAST(n_cells AS HUGEINT) * pair_sum * {PPM})
                 // (CAST(w_pairs AS HUGEINT) * ssq) AS BIGINT)
-               AS morans_i_ppm
+               AS morans_i_ppm,
+           n_seam_cells
     FROM tot, pairs
     """
 
 
 def hotspots(cells: DataFrame, res: int, k: int,
              value_col: str = "v") -> DataFrame:
-    """(cellid, v, n_window, focal_sum, ratio_ppm, rank): Getis-Ord-style
+    """(cellid, v, n_window, focal_sum, ratio_ppm, rank, on_seam):
+    Getis-Ord-style
     local hotspot score — the 3×3 window mean relative to the global mean,
     exact integer ppm:
 
@@ -223,7 +257,7 @@ def hotspots(cells: DataFrame, res: int, k: int,
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("cellid", "v", "n_window", "focal_sum",
-                    "ratio_ppm", "rank"))
+                    "ratio_ppm", "rank", "on_seam"))
 
 
 def hotspots_sql(source_sql: str, res: int, k: int,
@@ -234,7 +268,7 @@ def hotspots_sql(source_sql: str, res: int, k: int,
     WITH f AS MATERIALIZED ({focal}),
     tot AS (SELECT sum(v) AS _tv, count(*) AS _tn FROM f)
     SELECT cellid, v, n_window, focal_sum, ratio_ppm,
-           CAST(rank AS INT) AS rank
+           CAST(rank AS INT) AS rank, on_seam
     FROM (
         SELECT f.*, CAST((focal_sum * _tn * {PPM}) // (n_window * _tv)
                          AS BIGINT) AS ratio_ppm,
@@ -248,7 +282,8 @@ def hotspots_sql(source_sql: str, res: int, k: int,
 
 def local_moran(cells: DataFrame, res: int, k: int,
                 value_col: str = "v") -> DataFrame:
-    """(cellid, d, nbr_sum, n_nbrs, lisa, quadrant, rank): per-cell LISA
+    """(cellid, d, nbr_sum, n_nbrs, lisa, quadrant, rank, on_seam):
+    per-cell LISA
     (Anselin's local Moran's I, unnormalized integer core): with d_i the
     floor-mean-centered value, lisa_i = d_i · Σ_{j adj i} d_j — positive
     where a cell RESEMBLES its neighborhood (HH or LL cluster), negative
@@ -266,7 +301,8 @@ def local_moran(cells: DataFrame, res: int, k: int,
     mean = lat.agg(F.sum("v").alias("_s"), F.count("*").alias("_n"))
     d = (lat.crossJoin(F.broadcast(mean))
          .select("cellid", "face", "row", "col",
-                 F.expr("v - (_s div _n)").alias("d")))
+                 F.expr("v - (_s div _n)").alias("d"),
+                 F.expr(seam_pred_sql(res)).cast("int").alias("on_seam")))
     nbr = (d.select("face", "row", "col", F.col("d").alias("nd"))
            .select("face", "row", "col", "nd",
                    F.expr(_offsets_sql(False)).alias("o"))
@@ -274,7 +310,7 @@ def local_moran(cells: DataFrame, res: int, k: int,
                    (F.col("row") + F.col("o.dr")).alias("row"),
                    (F.col("col") + F.col("o.dc")).alias("col"), "nd"))
     per = (d.join(nbr, ["face", "row", "col"])
-           .groupBy("cellid", "d")
+           .groupBy("cellid", "d", "on_seam")
            .agg(F.sum("nd").alias("nbr_sum"),
                 F.count("*").alias("n_nbrs"))
            .withColumn("lisa", F.expr("d * nbr_sum"))
@@ -286,13 +322,14 @@ def local_moran(cells: DataFrame, res: int, k: int,
     return (per.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("cellid", "d", "nbr_sum", "n_nbrs", "lisa",
-                    "quadrant", "rank"))
+                    "quadrant", "rank", "on_seam"))
 
 
 def local_moran_sql(source_sql: str, res: int, k: int,
                     value_col: str = "v") -> str:
     """DuckDB twin of local_moran."""
     lat = lattice_select_sql(source_sql, res, value_col)
+    seam = seam_pred_sql(res)
     offs = " UNION ALL ".join(
         f"SELECT {dr} AS dr, {dc} AS dc" for dr, dc in _NEIGHBOR_OFFSETS)
     return f"""
@@ -300,21 +337,23 @@ def local_moran_sql(source_sql: str, res: int, k: int,
     m AS (SELECT sum(v) AS _s, count(*) AS _n FROM lat),
     d AS MATERIALIZED (
         SELECT cellid, face, row, col,
-               v - (SELECT _s // _n FROM m) AS d FROM lat),
+               v - (SELECT _s // _n FROM m) AS d,
+               CASE WHEN {seam} THEN 1 ELSE 0 END AS on_seam FROM lat),
     nbr AS (SELECT face, row + dr AS row, col + dc AS col, d AS nd
             FROM d, ({offs}) o),
     per AS (
         SELECT d.cellid, CAST(d.d AS BIGINT) AS d,
                CAST(sum(nbr.nd) AS BIGINT) AS nbr_sum,
-               CAST(count(*) AS BIGINT) AS n_nbrs
+               CAST(count(*) AS BIGINT) AS n_nbrs,
+               CAST(d.on_seam AS INT) AS on_seam
         FROM d JOIN nbr USING (face, row, col)
-        GROUP BY d.cellid, d.d)
+        GROUP BY d.cellid, d.d, d.on_seam)
     SELECT cellid, d, nbr_sum, n_nbrs,
            CAST(d * nbr_sum AS BIGINT) AS lisa,
            CASE WHEN d >= 0 AND nbr_sum >= 0 THEN 'HH'
                 WHEN d < 0 AND nbr_sum < 0 THEN 'LL'
                 WHEN d >= 0 THEN 'HL' ELSE 'LH' END AS quadrant,
-           CAST(rank AS INT) AS rank
+           CAST(rank AS INT) AS rank, on_seam
     FROM (SELECT *, row_number() OVER (
               ORDER BY abs(d * nbr_sum) DESC, cellid) AS rank FROM per)
     WHERE rank <= {k}
@@ -331,7 +370,7 @@ def _lcp(a: str, b: str) -> str:
 
 
 def bbox_cells(cells: DataFrame, res: int, corner_a: str,
-               corner_b: str) -> DataFrame:
+               corner_b: str, value_col: str = "v") -> DataFrame:
     """Cells inside the lattice rectangle spanned by two same-face corner
     cellids — THE canonical DGGS range query.  Two-stage filter, in scale
     order: (1) prefix prune — every cell in the rectangle shares the
@@ -346,7 +385,10 @@ def bbox_cells(cells: DataFrame, res: int, corner_a: str,
     if len(corner_a) != res + 1 or len(corner_b) != res + 1:
         raise ValueError("corner cellids must be at the query resolution")
     prefix = _lcp(corner_a, corner_b)
-    lat = with_lattice(cells, res)
+    # value_col mirrors bbox_cells_sql (ADVICE r5): alias to v before the
+    # lattice decode, as every sibling op does.
+    lat = with_lattice(cells.select("cellid",
+                                    F.col(value_col).alias("v")), res)
     ra, rb = sorted((_rowcol_of(corner_a)[0], _rowcol_of(corner_b)[0]))
     ca, cb = sorted((_rowcol_of(corner_a, col=True)[0],
                      _rowcol_of(corner_b, col=True)[0]))

@@ -81,3 +81,35 @@ def test_morans_i_matches_numpy(spark):
     assert (r.w_pairs, r.pair_sum, r.ssq) == (w, pair, ssq)
     exp = int(9 * pair * PPM / (w * ssq))  # trunc toward zero, all ints
     assert abs(r.morans_i_ppm - exp) <= 1
+
+
+def test_seam_flags_two_faces(spark):
+    """Seam visibility (VERDICT r5 #2): a fixture spanning faces N and O
+    at res 2 — edge cells carry on_seam=1, interior cells 0, and the
+    global morans_i row counts them; local_moran/hotspots carry the flag
+    through their per-cell outputs."""
+    from dggstools_spark.operators.spatial_stats import (hotspots,
+                                                         local_moran)
+
+    # res 2: row/col = digit fold; seam iff row/col in {0, 8}.
+    # N00 (0,0) seam; N44 (4,4) interior; N88 (8,8) seam;
+    # O40 (3,3) interior; O02 (0,2) seam; O35 (1*3+1, 0*3+2)=(4,2) interior
+    rows = [("N00", 5), ("N44", 7), ("N88", 9),
+            ("O40", 11), ("O02", 13), ("O35", 17)]
+    df = _cells(spark, rows)
+    exp_seam = {"N00": 1, "N44": 0, "N88": 1, "O40": 0, "O02": 1, "O35": 0}
+
+    fm = {r.cellid: r.on_seam for r in focal_mean(df, 2).collect()}
+    assert fm == exp_seam
+
+    mi = morans_i(df, 2).collect()[0]
+    assert mi.n_seam_cells == 3 and mi.n_cells == 6
+
+    # local_moran only emits cells with >=1 present queen neighbor (the
+    # inner join drops isolated cells — same on both engines); in this
+    # sparse fixture only O40 (3,3) and O35 (4,2) are adjacent.
+    lm = {r.cellid: r.on_seam for r in local_moran(df, 2, k=9).collect()}
+    assert lm == {"O40": 0, "O35": 0}
+
+    hs = {r.cellid: r.on_seam for r in hotspots(df, 2, k=9).collect()}
+    assert hs == exp_seam
