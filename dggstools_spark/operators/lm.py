@@ -70,7 +70,8 @@ def doc_bigrams(df: DataFrame, text_col: str, out: str = "bg") -> DataFrame:
 
 def lm_score(df: DataFrame, text_col: str, id_col: str,
              train_df: DataFrame | None = None,
-             materialize_model: bool = True) -> DataFrame:
+             materialize_model: bool = True,
+             model_path: str | None = None) -> DataFrame:
     """(id, n_bigrams, sum_ppm, avg_ppm) per document: add-one-smoothed
     bigram likelihood in exact integer ppm (see module docstring).
 
@@ -84,11 +85,22 @@ def lm_score(df: DataFrame, text_col: str, id_col: str,
     the plan audit showed 4 corpus scans where 3 suffice, and at 100 TB
     the extra scan dominates.  The count table itself is vocab²-bounded
     (≪ corpus), so materializing it is the cheap side of the trade.
-    Values are identical either way (the checkpoint only cuts lineage)."""
+    Values are identical either way (the checkpoint only cuts lineage).
+
+    ``model_path`` (VERDICT r5 #5 / TODO_r6 #9) swaps the in-memory
+    checkpoint for a PARQUET model sink + scan: the c12 table is written
+    to ``model_path`` and read back, so vocab²-heavy corpora spill to
+    durable storage instead of executor block-manager memory, the model
+    survives executor loss, and downstream scoring reads a column-pruned
+    parquet scan.  Same values (the sink only cuts lineage); overrides
+    ``materialize_model``."""
     train = train_df if train_df is not None else df
     train_bg = doc_bigrams(train.select(text_col), text_col)
     c12 = train_bg.groupBy("bg").agg(F.count("*").alias("c12"))
-    if materialize_model:
+    if model_path is not None:
+        c12.write.mode("overwrite").parquet(model_path)
+        c12 = df.sparkSession.read.parquet(model_path)
+    elif materialize_model:
         c12 = c12.localCheckpoint(eager=True)
     # context counts c(w1 ·) roll up from the bigram table (vocab-sized
     # input — never a second corpus pass)

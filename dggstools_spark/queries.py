@@ -555,7 +555,8 @@ _PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup",
                   "focal_mean", "morans_i",
                   "hotspots", "stream_sessions", "local_moran",
                   "tile_pyramid", "bbox_cells", "zonal_stats",
-                  "dedup_pipeline"]
+                  "dedup_pipeline",
+                  "stream_sessions_append", "lm_score_sink"]
 # resample_area: third member of the R1 resample family (bilinear stays
 # in-window; cubic/area remain in the all-query replica gate + pytest incl.
 # the randomized numpy-overlap property test)
@@ -677,14 +678,29 @@ _PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup",
 #     stays driver-checked via area_per_class (A1) + area_error (A12),
 #     and line_error keeps its worked-example pytest + replica-gate row;
 #     green r1-r5
-_ROTATE_BACK = ["line_error",
+# The r6 batch-21 pair (stream_sessions_append/lm_score_sink) rotates two
+# more multi-round-green twins back:
+#   stream_stateful — the streaming family keeps stream_dedup (watermark
+#     state + dedup), stream_sessions (session windows, complete) AND
+#     stream_sessions_append (append/watermark-close) in-window; the
+#     applyInPandasWithState kernel keeps its forced-multi-batch pytest;
+#     green r1-r5;
+#   ivf_topk — the ANN family keeps ann_topk (LSH multi-probe), pq_topk
+#     (PQ/ADC) and hybrid_rerank in-window; IVF keeps its pytest + sf1
+#     gate row + ivf_refined replica row; green r3-r5
+# Tail order below follows VERDICT r5 #7: if a future driver window is
+# ever >50, the first rotated-back entries checked should be the
+# unique-machinery ones (minhash, salted_topk, stratified_sample,
+# class_encode) — _reorder sorts the tail by this list's order.
+_ROTATE_BACK = ["minhash", "salted_topk", "stratified_sample",
+                "class_encode",
+                "line_error",
                 "gopher_quality", "pack_stats", "cross_dedup",
                 "corpus_stats",
                 "decontaminate", "hash_sample",
                 "bm25_topk", "vocab_topk",
                 "weighted_mixture", "ngram_sampled", "pii_scrub",
-                "minhash", "salted_topk", "stratified_sample",
-                "dedup_exact", "class_encode", "lang_quality",
+                "dedup_exact", "lang_quality",
                 "cell_counts_expr", "resample_cubic", "cells_json", "embed_knn",
                 "media_codecs", "rescale_modes", "auid_groups", "resample_area",
                 "all_touched", "tile_arrays", "res_policy",
@@ -692,13 +708,17 @@ _ROTATE_BACK = ["line_error",
                 "cells_by_revenue", "token_stats", "is_optimal",
                 "winnow_pairs", "stream_ingest", "rmse",
                 "simhash", "grid", "event_sessions",
-                "extent", "subarea", "nodata_stride"]
+                "extent", "subarea", "nodata_stride",
+                "stream_stateful", "ivf_topk"]
 
 
 def _reorder(d: dict) -> dict:
     head, tail = [], []
     for k in d:
         (tail if k in _ROTATE_BACK else head).append(k)
+    # tail follows _ROTATE_BACK's order (unique-machinery first) so a
+    # wider-than-50 driver window checks those before redundant twins
+    tail.sort(key=_ROTATE_BACK.index)
     promoted = [k for k in _PROMOTE_EARLY if k in d]
     rest = [k for k in head if k not in promoted]
     # promoted queries land at position 10 — comfortably inside any

@@ -47,6 +47,24 @@ QUERIES11["lm_score"] = q_lm_score
 ORACLES11["lm_score"] = _oracle_lm_score()
 
 
+def q_lm_score_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lm_score through the parquet model sink (VERDICT r5 #5): the c12
+    count table is written to parquet and scanned back instead of
+    localCheckpointed — the vocab²-heavy-corpus path.  Values identical
+    to lm_score (the sink only cuts lineage), so the oracle is shared."""
+    import tempfile
+
+    from .operators.lm import lm_score
+
+    docs = load(spark, sf_dir, "documents")
+    return lm_score(docs, "text", "doc_id",
+                    model_path=tempfile.mkdtemp(prefix="dggs_lm_model_"))
+
+
+QUERIES11["lm_score_sink"] = q_lm_score_sink
+ORACLES11["lm_score_sink"] = _oracle_lm_score()
+
+
 # --------------------------------------------------------------------------
 # q_dsir_select — target slice: English documents; keep the DSIR_K most
 # target-like documents from the whole pool.

@@ -124,6 +124,71 @@ ORACLES17["stream_sessions"] = _oracle_stream_sessions()
 
 
 # --------------------------------------------------------------------------
+# q_stream_sessions_append — the PRODUCTION output mode (VERDICT r5 #6 /
+# TODO_r6 #11): append emits each session exactly once, when the watermark
+# passes its end — the contract an unbounded pipeline needs (complete mode
+# re-emits the whole result every batch and cannot scale).  With the
+# deterministic burst layout, the final watermark = max event time - 30 min,
+# so burst-4 sessions (ending within the last half hour) stay OPEN and are
+# NOT emitted; the oracle is the same lag/gap sessionization filtered to
+# sess_end <= watermark.  Late re-opens within the watermark are merged by
+# Spark's session-window state store before emission (complete-mode twin
+# `stream_sessions` pins the full session set; this pins the closed subset).
+# --------------------------------------------------------------------------
+
+SESS_WM_S = 1800  # session_stream's default watermark: 30 minutes
+
+
+def q_stream_sessions_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries4 import _finish_stream, _stream_tmpdirs
+    from .streaming.ingest import session_stream
+
+    src, ckpt, cleanup = _stream_tmpdirs("stream_sessions_append")
+    try:
+        ts = _SESS_TS.format(e=SESS_EPOCH, idiv="div")
+        docs = load(spark, sf_dir, "documents").select(
+            "doc_id", "source",
+            F.timestamp_seconds(F.expr(ts)).alias("event_time"))
+        docs.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(
+            "doc_id bigint, source string, event_time timestamp"
+        ).parquet(src)
+        sessions = session_stream(stream, "source")
+        try:
+            spark.catalog.dropTempView("dggs_stream_sessions_append")
+        except Exception:
+            pass
+        q = (sessions.writeStream.format("memory")
+             .queryName("dggs_stream_sessions_append")
+             .outputMode("append").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        _finish_stream(q)
+        tbl = spark.table("dggs_stream_sessions_append")
+        return tbl.select(
+            "source",
+            F.unix_timestamp(F.col("win.start")).alias("sess_start"),
+            F.unix_timestamp(F.col("win.end")).alias("sess_end"),
+            "n_events")
+    finally:
+        cleanup()
+
+
+def _oracle_stream_sessions_append() -> str:
+    base = _oracle_stream_sessions()
+    return f"""
+    WITH all_sessions AS MATERIALIZED ({base}),
+    wm AS (SELECT max(CAST({_SESS_TS.format(e=SESS_EPOCH, idiv='//')}
+                        AS BIGINT)) - {SESS_WM_S} AS w FROM documents)
+    SELECT source, sess_start, sess_end, n_events
+    FROM all_sessions, wm WHERE sess_end <= w
+    """
+
+
+QUERIES17["stream_sessions_append"] = q_stream_sessions_append
+ORACLES17["stream_sessions_append"] = _oracle_stream_sessions_append()
+
+
+# --------------------------------------------------------------------------
 # q_local_moran — batch 18: the per-cell drill-down of morans_i (Anselin
 # LISA, integer core), top-25 |lisa| cells with HH/LL/HL/LH quadrants.
 # --------------------------------------------------------------------------

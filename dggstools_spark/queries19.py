@@ -9,9 +9,14 @@ query:
       → quality-aware keep (argmax quality_q20, tie → min id)
       → audited report
 
-One row out: stage-by-stage counts plus ``kept_md5`` — an md5 over the
-sorted FINAL KEPT id list, so the oracle value-checks the exact
-end-to-end keep SET, not just the counts.  Every stage reuses the
+One row out: stage-by-stage counts plus ``kept_hash`` — a COMMUTATIVE
+set hash: sum over kept ids of the 56-bit md5-prefix integer of the id
+(VERDICT r5 #4: the previous md5-of-sorted-collect_list was a
+single-task reduction at 100 TB; the sum is a map-side-combining
+aggregate, order-insensitive by construction, and still pins the exact
+end-to-end keep SET — a changed/extra/missing id moves the sum except
+with ~2^-56 collision odds).  Exact integers on both engines
+(DECIMAL(38,0) / HUGEINT), emitted as a string.  Every stage reuses the
 already-gated operator (exact_dedup rule / ngram_jaccard_pairs /
 dedup_clusters / cluster_keep) and the oracle composes the same shared
 SQL generators over the survivors CTE.
@@ -64,9 +69,12 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.countDistinct("cluster_id").alias("n_clusters")))
     report = (kept.agg(
         F.count("*").alias("n_kept"),
-        F.md5(F.concat_ws(",", F.expr(
-            "transform(array_sort(collect_list(doc_id)),"
-            " x -> CAST(x AS STRING))"))).alias("kept_md5"))
+        # commutative set hash (see module docstring): per-id 56-bit
+        # md5-prefix int, summed exactly — map-side combine, no
+        # single-task collect_list reduction
+        F.sum(F.conv(F.substring(
+            F.md5(F.col("doc_id").cast("string")), 1, 14), 16, 10)
+            .cast("decimal(38,0)")).cast("string").alias("kept_hash"))
         .crossJoin(F.broadcast(stats))
         .select(
             F.lit(n_docs).cast("bigint").alias("n_docs"),
@@ -75,13 +83,19 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_members") - F.col("n_clusters")).cast("bigint")
             .alias("n_near_dropped"),
             F.col("n_kept").cast("bigint"),
-            "kept_md5"))
+            "kept_hash"))
     return report
 
 
 def _oracle_dedup_pipeline() -> str:
     np_sql = queries5._oracle_ngram_pairs("surv")
     q20 = T.quality_q20_duckdb("text")
+    # 56-bit md5-prefix int of the id (portable hex parse, same family as
+    # dsir_scores_sql's hex32 fold); 16^14 < 2^63 so each term is BIGINT,
+    # the sum is HUGEINT-exact
+    hex56 = " + ".join(
+        f"(instr('0123456789abcdef', substring(m, {1 + i}, 1)) - 1)"
+        f" * {16 ** (13 - i)}" for i in range(14))
     return f"""
     WITH RECURSIVE raw AS (SELECT doc_id, text FROM documents
                            WHERE text IS NOT NULL),
@@ -124,8 +138,9 @@ def _oracle_dedup_pipeline() -> str:
              - (SELECT CAST(count(DISTINCT cluster_id) AS BIGINT)
                 FROM clusters) AS n_near_dropped,
            (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_kept,
-           (SELECT md5(string_agg(CAST(doc_id AS VARCHAR), ','
-                                  ORDER BY doc_id)) FROM kept) AS kept_md5
+           (SELECT CAST(sum(CAST({hex56} AS HUGEINT)) AS VARCHAR)
+            FROM (SELECT md5(CAST(doc_id AS VARCHAR)) AS m FROM kept))
+               AS kept_hash
     """
 
 

@@ -150,3 +150,20 @@ def test_pq_rank_deterministic_tie_break(spark):
     rows = pq_topk(df, qs, 3, m=1, dsub=2, k=2, seed_mod=1,
                    seed_res=0).orderBy("rank").collect()
     assert [r.vec_id for r in rows] == [1, 2, 3]
+
+
+def test_lm_score_model_sink_parity(spark, tmp_path):
+    """model_path (VERDICT r5 #5): parquet-backed model sink gives
+    bit-identical scores to the checkpoint path, and the scoring plan
+    reads the model from a parquet FileScan."""
+    rows = [(i, "a b a c a b " + ("x y " * (i % 3))) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {(r.doc_id): (r.n_bigrams, r.sum_ppm, r.avg_ppm)
+            for r in lm_score(df, "text", "doc_id").collect()}
+    mp = str(tmp_path / "model")
+    sunk = lm_score(df, "text", "doc_id", model_path=mp)
+    got = {(r.doc_id): (r.n_bigrams, r.sum_ppm, r.avg_ppm)
+           for r in sunk.collect()}
+    assert got == base
+    plan = sunk._jdf.queryExecution().executedPlan().toString()
+    assert "model" in plan and "Parquet" in plan, plan[:2000]

@@ -27,5 +27,9 @@ def test_dedup_pipeline_stage_accounting(spark, tmp_path):
     assert r.n_clusters == 1               # {2, 3}
     assert r.n_near_dropped == 1           # id 2 (3 is longer => higher q20)
     assert r.n_kept == 3                   # {0, 3, 4}
+    # commutative set hash: sum of per-id 56-bit md5-prefix ints (order-
+    # insensitive — the numpy replica sums in a different order on purpose)
     import hashlib
-    assert r.kept_md5 == hashlib.md5(b"0,3,4").hexdigest()
+    exp = sum(int(hashlib.md5(str(i).encode()).hexdigest()[:14], 16)
+              for i in (4, 0, 3))
+    assert r.kept_hash == str(exp)
