@@ -115,13 +115,109 @@ def _offsets_sql(include_self: bool) -> str:
     return f"explode(array({rows}))"
 
 
+# --------------------------------------------------------------------------
+# cross-face seam closure (VERDICT r5 "What's missing" #3)
+#
+# With cross_face=True the queen neighborhood is closed ACROSS face seams
+# using the kernel-derived cube gluing (dggs/topology.edge_table): every
+# seam cell contributes its value to the 2-3 cells it touches on the glued
+# face (the direct cell at t2 = flip ? E-1-t : t plus the in-range edge
+# diagonals t2±1).  The construction is symmetric because the gluing table
+# is an involution (asserted at derivation), so A contributes to B iff B
+# contributes to A.  After closure every cell has the full 8-neighbor
+# queen set except the 24 cube-corner cells (7 — the across-corner
+# diagonal does not exist on a cube; their three corner cells are instead
+# mutually edge-adjacent).
+#
+# Scale shape: seam cells are O(6·4·3^res) = O(sqrt(cells)) — the
+# cross-face branch filters to them, broadcast-joins the 24-row gluing
+# table, explodes 3 target slots, and unions into the same single
+# (face,row,col) hash join + aggregate the interior path uses.  No new
+# shuffle family, no UDF.
+# --------------------------------------------------------------------------
+
+
+def _xface_contrib(lat: DataFrame, res: int) -> DataFrame:
+    """Cross-face neighbor contributions (face, row, col, nv) for every
+    seam cell of ``lat`` (face, row, col, v) — see block comment above."""
+    from ..dggs.topology import edge_table_rows
+
+    E = 3 ** res
+    tt = lat.sparkSession.createDataFrame(
+        edge_table_rows(),
+        "face int, edge int, face2 int, edge2 int, flip int")
+    return (lat
+            .select("face", "row", "col", F.col("v").alias("nv"))
+            .withColumn("edge", F.explode(F.expr(
+                f"filter(array(IF(row = 0, 0, NULL),"
+                f" IF(col = {E - 1}, 1, NULL),"
+                f" IF(row = {E - 1}, 2, NULL),"
+                f" IF(col = 0, 3, NULL)), x -> x IS NOT NULL)")))
+            .join(F.broadcast(tt), ["face", "edge"])
+            .withColumn("t2", F.expr(
+                f"IF(flip = 1, {E - 1} - (CASE WHEN edge IN (0, 2)"
+                f" THEN col ELSE row END),"
+                f" CASE WHEN edge IN (0, 2) THEN col ELSE row END)"))
+            .withColumn("dt", F.explode(F.expr("array(-1, 0, 1)")))
+            .withColumn("t3", F.expr("t2 + dt"))
+            .filter(F.expr(f"t3 >= 0 AND t3 <= {E - 1}"))
+            .select(F.col("face2").alias("face"),
+                    F.expr(f"CAST(CASE WHEN edge2 = 0 THEN 0"
+                           f" WHEN edge2 = 2 THEN {E - 1}"
+                           f" ELSE t3 END AS BIGINT)").alias("row"),
+                    F.expr(f"CAST(CASE WHEN edge2 IN (0, 2) THEN t3"
+                           f" WHEN edge2 = 1 THEN {E - 1}"
+                           f" ELSE 0 END AS BIGINT)").alias("col"),
+                    "nv"))
+
+
+def _xface_contrib_sql(lat_cte: str, res: int) -> str:
+    """DuckDB twin of _xface_contrib over CTE ``lat_cte`` (same gluing
+    table, same expressions — shared-snippet rule)."""
+    from ..dggs.topology import edge_table_rows
+
+    E = 3 ** res
+    vals = ", ".join(f"({f}, {e}, {f2}, {e2}, {fl})"
+                     for f, e, f2, e2, fl in edge_table_rows())
+    return f"""
+        SELECT q.face2 AS face,
+               CAST(CASE WHEN q.edge2 = 0 THEN 0
+                         WHEN q.edge2 = 2 THEN {E - 1}
+                         ELSE q.t2 + d.dt END AS BIGINT) AS row,
+               CAST(CASE WHEN q.edge2 IN (0, 2) THEN q.t2 + d.dt
+                         WHEN q.edge2 = 1 THEN {E - 1}
+                         ELSE 0 END AS BIGINT) AS col,
+               q.nv
+        FROM (SELECT t.face2, t.edge2, s.nv,
+                     CASE WHEN t.flip = 1 THEN {E - 1} - s.tpos
+                          ELSE s.tpos END AS t2
+              FROM (SELECT l.face, e.edge, l.v AS nv,
+                           CASE WHEN e.edge IN (0, 2) THEN l.col
+                                ELSE l.row END AS tpos
+                    FROM {lat_cte} l
+                    JOIN (VALUES (0), (1), (2), (3)) e(edge)
+                      ON (e.edge = 0 AND l.row = 0)
+                      OR (e.edge = 1 AND l.col = {E - 1})
+                      OR (e.edge = 2 AND l.row = {E - 1})
+                      OR (e.edge = 3 AND l.col = 0)) s
+              JOIN (VALUES {vals}) t(face, edge, face2, edge2, flip)
+                ON t.face = s.face AND t.edge = s.edge) q
+        CROSS JOIN (VALUES (-1), (0), (1)) d(dt)
+        WHERE q.t2 + d.dt BETWEEN 0 AND {E - 1}
+    """
+
+
 def focal_mean(cells: DataFrame, res: int,
-               value_col: str = "v") -> DataFrame:
+               value_col: str = "v", cross_face: bool = False) -> DataFrame:
     """(cellid, v, n_window, focal_sum, focal_mean_ppm, on_seam): 3×3
     queen-window mean (incl. self) of an integer cell value, exact ppm.
     Cells at face edges average over the neighbors that exist
     (n_window < 9); ``on_seam`` = 1 iff the cell touches its face
-    boundary (neighborhood crosses the seam — see module docstring)."""
+    boundary (neighborhood crosses the seam — see module docstring).
+    With ``cross_face=True`` the window is closed ACROSS face seams via
+    the kernel-derived cube gluing (see the seam-closure block comment):
+    on a fully-populated sphere every cell then has n_window = 9 except
+    the 24 cube-corner cells (8)."""
     lat = (with_lattice(cells.select("cellid",
                                      F.col(value_col).alias("v")), res)
            .withColumn("on_seam",
@@ -133,6 +229,8 @@ def focal_mean(cells: DataFrame, res: int,
                        (F.col("row") + F.col("o.dr")).alias("row"),
                        (F.col("col") + F.col("o.dc")).alias("col"),
                        F.col("v").alias("nv")))
+    if cross_face:
+        contrib = contrib.unionByName(_xface_contrib(lat, res))
     return (lat.join(contrib, ["face", "row", "col"])
             .groupBy("cellid", "v", "on_seam")
             .agg(F.count("*").alias("n_window"),
@@ -144,18 +242,21 @@ def focal_mean(cells: DataFrame, res: int,
 
 
 def focal_mean_sql(source_sql: str, res: int,
-                   value_col: str = "v") -> str:
+                   value_col: str = "v", cross_face: bool = False) -> str:
     """DuckDB twin of focal_mean; ``source_sql`` yields (cellid, v)."""
     lat = lattice_select_sql(source_sql, res, value_col)
     offs = " UNION ALL ".join(
         f"SELECT {dr} AS dr, {dc} AS dc"
         for dr, dc in _NEIGHBOR_OFFSETS + [(0, 0)])
     seam = seam_pred_sql(res)
+    xsql = (f"UNION ALL {_xface_contrib_sql('lat', res)}"
+            if cross_face else "")
     return f"""
     WITH lat AS MATERIALIZED ({lat}),
     contrib AS (
         SELECT face, row + dr AS row, col + dc AS col, v AS nv
-        FROM lat, ({offs}) o)
+        FROM lat, ({offs}) o
+        {xsql})
     SELECT l.cellid, l.v,
            CAST(count(*) AS BIGINT) AS n_window,
            CAST(sum(c.nv) AS BIGINT) AS focal_sum,
@@ -168,13 +269,16 @@ def focal_mean_sql(source_sql: str, res: int,
 
 
 def morans_i(cells: DataFrame, res: int,
-             value_col: str = "v") -> DataFrame:
+             value_col: str = "v", cross_face: bool = False) -> DataFrame:
     """One row (n_cells, w_pairs, pair_sum, ssq, morans_i_ppm,
     n_seam_cells): global Moran's I under queen weights, truncated-mean
     centered, exact integers (see module docstring).  morans_i_ppm ≈
     I · 1e6; positive = clustered, ~0 = random, negative = dispersed.
     ``n_seam_cells`` counts cells on a face boundary (their queen
-    neighborhoods are under-counted — seam visibility, VERDICT r5)."""
+    neighborhoods are under-counted — seam visibility, VERDICT r5);
+    with ``cross_face=True`` those neighborhoods are CLOSED across the
+    seams via the cube gluing (w_pairs then counts the seam pairs too,
+    so I is the true whole-sphere statistic, not the per-face one)."""
     lat = with_lattice(cells.select("cellid", F.col(value_col).alias("v")),
                        res).localCheckpoint(eager=True)  # reused 3×; tiny
     mean = lat.agg(F.sum("v").alias("_s"), F.count("*").alias("_n"))
@@ -188,6 +292,11 @@ def morans_i(cells: DataFrame, res: int,
            .select("face",
                    (F.col("row") + F.col("o.dr")).alias("row"),
                    (F.col("col") + F.col("o.dc")).alias("col"), "nd"))
+    if cross_face:
+        nbr = nbr.unionByName(
+            _xface_contrib(d.select("face", "row", "col",
+                                    F.col("d").alias("v")), res)
+            .withColumnRenamed("nv", "nd"))
     pairs = (d.join(nbr, ["face", "row", "col"])
              .agg(F.count("*").alias("w_pairs"),
                   F.sum(F.col("d") * F.col("nd")).alias("pair_sum")))
@@ -202,20 +311,26 @@ def morans_i(cells: DataFrame, res: int,
                     "morans_i_ppm", "n_seam_cells"))
 
 
-def morans_i_sql(source_sql: str, res: int, value_col: str = "v") -> str:
+def morans_i_sql(source_sql: str, res: int, value_col: str = "v",
+                 cross_face: bool = False) -> str:
     """DuckDB twin of morans_i (HUGEINT keeps the product exact)."""
     lat = lattice_select_sql(source_sql, res, value_col)
     seam = seam_pred_sql(res)
     offs = " UNION ALL ".join(
         f"SELECT {dr} AS dr, {dc} AS dc" for dr, dc in _NEIGHBOR_OFFSETS)
+    xsql = (f"UNION ALL SELECT face, row, col, nv AS nd FROM"
+            f" ({_xface_contrib_sql('dv', res)}) _x"
+            if cross_face else "")
     return f"""
     WITH lat AS MATERIALIZED ({lat}),
     m AS (SELECT sum(v) AS _s, count(*) AS _n FROM lat),
     d AS MATERIALIZED (
         SELECT face, row, col, v - (SELECT _s // _n FROM m) AS d,
                CASE WHEN {seam} THEN 1 ELSE 0 END AS on_seam FROM lat),
+    dv AS (SELECT face, row, col, d AS v FROM d),
     nbr AS (SELECT face, row + dr AS row, col + dc AS col, d AS nd
-            FROM d, ({offs}) o),
+            FROM d, ({offs}) o
+            {xsql}),
     pairs AS (SELECT count(*) AS w_pairs,
                      CAST(sum(d.d * nbr.nd) AS BIGINT) AS pair_sum
               FROM d JOIN nbr USING (face, row, col)),

@@ -549,14 +549,15 @@ _PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup",
                   "html_extract", "epoch_shuffle",
                   "lm_score", "dsir_select", "pq_topk",
                   "oov_rate", "hybrid_rerank", "embed_clusters",
-                  "mixture_plan", "text_normalize", "dup_profile",
+                  "mixture_plan", "text_normalize",
                   "novelty_score", "lang_confusion", "cluster_keep",
-                  "len_histogram", "corpus_diff", "fertility",
+                  "len_histogram", "corpus_diff",
                   "focal_mean", "morans_i",
                   "hotspots", "stream_sessions", "local_moran",
                   "tile_pyramid", "bbox_cells", "zonal_stats",
                   "dedup_pipeline",
-                  "stream_sessions_append", "lm_score_sink"]
+                  "stream_sessions_append", "lm_score_sink",
+                  "focal_xface", "morans_xface"]
 # resample_area: third member of the R1 resample family (bilinear stays
 # in-window; cubic/area remain in the all-query replica gate + pytest incl.
 # the randomized numpy-overlap property test)
@@ -688,6 +689,16 @@ _PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup",
 #   ivf_topk — the ANN family keeps ann_topk (LSH multi-probe), pq_topk
 #     (PQ/ADC) and hybrid_rerank in-window; IVF keeps its pytest + sf1
 #     gate row + ivf_refined replica row; green r3-r5
+# The r6 batch-22 pair (focal_xface/morans_xface — cross-face seam
+# closure, the VERDICT r5 "What's missing #3" gap) rotates two more
+# green twins back:
+#   dup_profile — its md5(lower(trim)) fingerprint rule is replayed
+#     verbatim inside dedup_pipeline's exact stage (in-window) and
+#     dedup-family machinery stays driver-checked via passage_dedup +
+#     ngram_pairs + dedup_clusters; green r5 driver row + sf1;
+#   fertility — tokens-per-doc ratios; token-scalar machinery stays
+#     driver-checked via oov_rate + len_histogram (in-window); green r5
+#     driver row
 # Tail order below follows VERDICT r5 #7: if a future driver window is
 # ever >50, the first rotated-back entries checked should be the
 # unique-machinery ones (minhash, salted_topk, stratified_sample,
@@ -709,7 +720,8 @@ _ROTATE_BACK = ["minhash", "salted_topk", "stratified_sample",
                 "winnow_pairs", "stream_ingest", "rmse",
                 "simhash", "grid", "event_sessions",
                 "extent", "subarea", "nodata_stride",
-                "stream_stateful", "ivf_topk"]
+                "stream_stateful", "ivf_topk",
+                "dup_profile", "fertility"]
 
 
 def _reorder(d: dict) -> dict:

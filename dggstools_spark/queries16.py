@@ -77,3 +77,62 @@ def _oracle_morans_i() -> str:
 
 QUERIES16["morans_i"] = q_morans_i
 ORACLES16["morans_i"] = _oracle_morans_i()
+
+
+# --------------------------------------------------------------------------
+# Cross-face seam closure (round 6): the same surface statistics with the
+# queen neighborhood closed ACROSS face seams via the kernel-derived cube
+# gluing (operators/spatial_stats seam-closure block; dggs/topology).  Run
+# at XF_RES (coarser prefix rollup of the CELL_RES table) so the corpus
+# populates cells on BOTH sides of multiple seams — at this res the sphere
+# has 6*9^2 = 486 cells and every face boundary is exercised.
+# --------------------------------------------------------------------------
+
+XF_RES = 2
+
+
+def _cells_xf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_cells(spark, sf_dir)
+            .groupBy(F.substring("cellid", 1, XF_RES + 1).alias("cellid"))
+            .agg(F.sum("v").alias("v"))
+            .localCheckpoint(eager=True))
+
+
+def _cells_xf_sql() -> str:
+    # CAST: DuckDB sum(BIGINT) is HUGEINT, which fetches to pandas as
+    # float64 and breaks the value-hash repr vs Spark's bigint
+    return (f"SELECT substring(cellid, 1, {XF_RES + 1}) AS cellid,"
+            f" CAST(sum(v) AS BIGINT) AS v FROM ({_cells_sql()})"
+            f" GROUP BY 1")
+
+
+def q_focal_xface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.spatial_stats import focal_mean
+
+    return focal_mean(_cells_xf(spark, sf_dir), XF_RES, cross_face=True)
+
+
+def _oracle_focal_xface() -> str:
+    from .operators.spatial_stats import focal_mean_sql
+
+    return focal_mean_sql(_cells_xf_sql(), XF_RES, cross_face=True)
+
+
+QUERIES16["focal_xface"] = q_focal_xface
+ORACLES16["focal_xface"] = _oracle_focal_xface()
+
+
+def q_morans_xface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.spatial_stats import morans_i
+
+    return morans_i(_cells_xf(spark, sf_dir), XF_RES, cross_face=True)
+
+
+def _oracle_morans_xface() -> str:
+    from .operators.spatial_stats import morans_i_sql
+
+    return morans_i_sql(_cells_xf_sql(), XF_RES, cross_face=True)
+
+
+QUERIES16["morans_xface"] = q_morans_xface
+ORACLES16["morans_xface"] = _oracle_morans_xface()

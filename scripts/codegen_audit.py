@@ -19,10 +19,13 @@ METRIC_GENERATED_METHOD_BYTECODE_SIZE histogram:
                 one added column away from the cliff (constraint 15's
                 "one flat expression too many", now measurable instead of
                 discovered through a benchmark regression)
+- near_cliff  — methods in (6000, 8000]: still JIT-compiled today, but one
+                added column/filter away from crossing (VERDICT r5 #3) —
+                the split-candidate list to watch before they regress
 
 Usage: python scripts/codegen_audit.py [query ...]   (writes
 CODEGEN_AUDIT.json; default set = the flat-fold and wide-stage suspects
-plus the flagship plan)
+plus the flagship plan; `--all` sweeps the ENTIRE registry)
 """
 
 from __future__ import annotations
@@ -65,6 +68,7 @@ rec = {{
     "p99_bytes": int(snap.get99thPercentile()),
     "n_over_8000": sum(1 for v in vals if v > 8000),
     "over_8000": [v for v in vals if v > 8000],
+    "near_cliff": [v for v in vals if 6000 < v <= 8000],
 }}
 print("AUDIT_JSON:" + json.dumps(rec))
 spark.stop()
@@ -73,6 +77,10 @@ spark.stop()
 
 def main() -> int:
     names = sys.argv[1:] or DEFAULT_QUERIES
+    if names == ["--all"]:
+        sys.path.insert(0, REPO)
+        from dggstools_spark.queries import QUERIES
+        names = ["flagship", *QUERIES]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out = {}
     for name in names:
