@@ -349,7 +349,7 @@ def morans_i_sql(source_sql: str, res: int, value_col: str = "v",
 
 
 def hotspots(cells: DataFrame, res: int, k: int,
-             value_col: str = "v") -> DataFrame:
+             value_col: str = "v", cross_face: bool = False) -> DataFrame:
     """(cellid, v, n_window, focal_sum, ratio_ppm, rank, on_seam):
     Getis-Ord-style
     local hotspot score — the 3×3 window mean relative to the global mean,
@@ -365,7 +365,7 @@ def hotspots(cells: DataFrame, res: int, k: int,
     tot = cells.agg(F.sum(value_col).alias("_tv"),
                     F.count("*").alias("_tn"))
     w = Window.orderBy(F.desc("ratio_ppm"), F.asc("cellid"))
-    return (focal_mean(cells, res, value_col)
+    return (focal_mean(cells, res, value_col, cross_face=cross_face)
             .crossJoin(F.broadcast(tot))
             .withColumn("ratio_ppm", F.expr(
                 f"(focal_sum * _tn * {PPM}) div (n_window * _tv)"))
@@ -376,9 +376,10 @@ def hotspots(cells: DataFrame, res: int, k: int,
 
 
 def hotspots_sql(source_sql: str, res: int, k: int,
-                 value_col: str = "v") -> str:
+                 value_col: str = "v", cross_face: bool = False) -> str:
     """DuckDB twin of hotspots."""
-    focal = focal_mean_sql(source_sql, res, value_col)
+    focal = focal_mean_sql(source_sql, res, value_col,
+                           cross_face=cross_face)
     return f"""
     WITH f AS MATERIALIZED ({focal}),
     tot AS (SELECT sum(v) AS _tv, count(*) AS _tn FROM f)
@@ -396,7 +397,8 @@ def hotspots_sql(source_sql: str, res: int, k: int,
 
 
 def local_moran(cells: DataFrame, res: int, k: int,
-                value_col: str = "v") -> DataFrame:
+                value_col: str = "v",
+                cross_face: bool = False) -> DataFrame:
     """(cellid, d, nbr_sum, n_nbrs, lisa, quadrant, rank, on_seam):
     per-cell LISA
     (Anselin's local Moran's I, unnormalized integer core): with d_i the
@@ -424,6 +426,11 @@ def local_moran(cells: DataFrame, res: int, k: int,
            .select("face",
                    (F.col("row") + F.col("o.dr")).alias("row"),
                    (F.col("col") + F.col("o.dc")).alias("col"), "nd"))
+    if cross_face:
+        nbr = nbr.unionByName(
+            _xface_contrib(d.select("face", "row", "col",
+                                    F.col("d").alias("v")), res)
+            .withColumnRenamed("nv", "nd"))
     per = (d.join(nbr, ["face", "row", "col"])
            .groupBy("cellid", "d", "on_seam")
            .agg(F.sum("nd").alias("nbr_sum"),
@@ -441,12 +448,15 @@ def local_moran(cells: DataFrame, res: int, k: int,
 
 
 def local_moran_sql(source_sql: str, res: int, k: int,
-                    value_col: str = "v") -> str:
+                    value_col: str = "v", cross_face: bool = False) -> str:
     """DuckDB twin of local_moran."""
     lat = lattice_select_sql(source_sql, res, value_col)
     seam = seam_pred_sql(res)
     offs = " UNION ALL ".join(
         f"SELECT {dr} AS dr, {dc} AS dc" for dr, dc in _NEIGHBOR_OFFSETS)
+    xsql = (f"UNION ALL SELECT face, row, col, nv AS nd FROM"
+            f" ({_xface_contrib_sql('dv', res)}) _x"
+            if cross_face else "")
     return f"""
     WITH lat AS MATERIALIZED ({lat}),
     m AS (SELECT sum(v) AS _s, count(*) AS _n FROM lat),
@@ -454,8 +464,10 @@ def local_moran_sql(source_sql: str, res: int, k: int,
         SELECT cellid, face, row, col,
                v - (SELECT _s // _n FROM m) AS d,
                CASE WHEN {seam} THEN 1 ELSE 0 END AS on_seam FROM lat),
+    dv AS (SELECT face, row, col, d AS v FROM d),
     nbr AS (SELECT face, row + dr AS row, col + dc AS col, d AS nd
-            FROM d, ({offs}) o),
+            FROM d, ({offs}) o
+            {xsql}),
     per AS (
         SELECT d.cellid, CAST(d.d AS BIGINT) AS d,
                CAST(sum(nbr.nd) AS BIGINT) AS nbr_sum,

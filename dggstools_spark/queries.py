@@ -465,6 +465,7 @@ from .queries16 import QUERIES16, ORACLES16  # noqa: E402
 from .queries17 import QUERIES17, ORACLES17  # noqa: E402
 from .queries18 import QUERIES18, ORACLES18  # noqa: E402
 from .queries19 import QUERIES19, ORACLES19  # noqa: E402
+from .queries20 import QUERIES20, ORACLES20  # noqa: E402
 
 QUERIES.update(QUERIES2)
 ORACLES.update(ORACLES2)
@@ -502,6 +503,8 @@ QUERIES.update(QUERIES18)
 ORACLES.update(ORACLES18)
 QUERIES.update(QUERIES19)
 ORACLES.update(ORACLES19)
+QUERIES.update(QUERIES20)
+ORACLES.update(ORACLES20)
 
 
 # --------------------------------------------------------------------------
@@ -549,7 +552,7 @@ _PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup",
                   "html_extract", "epoch_shuffle",
                   "lm_score", "dsir_select", "pq_topk",
                   "oov_rate", "hybrid_rerank", "embed_clusters",
-                  "mixture_plan", "text_normalize",
+                  "mixture_plan",
                   "novelty_score", "lang_confusion", "cluster_keep",
                   "len_histogram", "corpus_diff",
                   "focal_mean", "morans_i",
@@ -557,7 +560,7 @@ _PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup",
                   "tile_pyramid", "bbox_cells", "zonal_stats",
                   "dedup_pipeline",
                   "stream_sessions_append", "lm_score_sink",
-                  "focal_xface", "morans_xface"]
+                  "focal_xface", "morans_xface", "url_dedup"]
 # resample_area: third member of the R1 resample family (bilinear stays
 # in-window; cubic/area remain in the all-query replica gate + pytest incl.
 # the randomized numpy-overlap property test)
@@ -699,6 +702,11 @@ _PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup",
 #   fertility — tokens-per-doc ratios; token-scalar machinery stays
 #     driver-checked via oov_rate + len_histogram (in-window); green r5
 #     driver row
+# The r6 batch-23 entry (url_dedup — URL-tier dedup, regexp-chain
+# canonicalization + one hash agg) rotates one more green twin back:
+#   text_normalize — the codegen'd regexp_replace projection family
+#     stays driver-checked via html_extract (in-window, md5-value-checked)
+#     and now url_dedup itself; green r5 driver row + sf1
 # Tail order below follows VERDICT r5 #7: if a future driver window is
 # ever >50, the first rotated-back entries checked should be the
 # unique-machinery ones (minhash, salted_topk, stratified_sample,
@@ -721,7 +729,7 @@ _ROTATE_BACK = ["minhash", "salted_topk", "stratified_sample",
                 "simhash", "grid", "event_sessions",
                 "extent", "subarea", "nodata_stride",
                 "stream_stateful", "ivf_topk",
-                "dup_profile", "fertility"]
+                "dup_profile", "fertility", "text_normalize"]
 
 
 def _reorder(d: dict) -> dict:

@@ -136,3 +136,41 @@ def _oracle_morans_xface() -> str:
 
 QUERIES16["morans_xface"] = q_morans_xface
 ORACLES16["morans_xface"] = _oracle_morans_xface()
+
+
+HOT_XF_K = 25
+
+
+def q_hotspots_xface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.spatial_stats import hotspots
+
+    return hotspots(_cells_xf(spark, sf_dir), XF_RES, HOT_XF_K,
+                    cross_face=True)
+
+
+def _oracle_hotspots_xface() -> str:
+    from .operators.spatial_stats import hotspots_sql
+
+    return hotspots_sql(_cells_xf_sql(), XF_RES, HOT_XF_K, cross_face=True)
+
+
+QUERIES16["hotspots_xface"] = q_hotspots_xface
+ORACLES16["hotspots_xface"] = _oracle_hotspots_xface()
+
+
+def q_lisa_xface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.spatial_stats import local_moran
+
+    return local_moran(_cells_xf(spark, sf_dir), XF_RES, HOT_XF_K,
+                       cross_face=True)
+
+
+def _oracle_lisa_xface() -> str:
+    from .operators.spatial_stats import local_moran_sql
+
+    return local_moran_sql(_cells_xf_sql(), XF_RES, HOT_XF_K,
+                           cross_face=True)
+
+
+QUERIES16["lisa_xface"] = q_lisa_xface
+ORACLES16["lisa_xface"] = _oracle_lisa_xface()

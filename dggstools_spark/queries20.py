@@ -1,0 +1,58 @@
+"""Driver-contract queries, batch 23 (round 6): URL-level dedup — the
+cheap first stage of every web-corpus pipeline (C4/CCNet/RefinedWeb dedup
+at the URL tier before any content pass).
+
+The documents table carries no URL column, so the query synthesizes one
+DETERMINISTICALLY from doc_id via a shared SQL snippet (identical text on
+both engines): four scheme/www spellings, optional trailing slash,
+optional tracking-vs-real query params, optional fragment — exactly the
+crawl-noise variants canonicalization must collapse.  The oracle runs the
+identical synthesis + the identical canonicalization chain
+(operators/urls.URL_RULES, Java∩RE2 subset per the scrub.py convention).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .queries3 import load
+
+QUERIES20: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {}
+ORACLES20: "dict[str, str]" = {}
+
+
+def synth_url_sql(id_col: str) -> str:
+    """Deterministic raw-URL expression over ``id_col`` — engine-shared
+    text (CASE/%/||/CAST(.. AS STRING) behave identically on Spark and
+    DuckDB for non-negative BIGINT ids)."""
+    return (
+        f"(CASE {id_col} % 4 WHEN 0 THEN 'http://' WHEN 1 THEN 'https://'"
+        f" WHEN 2 THEN 'https://www.' ELSE 'HTTP://WWW.' END"
+        f" || 'site' || CAST({id_col} % 97 AS STRING)"
+        f" || '.com/page/' || CAST({id_col} % 31 AS STRING)"
+        f" || CASE WHEN {id_col} % 3 = 0 THEN '/' ELSE '' END"
+        f" || CASE {id_col} % 5 WHEN 0 THEN"
+        f" '?utm_source=feed&utm_medium=rss'"
+        f" WHEN 1 THEN '?ref=4&utm_campaign=x' ELSE '' END"
+        f" || CASE WHEN {id_col} % 7 = 0 THEN '#section-2' ELSE '' END)")
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.urls import url_dedup
+
+    docs = (load(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.expr(synth_url_sql("doc_id")).alias("url")))
+    return url_dedup(docs, "url", "doc_id")
+
+
+def _oracle_url_dedup() -> str:
+    from .operators.urls import url_dedup_sql
+
+    return url_dedup_sql("documents", synth_url_sql("doc_id"), "doc_id")
+
+
+QUERIES20["url_dedup"] = q_url_dedup
+ORACLES20["url_dedup"] = _oracle_url_dedup()
