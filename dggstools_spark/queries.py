@@ -553,14 +553,15 @@ _PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup",
                   "lm_score", "dsir_select", "pq_topk",
                   "oov_rate", "hybrid_rerank", "embed_clusters",
                   "mixture_plan",
-                  "novelty_score", "lang_confusion", "cluster_keep",
+                  "lang_confusion", "cluster_keep",
                   "len_histogram", "corpus_diff",
                   "focal_mean", "morans_i",
                   "hotspots", "stream_sessions", "local_moran",
                   "tile_pyramid", "bbox_cells", "zonal_stats",
                   "dedup_pipeline",
                   "stream_sessions_append", "lm_score_sink",
-                  "focal_xface", "morans_xface", "url_dedup"]
+                  "focal_xface", "morans_xface", "url_dedup",
+                  "semantic_dedup"]
 # resample_area: third member of the R1 resample family (bilinear stays
 # in-window; cubic/area remain in the all-query replica gate + pytest incl.
 # the randomized numpy-overlap property test)
@@ -707,6 +708,13 @@ _PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup",
 #   text_normalize — the codegen'd regexp_replace projection family
 #     stays driver-checked via html_extract (in-window, md5-value-checked)
 #     and now url_dedup itself; green r5 driver row + sf1
+# The r6 batch-23b entry (semantic_dedup — SemDeDup cluster-then-prune
+# embedding dedup, a NEW keep rule over the IVF construction) rotates one
+# more green twin back:
+#   novelty_score — its shingle-df machinery stays driver-checked via
+#     ngram_pairs (in-window) and its keep/argmax family via cluster_keep
+#     (in-window); the self-information weighting keeps its pytest +
+#     replica-gate + sf1 rows; green r5 driver row
 # Tail order below follows VERDICT r5 #7: if a future driver window is
 # ever >50, the first rotated-back entries checked should be the
 # unique-machinery ones (minhash, salted_topk, stratified_sample,
@@ -729,7 +737,8 @@ _ROTATE_BACK = ["minhash", "salted_topk", "stratified_sample",
                 "simhash", "grid", "event_sessions",
                 "extent", "subarea", "nodata_stride",
                 "stream_stateful", "ivf_topk",
-                "dup_profile", "fertility", "text_normalize"]
+                "dup_profile", "fertility", "text_normalize",
+                "novelty_score"]
 
 
 def _reorder(d: dict) -> dict:

@@ -56,3 +56,33 @@ def _oracle_url_dedup() -> str:
 
 QUERIES20["url_dedup"] = q_url_dedup
 ORACLES20["url_dedup"] = _oracle_url_dedup()
+
+
+# --------------------------------------------------------------------------
+# q_semantic_dedup — SemDeDup (batch 23): embedding-space dedup — residue
+# centroids, nearest-centroid clusters, drop any vector with a smaller-id
+# in-cluster neighbor at cosine >= SD_THR; per-cluster keep-set audit via
+# an order-insensitive exact id sum.  Threshold 0.30 sits inside the
+# observed within-cluster sim tail at sf0.01 (max 0.474), so drops are
+# non-trivial and the rule is genuinely exercised.
+# --------------------------------------------------------------------------
+
+SD_THR = 0.30
+SD_DIM = 64
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.semdedup import semantic_dedup
+
+    return semantic_dedup(load(spark, sf_dir, "embeddings"), SD_THR,
+                          dim=SD_DIM)
+
+
+def _oracle_semantic_dedup() -> str:
+    from .operators.semdedup import semantic_dedup_sql
+
+    return semantic_dedup_sql("embeddings", SD_THR)
+
+
+QUERIES20["semantic_dedup"] = q_semantic_dedup
+ORACLES20["semantic_dedup"] = _oracle_semantic_dedup()
