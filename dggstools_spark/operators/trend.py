@@ -1,0 +1,99 @@
+"""Per-key integer OLS trend — the "emerging hotspot" time axis.
+
+Given observations (key, t, y) with integer time buckets and integer
+values, compute each key's least-squares slope EXACTLY:
+
+    slope = (n·Σty − Σt·Σy) / (n·Σt² − (Σt)²)
+
+Numerator and denominator are exact BIGINT aggregates of integer inputs
+(associative → run-stable under partial aggregation, bit-identical across
+engines — CLAUDE.md constraint 13 family), reported alongside
+slope_ppm = (num · 1e6) div den.  Positive slope = the key's activity is
+GROWING across buckets; the top-k by (slope_ppm desc, key) is the
+emerging-hotspot ranking (ESRI's "emerging hot spot analysis" reduces to
+exactly this trend test over space-time bins, minus the Mann-Kendall
+dressing).
+
+Semantics note: the regression runs over OBSERVED buckets only — a
+(key, t) bucket with zero events contributes no row, not a zero.  For
+densified semantics, zero-fill upstream (cells × days cross join) before
+calling; at corpus scale observed-bucket trends are the useful default
+(absent buckets are usually absent data, not zeros).
+
+Scale design (100 TB): one map-side-combining hash aggregate per
+(key, t), one per key, one WindowGroupLimit top-k — no joins, no
+explodes; the heavy reduction happens in the first partial aggregate.
+Keys with a single observed bucket have den = 0 and are excluded (no
+slope is defined).
+
+Reference parity: no counterpart (the reference has no time axis);
+extends the spatial-stats family (SURVEY §2 extension) with the
+space-time dimension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+PPM = 1_000_000
+
+
+def trend_topk(obs: DataFrame, key_col: str, t_col: str, y_col: str,
+               k: int) -> DataFrame:
+    """(key, n_buckets, total, slope_num, slope_den, slope_ppm, rank):
+    top-``k`` keys by exact OLS slope (see module docstring).  ``t_col``
+    and ``y_col`` must be integer columns."""
+    from pyspark.sql.window import Window
+
+    per_bucket = (obs.groupBy(key_col, t_col)
+                  .agg(F.sum(y_col).alias("y")))
+    per_key = (per_bucket.groupBy(key_col)
+               .agg(F.count("*").alias("n_buckets"),
+                    F.sum("y").alias("total"),
+                    F.sum(t_col).alias("_st"),
+                    F.sum(F.expr(f"{t_col} * y")).alias("_sty"),
+                    F.sum(F.expr(f"{t_col} * {t_col}")).alias("_stt"))
+               .withColumn("slope_num", F.expr(
+                   "n_buckets * _sty - _st * total"))
+               .withColumn("slope_den", F.expr(
+                   "n_buckets * _stt - _st * _st"))
+               .filter(F.col("slope_den") > 0)
+               .withColumn("slope_ppm", F.expr(
+                   f"(slope_num * {PPM}) div slope_den")))
+    w = Window.orderBy(F.desc("slope_ppm"), F.asc(key_col))
+    return (per_key
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(key_col, "n_buckets", "total", "slope_num",
+                    "slope_den", "slope_ppm", "rank"))
+
+
+def trend_topk_sql(obs_sql: str, key_col: str, t_col: str, y_col: str,
+                   k: int) -> str:
+    """DuckDB twin; ``obs_sql`` yields (key, t, y) integer columns."""
+    return f"""
+    WITH obs AS MATERIALIZED ({obs_sql}),
+    pb AS (SELECT {key_col}, {t_col},
+                  CAST(sum({y_col}) AS BIGINT) AS y
+           FROM obs GROUP BY {key_col}, {t_col}),
+    pk AS (
+        SELECT {key_col},
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sum(y) AS BIGINT) AS total,
+               CAST(sum({t_col}) AS BIGINT) AS _st,
+               CAST(sum({t_col} * y) AS BIGINT) AS _sty,
+               CAST(sum({t_col} * {t_col}) AS BIGINT) AS _stt
+        FROM pb GROUP BY {key_col}),
+    sl AS (
+        SELECT {key_col}, n_buckets, total,
+               n_buckets * _sty - _st * total AS slope_num,
+               n_buckets * _stt - _st * _st AS slope_den
+        FROM pk WHERE n_buckets * _stt - _st * _st > 0)
+    SELECT {key_col}, n_buckets, total, slope_num, slope_den,
+           CAST((slope_num * {PPM}) // slope_den AS BIGINT) AS slope_ppm,
+           CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+              ORDER BY (slope_num * {PPM}) // slope_den DESC, {key_col})
+              AS rank FROM sl)
+    WHERE rank <= {k}
+    """

@@ -86,3 +86,51 @@ def _oracle_semantic_dedup() -> str:
 
 QUERIES20["semantic_dedup"] = q_semantic_dedup
 ORACLES20["semantic_dedup"] = _oracle_semantic_dedup()
+
+
+# --------------------------------------------------------------------------
+# q_cell_trends — emerging spatio-temporal hotspots (batch 23): events get
+# deterministic lon/lat from event_id (sources/synth), encode to res-2
+# cells, bucket ts into UTC days (unix_millis/epoch_ms parity idiom,
+# CLAUDE.md constraint 5), then rank cells by EXACT integer OLS slope of
+# daily counts (operators/trend) — the cells whose activity is growing
+# fastest.  The time axis the reference's raster stack never had.
+# --------------------------------------------------------------------------
+
+TREND_RES = 2
+TREND_K = 20
+
+
+def q_cell_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import encode_sql
+    from .operators.trend import trend_topk
+    from .sources import synth
+
+    ev = synth.with_lonlat(load(spark, sf_dir, "events"), "event_id")
+    obs = (encode_sql.spark_encode(ev, "lon", "lat", TREND_RES)
+           .select("cellid",
+                   F.expr("unix_millis(CAST(ts AS TIMESTAMP))"
+                          " div 86400000").alias("day"),
+                   F.lit(1).cast("bigint").alias("y"))
+           # constraint-2: the encoder expression must not be re-inlined
+           # into both the per-bucket and per-key aggregates
+           .localCheckpoint(eager=True))
+    return trend_topk(obs, "cellid", "day", "y", TREND_K)
+
+
+def _oracle_cell_trends() -> str:
+    from .functions import encode_sql
+    from .operators.trend import trend_topk_sql
+    from .sources import synth
+
+    src = synth.duckdb_lonlat_select("events", "event_id",
+                                     ["event_id", "ts"])
+    enc = encode_sql.duckdb_encode_select(f"({src})", "lon", "lat",
+                                          TREND_RES, ["ts"])
+    obs = (f"SELECT cellid, epoch_ms(ts) // 86400000 AS day,"
+           f" CAST(1 AS BIGINT) AS y FROM ({enc})")
+    return trend_topk_sql(obs, "cellid", "day", "y", TREND_K)
+
+
+QUERIES20["cell_trends"] = q_cell_trends
+ORACLES20["cell_trends"] = _oracle_cell_trends()

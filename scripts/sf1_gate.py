@@ -68,7 +68,16 @@ DEFAULT_QUERIES = ["minhash", "embed_pairs", "auid_optimize", "knn_cells",
                    "stream_sessions", "tile_pyramid", "bbox_cells",
                    "zonal_stats", "oov_rate", "text_normalize",
                    "mixture_plan", "dup_profile", "lang_confusion",
-                   "len_histogram", "corpus_diff", "fertility"]
+                   "len_histogram", "corpus_diff", "fertility",
+                   # round-6: the cross-face seam-closure lattice family,
+                   # append-mode (watermark-closed) sessions, the parquet
+                   # LM model sink, URL-tier dedup (regexp-chain canon +
+                   # hash agg), SemDeDup (IVF clusters + pair-sim prune),
+                   # and the commutative-kept-hash dedup capstone
+                   "focal_xface", "morans_xface", "hotspots_xface",
+                   "lisa_xface", "stream_sessions_append", "lm_score_sink",
+                   "url_dedup", "semantic_dedup", "dedup_pipeline",
+                   "cell_trends"]
 SMALL_TABLES = ["region", "nation", "customer", "supplier", "part",
                 "orders", "lineitem", "events"]
 
