@@ -40,7 +40,10 @@ def main() -> None:
              "len_histogram", "corpus_diff", "fertility",
              "focal_mean", "morans_i", "hotspots", "local_moran",
              "tile_pyramid", "bbox_cells", "zonal_stats",
-             "dedup_pipeline"]
+             "dedup_pipeline",
+             "focal_xface", "morans_xface", "hotspots_xface",
+             "lisa_xface", "url_dedup", "semantic_dedup", "cell_trends",
+             "lm_score_sink", "stream_sessions_append"]
     # queries whose joins must stay broadcast (dimension-sized side): a
     # SortMergeJoin here is plan creep and fails the script.  embed_pairs'
     # bucket self-join and rescale_modes' agg-agg joins legitimately shuffle
