@@ -362,8 +362,13 @@ def main() -> None:
     # sibling file; (2) the printed line is a compacted view — per-query
     # steal/psi dicts keep only entries >= 0.5% (zeros dominate on clean
     # sweeps and carry no information), cutting the line roughly in half.
+    # flagship-only runs (scripts/scaling.py's per-level legs) must NOT
+    # clobber the committed full-sweep artifact — a partial 1-query file
+    # overwrote the 94-entry sweep twice before this guard (r6).
+    out_name = ("BENCH_flagship.json" if flagship_only
+                else "BENCH_local.json")
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_local.json"), "w") as f:
+                           out_name), "w") as f:
         json.dump(result, f, indent=1)
     line = dict(result)
     line["query_steal_pct"] = {
@@ -377,7 +382,7 @@ def main() -> None:
     line["query_psi_max_pct"] = max(query_psi.values(), default=0.0)
     line["query_steal_recorded"] = len(query_steal)
     line["query_steal_max_pct"] = max(query_steal.values(), default=0.0)
-    line["full_json"] = "BENCH_local.json"
+    line["full_json"] = out_name
     print(json.dumps(line))
     spark.stop()
 

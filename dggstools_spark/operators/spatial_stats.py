@@ -549,3 +549,89 @@ def bbox_cells_sql(source_sql: str, res: int, corner_a: str,
     WHERE cellid LIKE '{prefix}%'
       AND row BETWEEN {ra} AND {rb} AND col BETWEEN {ca} AND {cb}
     """
+
+
+def cellid_from_rowcol_sql(res: int, idiv: str, face: str = "face",
+                           row: str = "row", col: str = "col") -> str:
+    """Inverse of the lattice digit fold: SQL building the res-``res``
+    cellid string from (face, row, col) expressions — digit at depth i is
+    3·row_i + col_i where row_i/col_i are the base-3 digits of row/col.
+    Flat per-digit concat (res terms), shared emitter for both engines
+    (``idiv`` = 'div' for Spark, '//' for DuckDB; CAST(. AS STRING) and
+    substring/concat behave identically — the synth_url_sql convention)."""
+    digits = []
+    for i in range(1, res + 1):
+        w = 3 ** (res - i)
+        digits.append(
+            f"CAST(((({row}) {idiv} {w}) % 3) * 3"
+            f" + ((({col}) {idiv} {w}) % 3) AS STRING)")
+    return (f"concat(substring('NOPQRS', ({face}) + 1, 1), "
+            + ", ".join(digits) + ")")
+
+
+def cell_neighbors(cells: DataFrame, res: int,
+                   cross_face: bool = True) -> DataFrame:
+    """(cellid, nbr, across): every queen neighbor of every input cell —
+    the `rhealpixdggs` ``Cell.neighbors`` surface (reference C3/J5 family)
+    as pure relational algebra, cross-face CORRECT.
+
+    Neighbors are a property of the GRID, not the table: the output lists
+    all 8 queen neighbors per cell (7 for the 24 cube-corner cells — the
+    across-corner diagonal does not exist on a cube; their three corner
+    cells are mutually edge-adjacent), whether or not the neighbor id
+    appears in ``cells``.  ``across`` = 1 marks neighbors reached through
+    a face seam (dggs/topology's kernel-derived gluing).  Input cellids
+    must be unique and same-res.
+
+    Correctness lean: adjacency is SYMMETRIC, and _xface_contrib emits,
+    for each seam cell c, exactly the glued positions c touches — which
+    are therefore c's cross-face neighbors; the involution assert in
+    topology.edge_table guarantees the reverse direction would produce
+    the mirrored pairs.  Scale: offsets explode + the O(sqrt(cells)) seam
+    branch, zero joins beyond the broadcast 24-row gluing table."""
+    lat = with_lattice(cells.select("cellid"), res)
+    E = 3 ** res
+    interior = (lat
+                .select("cellid", "face", "row", "col",
+                        F.expr(_offsets_sql(False)).alias("o"))
+                .withColumn("row2", F.expr("row + o.dr"))
+                .withColumn("col2", F.expr("col + o.dc"))
+                .filter(F.expr(f"row2 >= 0 AND row2 <= {E - 1}"
+                               f" AND col2 >= 0 AND col2 <= {E - 1}"))
+                .select("cellid",
+                        F.expr(cellid_from_rowcol_sql(
+                            res, "div", row="row2", col="col2"))
+                        .alias("nbr"),
+                        F.lit(0).alias("across")))
+    if not cross_face:
+        return interior
+    x = (_xface_contrib(lat.withColumn("v", F.col("cellid")), res)
+         .select(F.col("nv").alias("cellid"),
+                 F.expr(cellid_from_rowcol_sql(res, "div")).alias("nbr"),
+                 F.lit(1).alias("across")))
+    return interior.unionByName(x)
+
+
+def cell_neighbors_sql(source_sql: str, res: int,
+                       cross_face: bool = True) -> str:
+    """DuckDB twin of :func:`cell_neighbors` (same lattice fold, same
+    gluing table, same inverse-fold emitter)."""
+    lat = lattice_select_sql(source_sql, res, value_col="cellid")
+    E = 3 ** res
+    offs = " UNION ALL ".join(
+        f"SELECT {dr} AS dr, {dc} AS dc" for dr, dc in _NEIGHBOR_OFFSETS)
+    nbr_int = cellid_from_rowcol_sql(res, "//", row="row + o.dr",
+                                     col="col + o.dc")
+    nbr_x = cellid_from_rowcol_sql(res, "//")
+    xsql = (f"""
+    UNION ALL
+    SELECT nv AS cellid, {nbr_x} AS nbr, 1 AS across
+    FROM ({_xface_contrib_sql('lat', res)}) _x""" if cross_face else "")
+    return f"""
+    WITH lat AS MATERIALIZED ({lat})
+    SELECT cellid, {nbr_int} AS nbr, 0 AS across
+    FROM lat, ({offs}) o
+    WHERE row + o.dr BETWEEN 0 AND {E - 1}
+      AND col + o.dc BETWEEN 0 AND {E - 1}
+    {xsql}
+    """

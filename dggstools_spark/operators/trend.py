@@ -15,10 +15,11 @@ exactly this trend test over space-time bins, minus the Mann-Kendall
 dressing).
 
 Semantics note: the regression runs over OBSERVED buckets only — a
-(key, t) bucket with zero events contributes no row, not a zero.  For
-densified semantics, zero-fill upstream (cells × days cross join) before
-calling; at corpus scale observed-bucket trends are the useful default
-(absent buckets are usually absent data, not zeros).
+(key, t) bucket with zero events contributes no row, not a zero.  At
+corpus scale observed-bucket trends are the useful default (absent
+buckets are usually absent data, not zeros); for densified semantics use
+:func:`trend_topk_dense`, which zero-fills every key over the global
+bucket range in CLOSED FORM (no cells × days cross join).
 
 Scale design (100 TB): one map-side-combining hash aggregate per
 (key, t), one per key, one WindowGroupLimit top-k — no joins, no
@@ -68,6 +69,59 @@ def trend_topk(obs: DataFrame, key_col: str, t_col: str, y_col: str,
                     "slope_den", "slope_ppm", "rank"))
 
 
+def trend_topk_dense(obs: DataFrame, key_col: str, t_col: str, y_col: str,
+                     k: int) -> DataFrame:
+    """Densified twin of :func:`trend_topk` — WITHOUT the cells × days
+    cross join the module docstring warns about.
+
+    Zero-filling every key over the GLOBAL observed bucket range
+    [t0, t1] changes only closed-form constants: with T = t1−t0+1 dense
+    buckets, every key shares n = T, Σt = S1 = (t0+t1)·T/2 and
+    Σt² = S2 = f(t1) − f(t0−1) where f(n) = n(n+1)(2n+1)/6, while Σy and
+    Σty are untouched by zero rows.  So
+
+        slope_num = T·Σty − S1·Σy      slope_den = T·S2 − S1²  (global)
+
+    and the densified ranking costs the same two hash aggregates as the
+    observed-bucket ranking plus ONE broadcast 1-row bounds frame — keys
+    active early then absent now rank BELOW keys absent throughout
+    (decaying cells get negative slopes instead of vanishing).  All
+    integer divisions are exact ((t0+t1)·T is always even; n(n+1)(2n+1)
+    is always divisible by 6 for any integer n), so truncated div is
+    engine-portable with no constraint-17 boundary exposure.
+
+    Output adds ``n_obs`` (observed buckets) next to ``n_buckets`` (= T
+    for every key).  Requires at least two distinct global buckets
+    (otherwise slope_den = 0 and the result is empty)."""
+    from pyspark.sql.window import Window
+
+    per_bucket = (obs.groupBy(key_col, t_col)
+                  .agg(F.sum(y_col).alias("y")))
+    bounds = per_bucket.agg(F.min(t_col).alias("_t0"),
+                            F.max(t_col).alias("_t1"))
+    f_hi = "(_t1 * (_t1 + 1) * (2 * _t1 + 1)) div 6"
+    f_lo = "((_t0 - 1) * _t0 * (2 * _t0 - 1)) div 6"
+    per_key = (per_bucket.groupBy(key_col)
+               .agg(F.count("*").alias("n_obs"),
+                    F.sum("y").alias("total"),
+                    F.sum(F.expr(f"{t_col} * y")).alias("_sty"))
+               .crossJoin(F.broadcast(bounds))
+               .withColumn("_T", F.expr("_t1 - _t0 + 1"))
+               .withColumn("_s1", F.expr("((_t0 + _t1) * _T) div 2"))
+               .withColumn("_s2", F.expr(f"({f_hi}) - ({f_lo})"))
+               .withColumn("slope_num", F.expr("_T * _sty - _s1 * total"))
+               .withColumn("slope_den", F.expr("_T * _s2 - _s1 * _s1"))
+               .filter(F.col("slope_den") > 0)
+               .withColumn("slope_ppm", F.expr(
+                   f"(slope_num * {PPM}) div slope_den")))
+    w = Window.orderBy(F.desc("slope_ppm"), F.asc(key_col))
+    return (per_key
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(key_col, F.col("_T").alias("n_buckets"), "n_obs",
+                    "total", "slope_num", "slope_den", "slope_ppm", "rank"))
+
+
 def trend_topk_sql(obs_sql: str, key_col: str, t_col: str, y_col: str,
                    k: int) -> str:
     """DuckDB twin; ``obs_sql`` yields (key, t, y) integer columns."""
@@ -90,6 +144,46 @@ def trend_topk_sql(obs_sql: str, key_col: str, t_col: str, y_col: str,
                n_buckets * _stt - _st * _st AS slope_den
         FROM pk WHERE n_buckets * _stt - _st * _st > 0)
     SELECT {key_col}, n_buckets, total, slope_num, slope_den,
+           CAST((slope_num * {PPM}) // slope_den AS BIGINT) AS slope_ppm,
+           CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+              ORDER BY (slope_num * {PPM}) // slope_den DESC, {key_col})
+              AS rank FROM sl)
+    WHERE rank <= {k}
+    """
+
+
+def trend_topk_dense_sql(obs_sql: str, key_col: str, t_col: str,
+                         y_col: str, k: int) -> str:
+    """DuckDB twin of :func:`trend_topk_dense` (same closed-form global
+    constants, `//` for Spark's `div` — both truncate, every division here
+    is exact so the semantics cannot diverge)."""
+    return f"""
+    WITH obs AS MATERIALIZED ({obs_sql}),
+    pb AS (SELECT {key_col}, {t_col},
+                  CAST(sum({y_col}) AS BIGINT) AS y
+           FROM obs GROUP BY {key_col}, {t_col}),
+    bounds AS (SELECT CAST(min({t_col}) AS BIGINT) AS _t0,
+                      CAST(max({t_col}) AS BIGINT) AS _t1 FROM pb),
+    pk AS (
+        SELECT {key_col},
+               CAST(count(*) AS BIGINT) AS n_obs,
+               CAST(sum(y) AS BIGINT) AS total,
+               CAST(sum({t_col} * y) AS BIGINT) AS _sty
+        FROM pb GROUP BY {key_col}),
+    cst AS (
+        SELECT _t0, _t1, _t1 - _t0 + 1 AS _T,
+               ((_t0 + _t1) * (_t1 - _t0 + 1)) // 2 AS _s1,
+               ((_t1 * (_t1 + 1) * (2 * _t1 + 1)) // 6)
+               - (((_t0 - 1) * _t0 * (2 * _t0 - 1)) // 6) AS _s2
+        FROM bounds),
+    sl AS (
+        SELECT {key_col}, _T AS n_buckets, n_obs, total,
+               _T * _sty - _s1 * total AS slope_num,
+               _T * _s2 - _s1 * _s1 AS slope_den
+        FROM pk CROSS JOIN cst
+        WHERE _T * _s2 - _s1 * _s1 > 0)
+    SELECT {key_col}, n_buckets, n_obs, total, slope_num, slope_den,
            CAST((slope_num * {PPM}) // slope_den AS BIGINT) AS slope_ppm,
            CAST(rank AS INT) AS rank
     FROM (SELECT *, row_number() OVER (

@@ -466,6 +466,7 @@ from .queries17 import QUERIES17, ORACLES17  # noqa: E402
 from .queries18 import QUERIES18, ORACLES18  # noqa: E402
 from .queries19 import QUERIES19, ORACLES19  # noqa: E402
 from .queries20 import QUERIES20, ORACLES20  # noqa: E402
+from .queries21 import QUERIES21, ORACLES21  # noqa: E402
 
 QUERIES.update(QUERIES2)
 ORACLES.update(ORACLES2)
@@ -505,6 +506,8 @@ QUERIES.update(QUERIES19)
 ORACLES.update(ORACLES19)
 QUERIES.update(QUERIES20)
 ORACLES.update(ORACLES20)
+QUERIES.update(QUERIES21)
+ORACLES.update(ORACLES21)
 
 
 # --------------------------------------------------------------------------
@@ -555,13 +558,14 @@ _PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup",
                   "mixture_plan",
                   "lang_confusion", "cluster_keep",
                   "len_histogram", "corpus_diff",
-                  "focal_mean", "morans_i",
-                  "hotspots", "stream_sessions", "local_moran",
-                  "tile_pyramid", "bbox_cells", "zonal_stats",
+                  "hotspots", "local_moran",
+                  "bbox_cells", "zonal_stats",
                   "dedup_pipeline",
                   "stream_sessions_append", "lm_score_sink",
                   "focal_xface", "morans_xface", "url_dedup",
-                  "semantic_dedup"]
+                  "semantic_dedup",
+                  "cell_trends", "cell_trends_dense", "od_flows",
+                  "cell_nbrs", "semantic_pq"]
 # resample_area: third member of the R1 resample family (bilinear stays
 # in-window; cubic/area remain in the all-query replica gate + pytest incl.
 # the randomized numpy-overlap property test)
@@ -715,6 +719,27 @@ _PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup",
 #     ngram_pairs (in-window) and its keep/argmax family via cluster_keep
 #     (in-window); the self-information weighting keeps its pytest +
 #     replica-gate + sf1 rows; green r5 driver row
+# The r6 batch-24 five (cell_trends — promoted late, it had landed
+# OUTSIDE the window at position 52 despite being unique trend machinery
+# — plus cell_trends_dense / od_flows / cell_nbrs / semantic_pq) rotate
+# five more green twins back:
+#   embed_pairs — its hyperplane-LSH pair oracle is replayed VERBATIM
+#     inside embed_clusters' recursive-CTE oracle (in-window), and the
+#     ANN/embedding family keeps ann_topk + pq_topk + hybrid_rerank +
+#     semantic_dedup in-window; green r1-r5 + sf1 row;
+#   focal_mean — focal_xface (in-window) unions the IDENTICAL interior
+#     lattice/window CTEs in its oracle before adding the seam branch,
+#     and hotspots (in-window) composes the same focal plan; green r5;
+#   morans_i — morans_xface (in-window) replays the truncated-mean
+#     centering + HUGEINT I machinery; local_moran (in-window) keeps the
+#     per-cell drill-down; green r5;
+#   stream_sessions — stream_sessions_append (in-window) shares the
+#     identical lag/gap session oracle SQL (filtered to watermark-closed)
+#     and the complete-mode twin keeps its pytest + replica-gate row;
+#     green r5;
+#   tile_pyramid — the prefix-rollup family keeps prefix_rollup (R2
+#     parent rollup, in-window) + bbox_cells/zonal_stats in-window;
+#     green r5
 # Tail order below follows VERDICT r5 #7: if a future driver window is
 # ever >50, the first rotated-back entries checked should be the
 # unique-machinery ones (minhash, salted_topk, stratified_sample,
@@ -738,7 +763,9 @@ _ROTATE_BACK = ["minhash", "salted_topk", "stratified_sample",
                 "extent", "subarea", "nodata_stride",
                 "stream_stateful", "ivf_topk",
                 "dup_profile", "fertility", "text_normalize",
-                "novelty_score"]
+                "novelty_score",
+                "embed_pairs", "stream_sessions",
+                "focal_mean", "morans_i", "tile_pyramid"]
 
 
 def _reorder(d: dict) -> dict:
