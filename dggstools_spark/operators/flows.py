@@ -81,3 +81,62 @@ def od_flows_sql(obs_sql: str, entity_col: str, t_col: str, tie_col: str,
               ORDER BY n_moves DESC, o_cell, d_cell) AS rank FROM fl)
     WHERE rank <= {k}
     """
+
+
+def trip_stats(obs: DataFrame, entity_col: str, t_col: str, tie_col: str,
+               cell_col: str, k: int) -> DataFrame:
+    """(entity, n_events, n_moves, n_cells, revisit_ppm, rank): per-entity
+    movement profile, top-``k`` by (n_moves desc, entity).
+
+    n_moves counts cell TRANSITIONS on the total (t, tie) order (self-
+    loops excluded, as od_flows); n_cells is the entity's distinct-cell
+    footprint; revisit_ppm = ((n_events − n_cells) · 1e6) div n_events —
+    the share of events landing in an already-known cell (dwell+return
+    mass).  Same single entity-keyed shuffle as od_flows: the lag window
+    and the per-entity aggregate share the hash partitioning on the
+    entity key, so Catalyst plans ONE exchange for both."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(entity_col).orderBy(t_col, tie_col)
+    per = (obs
+           .withColumn("_o", F.lag(cell_col).over(w))
+           .groupBy(entity_col)
+           .agg(F.count("*").alias("n_events"),
+                F.sum(F.expr(
+                    f"CAST(_o IS NOT NULL AND _o <> {cell_col} AS INT)"))
+                .cast("bigint").alias("n_moves"),
+                F.countDistinct(cell_col).alias("n_cells"))
+           .withColumn("revisit_ppm", F.expr(
+               "((n_events - n_cells) * 1000000) div n_events")))
+    rw = Window.orderBy(F.desc("n_moves"), F.asc(entity_col))
+    return (per.withColumn("rank", F.row_number().over(rw))
+            .filter(F.col("rank") <= k)
+            .select(entity_col, "n_events", "n_moves", "n_cells",
+                    "revisit_ppm", "rank"))
+
+
+def trip_stats_sql(obs_sql: str, entity_col: str, t_col: str,
+                   tie_col: str, cell_col: str, k: int) -> str:
+    """DuckDB twin of :func:`trip_stats`."""
+    return f"""
+    WITH obs AS MATERIALIZED ({obs_sql}),
+    mv AS (
+        SELECT {entity_col} AS ent, {cell_col} AS cell,
+               lag({cell_col}) OVER (PARTITION BY {entity_col}
+                   ORDER BY {t_col}, {tie_col}) AS o_cell
+        FROM obs),
+    per AS (
+        SELECT ent,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN o_cell IS NOT NULL AND o_cell <> cell
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_moves,
+               CAST(count(DISTINCT cell) AS BIGINT) AS n_cells
+        FROM mv GROUP BY ent)
+    SELECT ent AS {entity_col}, n_events, n_moves, n_cells,
+           CAST(((n_events - n_cells) * 1000000) // n_events AS BIGINT)
+               AS revisit_ppm,
+           CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+              ORDER BY n_moves DESC, ent) AS rank FROM per)
+    WHERE rank <= {k}
+    """

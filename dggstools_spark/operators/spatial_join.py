@@ -502,3 +502,32 @@ def knn_join_pruned(points: DataFrame, queries: DataFrame, k: int,
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def overlay_counts(polys_a: DataFrame, polys_b: DataFrame, res: int,
+                   a_id: str = "a_id", b_id: str = "b_id",
+                   ring: str = "ring",
+                   cfg: RHEALPixConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Vector overlay (polygon × polygon intersection cross-tab) through
+    the DGGS: rasterize both layers at ``res`` (center-burn, the J2
+    contract) and count shared cells per (a, b) pair — the relational
+    form of the GIS overlay/intersect operation, with areas exact to one
+    cell (the engine's storage contract; refine with ``res``).  Returns
+    (a_id, b_id, n_cells, area_km2) where area uses the ÷1.178 mean
+    areal distortion convention (reference vector_to_rhpx.py:461-465,
+    same as class_cell_areas).
+
+    Scale design (100 TB): each rasterize is the documented per-polygon
+    bbox-candidate explode; the overlay itself is ONE equi-join on the
+    cell key + one hash agg — layer cell tables shuffle on cellid
+    (uniformly distributed by construction), AQE broadcasts the smaller
+    layer when it fits.  No geometry intersection math anywhere: the
+    grid IS the intersection operator."""
+    ca = rasterize_polygons(polys_a, res, poly_id=a_id, ring=ring, cfg=cfg)
+    cb = rasterize_polygons(polys_b, res, poly_id=b_id, ring=ring, cfg=cfg)
+    area = cfg.cell_area(res)
+    return (ca.join(cb, "cellid")
+            .groupBy(a_id, b_id)
+            .agg(F.count("*").alias("n_cells"),
+                 F.round(F.count("*") * F.lit(area) / 1e6)
+                 .cast("bigint").alias("area_km2")))

@@ -635,3 +635,71 @@ def cell_neighbors_sql(source_sql: str, res: int,
       AND col + o.dc BETWEEN 0 AND {E - 1}
     {xsql}
     """
+
+
+def mean_center(pts: DataFrame, class_col: str, x_col: str,
+                y_col: str) -> DataFrame:
+    """(class, n_pts, cx_m, cy_m, std_m): per-class mean center and
+    standard distance (the ESRI "mean center" + "standard distance"
+    descriptive spatial statistics) over planar-meter point coordinates,
+    computed EXACTLY in integers: coordinates quantize to whole meters
+    (round of a bit-identical double on both engines — trig products,
+    no constraint-17 power-of-two boundary), then
+
+        cx = Σx div n       (truncated integer mean, div/// semantics)
+        SD = sqrt(n·(Σx² + Σy²) − (Σx)² − (Σy)²) / n
+
+    with the radicand in DECIMAL(38,0)/HUGEINT (Σx² of ~2e7-meter coords
+    overflows BIGINT beyond ~50k rows — constraint-13 family); the final
+    sqrt/round runs on the SAME exact integer on both engines.  One hash
+    aggregate, map-side combining; no joins, no windows.  Radicand
+    headroom: n·Σx² < 1e38 up to ~1e11 points per class."""
+    q = pts.select(class_col,
+                   F.expr(f"CAST(round({x_col}) AS BIGINT)").alias("xi"),
+                   F.expr(f"CAST(round({y_col}) AS BIGINT)").alias("yi"))
+    agg = (q.groupBy(class_col)
+           .agg(F.count("*").alias("n_pts"),
+                F.sum("xi").alias("_sx"), F.sum("yi").alias("_sy"),
+                F.sum(F.expr("CAST(xi AS DECIMAL(38,0)) * xi"))
+                .alias("_sxx"),
+                F.sum(F.expr("CAST(yi AS DECIMAL(38,0)) * yi"))
+                .alias("_syy")))
+    return (agg
+            .withColumn("cx_m", F.expr("_sx div n_pts"))
+            .withColumn("cy_m", F.expr("_sy div n_pts"))
+            .withColumn("_num", F.expr(
+                "CAST(n_pts AS DECIMAL(38,0)) * (_sxx + _syy)"
+                " - CAST(_sx AS DECIMAL(38,0)) * _sx"
+                " - CAST(_sy AS DECIMAL(38,0)) * _sy"))
+            .withColumn("std_m", F.expr(
+                "CAST(round(sqrt(CAST(_num AS DOUBLE)) / n_pts)"
+                " AS BIGINT)"))
+            .select(class_col, "n_pts", "cx_m", "cy_m", "std_m"))
+
+
+def mean_center_sql(source_sql: str, class_col: str, x_col: str,
+                    y_col: str) -> str:
+    """DuckDB twin of :func:`mean_center` (HUGEINT radicand)."""
+    return f"""
+    WITH q AS (
+        SELECT {class_col},
+               CAST(round({x_col}) AS BIGINT) AS xi,
+               CAST(round({y_col}) AS BIGINT) AS yi
+        FROM ({source_sql})),
+    agg AS (
+        SELECT {class_col},
+               CAST(count(*) AS BIGINT) AS n_pts,
+               CAST(sum(xi) AS BIGINT) AS _sx,
+               CAST(sum(yi) AS BIGINT) AS _sy,
+               sum(CAST(xi AS HUGEINT) * xi) AS _sxx,
+               sum(CAST(yi AS HUGEINT) * yi) AS _syy
+        FROM q GROUP BY {class_col})
+    SELECT {class_col}, n_pts,
+           CAST(_sx // n_pts AS BIGINT) AS cx_m,
+           CAST(_sy // n_pts AS BIGINT) AS cy_m,
+           CAST(round(sqrt(CAST(CAST(n_pts AS HUGEINT) * (_sxx + _syy)
+                                - CAST(_sx AS HUGEINT) * _sx
+                                - CAST(_sy AS HUGEINT) * _sy AS DOUBLE))
+                      / n_pts) AS BIGINT) AS std_m
+    FROM agg
+    """

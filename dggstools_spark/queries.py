@@ -467,6 +467,7 @@ from .queries18 import QUERIES18, ORACLES18  # noqa: E402
 from .queries19 import QUERIES19, ORACLES19  # noqa: E402
 from .queries20 import QUERIES20, ORACLES20  # noqa: E402
 from .queries21 import QUERIES21, ORACLES21  # noqa: E402
+from .queries22 import QUERIES22, ORACLES22  # noqa: E402
 
 QUERIES.update(QUERIES2)
 ORACLES.update(ORACLES2)
@@ -508,6 +509,8 @@ QUERIES.update(QUERIES20)
 ORACLES.update(ORACLES20)
 QUERIES.update(QUERIES21)
 ORACLES.update(ORACLES21)
+QUERIES.update(QUERIES22)
+ORACLES.update(ORACLES22)
 
 
 # --------------------------------------------------------------------------
@@ -558,14 +561,15 @@ _PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup",
                   "mixture_plan",
                   "lang_confusion", "cluster_keep",
                   "len_histogram", "corpus_diff",
-                  "hotspots", "local_moran",
+                  "local_moran",
                   "bbox_cells", "zonal_stats",
                   "dedup_pipeline",
                   "stream_sessions_append", "lm_score_sink",
                   "focal_xface", "morans_xface", "url_dedup",
                   "semantic_dedup",
                   "cell_trends", "cell_trends_dense", "od_flows",
-                  "cell_nbrs", "semantic_pq"]
+                  "cell_nbrs", "semantic_pq",
+                  "overlay_area", "user_trips", "mean_center"]
 # resample_area: third member of the R1 resample family (bilinear stays
 # in-window; cubic/area remain in the all-query replica gate + pytest incl.
 # the randomized numpy-overlap property test)
@@ -740,6 +744,19 @@ _PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup",
 #   tile_pyramid — the prefix-rollup family keeps prefix_rollup (R2
 #     parent rollup, in-window) + bbox_cells/zonal_stats in-window;
 #     green r5
+# The r6 batch-25 trio (overlay_area/user_trips/mean_center) rotates
+# three more green twins back:
+#   area_error — A12 vec-ras correspondence; the rasterize machinery it
+#     composes is now driver-checked via overlay_area (whose oracle
+#     replays the FULL diamond rasterize CTEs for two layers) and the
+#     raster family keeps raster_roundtrip + area_per_class in-window;
+#     green r1-r5;
+#   cellid_algebra — C1 string algebra; prefix/cellid machinery stays
+#     driver-checked via prefix_rollup (prefix rollup), bbox_cells (lcp
+#     prefix prune) and auid_roundtrip (codec) in-window; green r1-r5;
+#   hotspots — its plan is focal_mean + one broadcast total; the focal
+#     window family stays driver-checked via focal_xface (in-window,
+#     oracle replays the interior window CTEs) and local_moran; green r5
 # Tail order below follows VERDICT r5 #7: if a future driver window is
 # ever >50, the first rotated-back entries checked should be the
 # unique-machinery ones (minhash, salted_topk, stratified_sample,
@@ -765,7 +782,8 @@ _ROTATE_BACK = ["minhash", "salted_topk", "stratified_sample",
                 "dup_profile", "fertility", "text_normalize",
                 "novelty_score",
                 "embed_pairs", "stream_sessions",
-                "focal_mean", "morans_i", "tile_pyramid"]
+                "focal_mean", "morans_i", "tile_pyramid",
+                "area_error", "cellid_algebra", "hotspots"]
 
 
 def _reorder(d: dict) -> dict:

@@ -533,44 +533,50 @@ def _safe_diamonds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_diamond_ctes(res: int) -> str:
+def _oracle_diamond_ctes(res: int, table: str = "region",
+                         key: str = "r_regionkey",
+                         triple=None, p: str = "") -> str:
     """CTEs dia/edges/bbox/cand replicating rasterize_polygons' candidate
-    lattice over the band-safe diamonds."""
+    lattice over the band-safe diamonds.  ``table``/``key``/``triple``
+    pick the source layer (default: the region diamonds), ``p`` prefixes
+    every CTE name so two layers can coexist in one query (overlay) —
+    defaults emit byte-identical text to the original single-layer form,
+    so the committed all_touched/area_error oracles do not move."""
     from .dggs.cells import HALF_SIDE
 
-    cx, cy, rad = _safe_diamond_sql("r_regionkey")
+    cx, cy, rad = (triple or _safe_diamond_sql)(key)
     w = float(HALF_SIDE / DEFAULT_CONFIG.n_side**res)
     gx0 = float(-2.0 * HALF_SIDE)
     gy0 = float(1.5 * HALF_SIDE)
     edges = " UNION ALL ".join([
-        "SELECT poly_id, cx + rad AS x1, cy AS y1, cx AS x2, cy + rad AS y2 FROM dia",
-        "SELECT poly_id, cx, cy + rad, cx - rad, cy FROM dia",
-        "SELECT poly_id, cx - rad, cy, cx, cy - rad FROM dia",
-        "SELECT poly_id, cx, cy - rad, cx + rad, cy FROM dia",
+        f"SELECT poly_id, cx + rad AS x1, cy AS y1, cx AS x2, cy + rad AS y2 FROM {p}dia",
+        f"SELECT poly_id, cx, cy + rad, cx - rad, cy FROM {p}dia",
+        f"SELECT poly_id, cx - rad, cy, cx, cy - rad FROM {p}dia",
+        f"SELECT poly_id, cx, cy - rad, cx + rad, cy FROM {p}dia",
     ])
     return f"""
-    dia AS (SELECT r_regionkey AS poly_id, {cx} AS cx, {cy} AS cy, {rad} AS rad
-            FROM region),
-    edges AS ({edges}),
-    bbox AS (SELECT poly_id,
+    {p}dia AS (SELECT {key} AS poly_id, {cx} AS cx, {cy} AS cy, {rad} AS rad
+            FROM {table}),
+    {p}edges AS ({edges}),
+    {p}bbox AS (SELECT poly_id,
                     least(cx + rad, cx, cx - rad) AS xmin,
                     greatest(cx + rad, cx, cx - rad) AS xmax,
                     least(cy + rad, cy, cy - rad) AS ymin,
                     greatest(cy + rad, cy, cy - rad) AS ymax
-             FROM dia),
-    cis AS (SELECT poly_id, ymin, ymax,
+             FROM {p}dia),
+    {p}cis AS (SELECT poly_id, ymin, ymax,
                    unnest(range(CAST(floor((xmin - {_d(gx0)}) / {_d(w)}) AS BIGINT),
                                 CAST(floor((xmax - {_d(gx0)}) / {_d(w)}) AS BIGINT) + 1)) AS ci
-            FROM bbox),
-    ris AS (SELECT poly_id, ci,
+            FROM {p}bbox),
+    {p}ris AS (SELECT poly_id, ci,
                    unnest(range(CAST(floor(({_d(gy0)} - ymax) / {_d(w)}) AS BIGINT),
                                 CAST(floor(({_d(gy0)} - ymin) / {_d(w)}) AS BIGINT) + 1)) AS ri
-            FROM cis),
-    cand AS (SELECT poly_id, {_d(gx0)} + (ci + 0.5) * {_d(w)} AS px,
+            FROM {p}cis),
+    {p}cand AS (SELECT poly_id, {_d(gx0)} + (ci + 0.5) * {_d(w)} AS px,
                     {_d(gy0)} - (ri + 0.5) * {_d(w)} AS py
-             FROM ris),
-    inside AS (SELECT c.poly_id, px, py
-               FROM cand c JOIN edges e ON c.poly_id = e.poly_id
+             FROM {p}ris),
+    {p}inside AS (SELECT c.poly_id, px, py
+               FROM {p}cand c JOIN {p}edges e ON c.poly_id = e.poly_id
                WHERE {spatial_join_mod.CROSSING}
                GROUP BY 1, 2, 3 HAVING count(*) % 2 = 1)
     """
