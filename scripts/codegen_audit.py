@@ -95,9 +95,21 @@ def main() -> int:
             rec = {"err": f"{type(e).__name__}: {e}"[:300]}
         out[name] = rec
         print(json.dumps({name: rec}), flush=True)
-    with open(os.path.join(REPO, "CODEGEN_AUDIT.json"), "w") as f:
-        json.dump(out, f, indent=2)
-    print("wrote CODEGEN_AUDIT.json")
+    # MERGE into the committed artifact: a targeted run must not clobber
+    # the full-registry sweep (it did once, r6 — 96 rows lost to a 7-row
+    # file until restored from git)
+    path = os.path.join(REPO, "CODEGEN_AUDIT.json")
+    merged = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                merged = json.load(f)
+        except Exception:
+            merged = {}
+    merged.update(out)
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=2)
+    print(f"wrote CODEGEN_AUDIT.json ({len(out)} updated, {len(merged)} total)")
     return 0
 
 
