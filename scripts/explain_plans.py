@@ -43,7 +43,9 @@ def main() -> None:
              "dedup_pipeline",
              "focal_xface", "morans_xface", "hotspots_xface",
              "lisa_xface", "url_dedup", "semantic_dedup", "cell_trends",
-             "lm_score_sink", "stream_sessions_append"]
+             "lm_score_sink", "stream_sessions_append",
+             "cell_trends_dense", "od_flows", "cell_nbrs", "semantic_pq",
+             "overlay_area", "user_trips", "mean_center"]
     # queries whose joins must stay broadcast (dimension-sized side): a
     # SortMergeJoin here is plan creep and fails the script.  embed_pairs'
     # bucket self-join and rescale_modes' agg-agg joins legitimately shuffle
