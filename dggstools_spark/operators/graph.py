@@ -1,0 +1,117 @@
+"""Weighted PageRank over a cell-flow graph — exact integer iterations.
+
+The OD flow matrix (operators/flows.od_flows) induces a directed weighted
+graph over cells; PageRank on it ranks cells by trajectory centrality
+(the "hub cells" of a movement corpus — where flows concentrate after
+transitive propagation, not just direct counts).
+
+Determinism contract (CLAUDE.md constraint 13 family): ranks are held in
+integer parts-per-billion (BIGINT).  One iteration is
+
+    p'(v) = (1e9 − d_ppb) // |V|  +  Σ_{u→v} (d_ppb · ((p(u) · w(u,v))
+            div W(u))) div 1e9
+
+with W(u) = Σ_v w(u,v) the node's out-mass.  Every operation is integer
+multiply + truncated div — associative aggregation of exact terms, so the
+result is run-stable, partitioning-stable and bit-identical across
+engines (truncation loss is < |E| ppb per iteration, irrelevant for a
+ranking; classic float PageRank would be none of those).  Dangling-node
+mass (no out-edges) is DROPPED, not redistributed — documented contract,
+identical on both engines; totals shrink accordingly.
+
+Scale design (100 TB of events → a cell graph ≪ event count): each
+iteration is ONE equi-join of the edge table with the rank vector on the
+source key plus one hash aggregate on the destination key — the standard
+edge-partitioned power iteration; both sides shuffle on natural keys and
+AQE broadcasts the rank vector while it fits.  Each iteration ends in a
+localCheckpoint: the loop is a lineage fixpoint (CLAUDE.md constraint 2)
+and the DuckDB twin needs AS MATERIALIZED per level for the same reason
+(constraint 14).
+
+Reference parity: no counterpart (the reference has no graph layer);
+extends the movement-analytics family (od_flows / trip_stats) with the
+iterative-algorithm shape the engine already uses for connected
+components (dedup.pointer-jumping) and Lloyd refinement (ivf_refine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+PPB = 1_000_000_000
+
+
+def page_rank(edges: DataFrame, src: str, dst: str, w: str,
+              iters: int = 5, d_ppb: int = 850_000_000,
+              k: int | None = None) -> DataFrame:
+    """(node, p_ppb, rank): integer PageRank after ``iters`` power
+    iterations over weighted ``edges`` (see module docstring).  Ranking
+    is (p_ppb desc, node); ``k`` trims to the top-k (WindowGroupLimit).
+    Edge weights must be positive integers; parallel edges are summed."""
+    from pyspark.sql.window import Window
+
+    e = (edges.groupBy(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .agg(F.sum(w).alias("_w")))
+    outm = e.groupBy("u").agg(F.sum("_w").alias("_om"))  # "_W" would collide with "_w" under Spark case-insensitive resolution
+    ew = e.join(outm, "u").localCheckpoint(eager=True)
+    nodes = (e.select(F.col("u").alias("node"))
+             .unionByName(e.select(F.col("v").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+    n_nodes = nodes.count()
+    base = (PPB - d_ppb) // n_nodes
+    p = nodes.withColumn("p", F.lit(PPB // n_nodes).cast("bigint"))
+    for _ in range(iters):
+        contrib = (ew.join(p.withColumnRenamed("node", "u"), "u")
+                   .select(F.col("v").alias("node"),
+                           F.expr(f"({d_ppb} * ((p * _w) div _om))"
+                                  f" div {PPB}").alias("_t"))
+                   .groupBy("node").agg(F.sum("_t").alias("_c")))
+        p = (nodes.join(contrib, "node", "left")
+             .select("node",
+                     F.expr(f"{base} + coalesce(_c, 0)").alias("p"))
+             .localCheckpoint(eager=True))
+    out = p.select("node", F.col("p").alias("p_ppb"))
+    rw = Window.orderBy(F.desc("p_ppb"), F.asc("node"))
+    out = out.withColumn("rank", F.row_number().over(rw))
+    if k is not None:
+        out = out.filter(F.col("rank") <= k)
+    return out
+
+
+def page_rank_sql(edges_sql: str, src: str, dst: str, w: str,
+                  iters: int = 5, d_ppb: int = 850_000_000,
+                  k: int | None = None) -> str:
+    """DuckDB twin of :func:`page_rank` — unrolled iteration CTEs, every
+    level AS MATERIALIZED (CLAUDE.md constraint 14)."""
+    ctes = [f"""e AS MATERIALIZED (
+        SELECT {src} AS u, {dst} AS v, CAST(sum({w}) AS BIGINT) AS _w
+        FROM ({edges_sql}) GROUP BY {src}, {dst})""",
+            """ew AS MATERIALIZED (
+        SELECT e.u, e.v, e._w, o._om
+        FROM e JOIN (SELECT u, CAST(sum(_w) AS BIGINT) AS _om
+                     FROM e GROUP BY u) o USING (u))""",
+            """nodes AS MATERIALIZED (
+        SELECT u AS node FROM e UNION SELECT v FROM e)""",
+            f"""nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes)""",
+            f"""p0 AS MATERIALIZED (
+        SELECT node, CAST({PPB} // (SELECT n FROM nn) AS BIGINT) AS p
+        FROM nodes)"""]
+    for i in range(iters):
+        ctes.append(f"""p{i + 1} AS MATERIALIZED (
+        SELECT n.node,
+               CAST(({PPB} - {d_ppb}) // (SELECT n FROM nn)
+                    + coalesce(c._c, 0) AS BIGINT) AS p
+        FROM nodes n LEFT JOIN (
+            SELECT ew.v AS node,
+                   CAST(sum(({d_ppb} * ((p.p * ew._w) // ew._om))
+                            // {PPB}) AS BIGINT) AS _c
+            FROM ew JOIN p{i} p ON p.node = ew.u
+            GROUP BY ew.v) c ON c.node = n.node)""")
+    lim = f"WHERE rank <= {k}" if k is not None else ""
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT node, p_ppb, CAST(rank AS INT) AS rank FROM (
+        SELECT node, p AS p_ppb, row_number() OVER (
+            ORDER BY p DESC, node) AS rank FROM p{iters})
+    {lim}
+    """

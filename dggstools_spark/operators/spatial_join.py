@@ -531,3 +531,101 @@ def overlay_counts(polys_a: DataFrame, polys_b: DataFrame, res: int,
             .agg(F.count("*").alias("n_cells"),
                  F.round(F.count("*") * F.lit(area) / 1e6)
                  .cast("bigint").alias("area_km2")))
+
+
+def near_pairs(points: DataFrame, d_m: float, res: int,
+               id_col: str = "id", px: str = "px", py: str = "py",
+               k: int | None = None,
+               cfg: RHEALPixConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Distance-threshold spatial SELF-join: all point pairs within
+    ``d_m`` planar meters (the unfolded-cube metric — the knn_join
+    contract), found through the cell-block lattice instead of an
+    all-pairs product.
+
+    Pruning guarantee: with block width w = HALF_SIDE / n_side**res and
+    the REQUIREMENT w >= d_m (asserted), any pair within d_m sits in the
+    same or an adjacent block, so the 9-offset block equi-join loses
+    nothing (pytest proves equality against the brute-force join).  Each
+    unordered pair is emitted ONCE (a_id < b_id; the offset of b's block
+    from a's is unique, so no dedup shuffle is needed).
+
+    Output (a_id, b_id, dist_mm, rank): distance quantized to integer
+    millimeters (sqrt of identical doubles on both engines — measure-zero
+    boundary, constraint-17-safe), ranked (dist_mm asc, a_id, b_id);
+    ``k`` trims to the closest-k pairs.
+
+    Scale design (100 TB): ONE equi-join on the block key (points shuffle
+    once by block; the 9x explode rides the smaller/probe side), one
+    rank window under WindowGroupLimit.  The block key is the same
+    partitioning every cell-keyed operator uses, so a cell-bucketed
+    point store co-locates this join for free."""
+    from pyspark.sql.window import Window
+
+    w_m = HALF_SIDE / cfg.n_side**res
+    if w_m < d_m:
+        raise ValueError(
+            f"near_pairs: block width {w_m:.1f} m at res {res} is below "
+            f"the threshold {d_m:.1f} m — the 3x3 neighborhood would "
+            f"miss pairs; use a coarser res")
+    a = points.select(F.col(id_col).alias("a_id"),
+                      F.col(px).alias("ax"), F.col(py).alias("ay"))
+    b = points.select(F.col(id_col).alias("b_id"),
+                      F.col(px).alias("bx"), F.col(py).alias("by"))
+    a = (a.withColumn("_o", F.expr(
+            "explode(array(" + ", ".join(
+                f"struct({dc} AS dc, {dr} AS dr)"
+                for dc in (-1, 0, 1) for dr in (-1, 0, 1)) + "))"))
+         .select("a_id", "ax", "ay",
+                 (F.floor(F.col("ax") / w_m).cast("bigint")
+                  + F.col("_o.dc")).alias("_bc"),
+                 (F.floor(F.col("ay") / w_m).cast("bigint")
+                  + F.col("_o.dr")).alias("_br")))
+    b = b.select("b_id", "bx", "by",
+                 F.floor(F.col("bx") / w_m).cast("bigint").alias("_bc"),
+                 F.floor(F.col("by") / w_m).cast("bigint").alias("_br"))
+    pairs = (a.join(b, ["_bc", "_br"])
+             .filter(F.col("a_id") < F.col("b_id"))
+             .withColumn("dist_mm", F.expr(
+                 "CAST(round(sqrt((ax - bx) * (ax - bx)"
+                 " + (ay - by) * (ay - by)) * 1000.0) AS BIGINT)"))
+             .filter(F.col("dist_mm") <= round(d_m * 1000.0)))
+    rw = Window.orderBy(F.asc("dist_mm"), F.asc("a_id"), F.asc("b_id"))
+    out = (pairs.select("a_id", "b_id", "dist_mm")
+           .withColumn("rank", F.row_number().over(rw)))
+    if k is not None:
+        out = out.filter(F.col("rank") <= k)
+    return out
+
+
+def near_pairs_sql(points_sql: str, d_m: float, res: int,
+                   id_col: str = "id", px: str = "px", py: str = "py",
+                   k: int | None = None,
+                   cfg: RHEALPixConfig = DEFAULT_CONFIG) -> str:
+    """DuckDB twin of :func:`near_pairs` (same block lattice, same
+    millimeter quantization, same one-directional pair emission)."""
+    w_m = HALF_SIDE / cfg.n_side**res
+    assert w_m >= d_m, "near_pairs_sql: res too fine for threshold"
+    offs = " UNION ALL ".join(
+        f"SELECT {dc} AS dc, {dr} AS dr"
+        for dc in (-1, 0, 1) for dr in (-1, 0, 1))
+    lim = f"WHERE rank <= {k}" if k is not None else ""
+    return f"""
+    WITH pts AS MATERIALIZED (
+        SELECT {id_col} AS pid, {px} AS x, {py} AS y,
+               CAST(floor({px} / {w_m!r}) AS BIGINT) AS bc,
+               CAST(floor({py} / {w_m!r}) AS BIGINT) AS br
+        FROM ({points_sql})),
+    pairs AS (
+        SELECT a.pid AS a_id, b.pid AS b_id,
+               CAST(round(sqrt((a.x - b.x) * (a.x - b.x)
+                    + (a.y - b.y) * (a.y - b.y)) * 1000.0) AS BIGINT)
+                   AS dist_mm
+        FROM pts a JOIN ({offs}) o ON TRUE
+        JOIN pts b ON b.bc = a.bc + o.dc AND b.br = a.br + o.dr
+        WHERE a.pid < b.pid)
+    SELECT a_id, b_id, dist_mm, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+              ORDER BY dist_mm, a_id, b_id) AS rank
+          FROM pairs WHERE dist_mm <= {round(d_m * 1000.0)})
+    {lim}
+    """

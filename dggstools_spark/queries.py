@@ -468,6 +468,7 @@ from .queries19 import QUERIES19, ORACLES19  # noqa: E402
 from .queries20 import QUERIES20, ORACLES20  # noqa: E402
 from .queries21 import QUERIES21, ORACLES21  # noqa: E402
 from .queries22 import QUERIES22, ORACLES22  # noqa: E402
+from .queries23 import QUERIES23, ORACLES23  # noqa: E402
 
 QUERIES.update(QUERIES2)
 ORACLES.update(ORACLES2)
@@ -511,6 +512,8 @@ QUERIES.update(QUERIES21)
 ORACLES.update(ORACLES21)
 QUERIES.update(QUERIES22)
 ORACLES.update(ORACLES22)
+QUERIES.update(QUERIES23)
+ORACLES.update(ORACLES23)
 
 
 # --------------------------------------------------------------------------
@@ -553,7 +556,7 @@ ORACLES.update(ORACLES22)
 
 # (a name in BOTH lists would stay promoted — _reorder draws `promoted`
 # before subtracting the tail — so rotated-back names must leave this list)
-_PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup",
+_PROMOTE_EARLY = ["ngram_pairs", "stream_dedup",
                   "passage_dedup",
                   "html_extract", "epoch_shuffle",
                   "lm_score", "dsir_select", "pq_topk",
@@ -569,7 +572,8 @@ _PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup",
                   "semantic_dedup",
                   "cell_trends", "cell_trends_dense", "od_flows",
                   "cell_nbrs", "semantic_pq",
-                  "overlay_area", "user_trips", "mean_center"]
+                  "overlay_area", "user_trips", "mean_center",
+                  "cell_rank", "near_pairs"]
 # resample_area: third member of the R1 resample family (bilinear stays
 # in-window; cubic/area remain in the all-query replica gate + pytest incl.
 # the randomized numpy-overlap property test)
@@ -757,6 +761,16 @@ _PROMOTE_EARLY = ["ngram_pairs", "dedup_clusters", "stream_dedup",
 #   hotspots — its plan is focal_mean + one broadcast total; the focal
 #     window family stays driver-checked via focal_xface (in-window,
 #     oracle replays the interior window CTEs) and local_moran; green r5
+# The r6 batch-26 pair (cell_rank/near_pairs) rotates two more green
+# twins back:
+#   pip_polygons — J2 center burn; zonal_stats (in-window) EXTENDS the
+#     identical pip parity CTE with the attribute rollup, and
+#     overlay_area (in-window) replays the full rasterize candidate
+#     lattice for two layers; green r1-r5;
+#   dedup_clusters — pointer-jumping CC; dedup_pipeline (in-window)
+#     composes the identical cluster CTEs end-to-end and embed_clusters
+#     (in-window) runs the same pointer-jumping kernel over LSH pairs;
+#     green r1-r5 + sf1 row
 # Tail order below follows VERDICT r5 #7: if a future driver window is
 # ever >50, the first rotated-back entries checked should be the
 # unique-machinery ones (minhash, salted_topk, stratified_sample,
@@ -783,7 +797,8 @@ _ROTATE_BACK = ["minhash", "salted_topk", "stratified_sample",
                 "novelty_score",
                 "embed_pairs", "stream_sessions",
                 "focal_mean", "morans_i", "tile_pyramid",
-                "area_error", "cellid_algebra", "hotspots"]
+                "area_error", "cellid_algebra", "hotspots",
+                "pip_polygons", "dedup_clusters"]
 
 
 def _reorder(d: dict) -> dict:

@@ -1,0 +1,88 @@
+"""Round-6 batch 26: integer PageRank + distance-threshold self-join."""
+
+import numpy as np
+
+from dggstools_spark.dggs.cells import HALF_SIDE
+from dggstools_spark.operators.graph import PPB, page_rank
+from dggstools_spark.operators.spatial_join import near_pairs
+
+
+def _pr_python(edges, iters, d_ppb):
+    """Exact replica of the operator's integer recurrence (Python ints;
+    // == Spark div for the non-negative quantities involved)."""
+    w = {}
+    for u, v, x in edges:
+        w[(u, v)] = w.get((u, v), 0) + x
+    outm = {}
+    for (u, v), x in w.items():
+        outm[u] = outm.get(u, 0) + x
+    nodes = sorted({u for u, _ in w} | {v for _, v in w})
+    n = len(nodes)
+    base = (PPB - d_ppb) // n
+    p = {v: PPB // n for v in nodes}
+    for _ in range(iters):
+        c = {v: 0 for v in nodes}
+        for (u, v), x in w.items():
+            c[v] += (d_ppb * ((p[u] * x) // outm[u])) // PPB
+        p = {v: base + c[v] for v in nodes}
+    return p
+
+
+def test_page_rank_matches_integer_replica(spark):
+    edges = [("a", "b", 3), ("a", "c", 1), ("b", "c", 2), ("c", "a", 2),
+             ("d", "a", 1), ("a", "b", 1)]  # parallel edge a->b sums
+    df = spark.createDataFrame(edges, "s string, d string, w long")
+    out = {r.node: r for r in
+           page_rank(df, "s", "d", "w", iters=4).collect()}
+    exp = _pr_python(edges, 4, 850_000_000)
+    assert set(out) == set(exp)
+    for v in exp:
+        assert out[v].p_ppb == exp[v], v
+    # deterministic ranking (p desc, node asc), dangling d gets base-only
+    ranks = [r.node for r in sorted(out.values(), key=lambda r: r.rank)]
+    assert ranks == sorted(exp, key=lambda v: (-exp[v], v))
+    assert out["d"].p_ppb == min(r.p_ppb for r in out.values())
+
+
+def test_page_rank_sink_concentrates(spark):
+    # star: everything points at 'hub' -> hub ranks 1
+    edges = [(s, "hub", 1) for s in ("x", "y", "z")]
+    df = spark.createDataFrame(edges, "s string, d string, w long")
+    out = page_rank(df, "s", "d", "w", iters=3, k=1).collect()
+    assert out[0].node == "hub" and out[0].rank == 1
+
+
+def test_near_pairs_matches_brute_force(spark):
+    rng = np.random.default_rng(11)
+    s = float(HALF_SIDE)
+    n = 250
+    xs = rng.uniform(-1.5 * s, 1.5 * s, n)
+    ys = rng.uniform(-0.4 * s, 0.4 * s, n)
+    # densify a cluster so the threshold actually bites
+    xs[:40] = xs[0] + rng.uniform(-2e5, 2e5, 40)
+    ys[:40] = ys[0] + rng.uniform(-2e5, 2e5, 40)
+    d_m = 150_000.0
+    res = 1  # block width s/3 ~ 3.3e6 m >= d
+    df = spark.createDataFrame(
+        [(int(i), float(xs[i]), float(ys[i])) for i in range(n)],
+        "id long, px double, py double")
+    got = {(r.a_id, r.b_id): r.dist_mm
+           for r in near_pairs(df, d_m, res).collect()}
+    exp = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            mm = round(float(np.sqrt((xs[i] - xs[j]) ** 2
+                                     + (ys[i] - ys[j]) ** 2)) * 1000.0)
+        # (recompute in python float to mirror the engine expression)
+            if mm <= round(d_m * 1000.0):
+                exp[(i, j)] = mm
+    assert got == exp and len(exp) > 50
+
+
+def test_near_pairs_res_guard(spark):
+    df = spark.createDataFrame([(1, 0.0, 0.0)], "id long, px double, py double")
+    try:
+        near_pairs(df, 1e9, 5)
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "coarser res" in str(e)
