@@ -1,0 +1,127 @@
+"""Deterministic HyperLogLog distinct-count sketch — engine-exact.
+
+Cardinality estimation is the bounded-memory workhorse of 100 TB
+profiling (how many distinct documents / urls / users per slice, without
+a count-distinct shuffle of the full key set).  Spark's built-in
+approx_count_distinct is a black-box HLL whose value depends on the
+implementation; this operator builds HLL from first principles out of
+relational algebra so the SAME construction runs on both engines and the
+estimate is oracle-checkable bit-for-bit:
+
+- 32-bit hash: the engine-portable md5 hex prefix (dedup/dsir idiom);
+- bucket = top B bits, v = low (32−B) bits, rho = leading-zero rank of v
+  via ``length(bin(v))`` — VERIFIED identical minimal-binary semantics on
+  Spark and DuckDB (bin(0) = '0', no leading zeros);
+- registers: one (class, bucket) max-aggregate — map-side combining,
+  state is at most m = 2**B rows per class (the whole point);
+- the harmonic sum is held EXACTLY as Σ 2^(rmax − reg) in BIGINT (powers
+  of two, no float accumulation — CLAUDE.md constraint 13), so the only
+  float op is one literal-constant division C / S per class (identical
+  IEEE inputs → identical double) and the standard small-range linear
+  counting branch reads a PYTHON-PRECOMPUTED integer table (m·ln(m/V)
+  evaluated once at plan-build time and emitted as a literal array into
+  both engines — no cross-engine libm exposure, constraint-17-proof);
+- bias constant α_m and the 2.5·m branch threshold follow Flajolet et
+  al. 2007.  The 32-bit long-range correction is omitted (documented:
+  estimates are for per-slice cardinalities ≪ 2^32).
+
+Scale design (100 TB): one scan, one (class, bucket) aggregate whose
+combine state is m integers per class, one m-row-per-class rollup.  The
+exact count-distinct the driver query carries NEXT to the estimate (to
+report err_ppm) is the expensive yardstick — production callers drop it.
+
+Reference parity: no counterpart; extends the profiling family
+(corpus_stats / dup_profile) with the sketch shape next to bottom-k
+Jaccard (dedup.ngram_sampled) and MinHash.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+HLL_B = 8                      #: bucket bits; m = 256 registers
+HLL_M = 1 << HLL_B
+_REM_BITS = 32 - HLL_B          #: bits in v
+_RMAX = _REM_BITS + 1           #: max rho (v == 0)
+#: Flajolet alpha for m >= 128
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+#: scaled numerator: alpha * m^2 * 2^rmax (one Python double, emitted as
+#: the same literal into both engines)
+_C = HLL_ALPHA * HLL_M * HLL_M * float(1 << _RMAX)
+#: linear-counting table: V zero registers -> round(m * ln(m / V))
+_LIN = [0] + [round(HLL_M * math.log(HLL_M / v)) for v in range(1, HLL_M + 1)]
+
+
+def _est_sql() -> str:
+    """Estimate from (_s, _v0) — shared emitter (the numerator constant
+    rides a CAST(.. AS DOUBLE), CLAUDE.md constraint 8: a bare wide
+    decimal literal overflows DuckDB's DECIMAL typing)."""
+    lin = ", ".join(str(x) for x in _LIN[1:])
+    c = f"CAST({_C!r} AS DOUBLE)"
+    return (f"CAST(CASE WHEN {c} / _s <= {2.5 * HLL_M!r} AND _v0 > 0"
+            f" THEN element_at(array({lin}), CAST(_v0 AS INT))"
+            f" ELSE round({c} / _s) END AS BIGINT)")
+
+
+def hll_distinct(df: DataFrame, class_col: str, key_col: str) -> DataFrame:
+    """(class, hll_est): HLL cardinality estimate of ``key_col`` per
+    class (see module docstring).  Join the exact count next to it only
+    when you can afford the count-distinct shuffle."""
+    h32 = (f"CAST(conv(substring(md5({key_col}), 1, 8), 16, 10)"
+           f" AS BIGINT)")
+    two = 1 << _REM_BITS
+    regs = (df
+            .select(class_col, F.expr(h32).alias("_h"))
+            .withColumn("_b", F.expr(f"_h div {two}"))
+            .withColumn("_v", F.expr(f"_h % {two}"))
+            .withColumn("_rho", F.expr(
+                f"CASE WHEN _v = 0 THEN {_RMAX}"
+                f" ELSE {_RMAX} - length(bin(_v)) END"))
+            .groupBy(class_col, "_b")
+            .agg(F.max("_rho").alias("_reg")))
+    per = (regs.groupBy(class_col)
+           .agg(F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT),"
+                             f" {_RMAX} - _reg)")).alias("_sp"),
+                F.count("*").alias("_nb"))
+           .withColumn("_v0", F.expr(f"{HLL_M} - _nb"))
+           # absent buckets contribute 2^-0 = 1 each to the harmonic sum,
+           # i.e. 2^rmax each to the scaled integer sum
+           .withColumn("_s", F.expr(
+               f"CAST(_sp + _v0 * {1 << _RMAX} AS DOUBLE)")))
+    return per.select(class_col,
+                      F.expr(_est_sql()).alias("hll_est"))
+
+
+def hll_distinct_sql(source_sql: str, class_col: str,
+                     key_col: str) -> str:
+    """DuckDB twin of :func:`hll_distinct` (same hash, same registers,
+    same literal constants and linear-counting table).  ``source_sql``
+    is a table name or a parenthesized subquery (the
+    duckdb_lonlat_select convention)."""
+    hex8 = " + ".join(
+        f"(instr('0123456789abcdef', substring(_m, {1 + i}, 1)) - 1)"
+        f" * {16 ** (7 - i)}" for i in range(8))
+    two = 1 << _REM_BITS
+    est = _est_sql().replace("element_at(array(", "list_extract([") \
+        .replace("), CAST(_v0 AS INT))", "], CAST(_v0 AS INT))")
+    return f"""
+    WITH h AS (
+        SELECT {class_col}, CAST({hex8} AS BIGINT) AS _h
+        FROM (SELECT {class_col}, md5({key_col}) AS _m
+              FROM {source_sql})),
+    regs AS (
+        SELECT {class_col}, _h // {two} AS _b,
+               max(CASE WHEN _h % {two} = 0 THEN {_RMAX}
+                        ELSE {_RMAX} - length(bin(_h % {two}))
+                   END) AS _reg
+        FROM h GROUP BY {class_col}, _h // {two}),
+    per AS (
+        SELECT {class_col},
+               CAST(sum(CAST(1 AS BIGINT) << ({_RMAX} - _reg))
+                    + ({HLL_M} - count(*)) * {1 << _RMAX} AS DOUBLE) AS _s,
+               {HLL_M} - count(*) AS _v0
+        FROM regs GROUP BY {class_col})
+    SELECT {class_col}, {est} AS hll_est FROM per
+    """

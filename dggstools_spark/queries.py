@@ -573,7 +573,7 @@ _PROMOTE_EARLY = ["ngram_pairs", "stream_dedup",
                   "cell_trends", "cell_trends_dense", "od_flows",
                   "cell_nbrs", "semantic_pq",
                   "overlay_area", "user_trips", "mean_center",
-                  "cell_rank", "near_pairs"]
+                  "cell_rank", "near_pairs", "hll_count"]
 # resample_area: third member of the R1 resample family (bilinear stays
 # in-window; cubic/area remain in the all-query replica gate + pytest incl.
 # the randomized numpy-overlap property test)
@@ -771,6 +771,11 @@ _PROMOTE_EARLY = ["ngram_pairs", "stream_dedup",
 #     composes the identical cluster CTEs end-to-end and embed_clusters
 #     (in-window) runs the same pointer-jumping kernel over LSH pairs;
 #     green r1-r5 + sf1 row
+# The r6 batch-26b entry (hll_count — deterministic HLL sketch) rotates
+# one more green twin back:
+#   lm_score — lm_score_sink (in-window) runs the IDENTICAL model +
+#     scoring construction through the parquet model sink (strictly more
+#     surface: write + scan + the same shared oracle SQL); green r5
 # Tail order below follows VERDICT r5 #7: if a future driver window is
 # ever >50, the first rotated-back entries checked should be the
 # unique-machinery ones (minhash, salted_topk, stratified_sample,
@@ -798,7 +803,7 @@ _ROTATE_BACK = ["minhash", "salted_topk", "stratified_sample",
                 "embed_pairs", "stream_sessions",
                 "focal_mean", "morans_i", "tile_pyramid",
                 "area_error", "cellid_algebra", "hotspots",
-                "pip_polygons", "dedup_clusters"]
+                "pip_polygons", "dedup_clusters", "lm_score"]
 
 
 def _reorder(d: dict) -> dict:

@@ -101,3 +101,47 @@ def _oracle_near_pairs() -> str:
 
 QUERIES23["near_pairs"] = q_near_pairs
 ORACLES23["near_pairs"] = _oracle_near_pairs()
+
+
+# --------------------------------------------------------------------------
+# q_hll_count — deterministic HLL cardinality estimate per source, with
+# the exact count-distinct yardstick + signed err_ppm next to it (the
+# production caller drops the yardstick; here it IS the point: the oracle
+# value-checks estimate AND error bit-for-bit).
+# --------------------------------------------------------------------------
+
+
+def q_hll_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketch import hll_distinct
+
+    docs = load(spark, sf_dir, "documents")
+    est = hll_distinct(docs, "source", "text")
+    ex = (docs.groupBy("source")
+          .agg(F.count("*").alias("n_docs"),
+               F.countDistinct("text").alias("exact_distinct")))
+    return (ex.join(est, "source")
+            .withColumn("err_ppm", F.expr(
+                "((hll_est - exact_distinct) * 1000000)"
+                " div exact_distinct"))
+            .select("source", "n_docs", "exact_distinct", "hll_est",
+                    "err_ppm"))
+
+
+def _oracle_hll_count() -> str:
+    from .operators.sketch import hll_distinct_sql
+
+    est = hll_distinct_sql("documents", "source", "text")
+    return f"""
+    WITH est AS MATERIALIZED ({est}),
+    ex AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(count(DISTINCT text) AS BIGINT) AS exact_distinct
+           FROM documents GROUP BY source)
+    SELECT source, n_docs, exact_distinct, hll_est,
+           CAST(((hll_est - exact_distinct) * 1000000)
+                // exact_distinct AS BIGINT) AS err_ppm
+    FROM ex JOIN est USING (source)
+    """
+
+
+QUERIES23["hll_count"] = q_hll_count
+ORACLES23["hll_count"] = _oracle_hll_count()

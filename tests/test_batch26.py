@@ -86,3 +86,34 @@ def test_near_pairs_res_guard(spark):
         assert False, "expected ValueError"
     except ValueError as e:
         assert "coarser res" in str(e)
+
+
+def test_hll_matches_python_replica_and_is_accurate(spark):
+    import hashlib
+
+    from dggstools_spark.operators.sketch import (HLL_M, _C, _LIN, _RMAX,
+                                                  hll_distinct)
+
+    def hll_py(keys):
+        regs = {}
+        for s in keys:
+            h = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+            b, v = divmod(h, 1 << (_RMAX - 1))
+            rho = _RMAX if v == 0 else _RMAX - v.bit_length()
+            regs[b] = max(regs.get(b, 0), rho)
+        s_int = sum(1 << (_RMAX - r) for r in regs.values()) \
+            + (HLL_M - len(regs)) * (1 << _RMAX)
+        e = _C / float(s_int)
+        v0 = HLL_M - len(regs)
+        if e <= 2.5 * HLL_M and v0 > 0:
+            return _LIN[v0]
+        return round(e)
+
+    n = 2000
+    keys = [f"key-{i}" for i in range(n)]
+    rows = [("a", k) for k in keys] + [("a", k) for k in keys[:500]]
+    df = spark.createDataFrame(rows, "cls string, k string")
+    out = hll_distinct(df, "cls", "k").collect()[0]
+    assert out.hll_est == hll_py(keys)  # duplicates change nothing
+    # 256 registers -> ~6.5% standard error; 4 sigma bound
+    assert abs(out.hll_est - n) / n < 0.26
