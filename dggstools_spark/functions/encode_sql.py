@@ -105,6 +105,21 @@ def encode_steps(lon: str, lat: str, res: int,
         f"CASE WHEN {north} THEN {_lit(PI / 2)} + _rhp_ry"
         f" WHEN {south} THEN {_lit(-PI / 2)} + _rhp_ry ELSE _rhp_hy END",
     ))
+    steps += planar_suffix_steps(res, cfg, out)
+    return steps
+
+
+def planar_suffix_steps(res: int, cfg: RHEALPixConfig = DEFAULT_CONFIG,
+                        out: str = "cellid") -> list[tuple[str, str]]:
+    """The planar->cellid tail of encode_steps: given _rhp_px/_rhp_py
+    (unfolded-cube planar RADIANS), derive face / lattice digits / the
+    cellid string.  Factored out (byte-identical emitted text) so planar
+    sources — lattice centers from the rasterize snap, meter coordinates
+    divided by the authalic radius — can encode without the lon/lat
+    front half (segment_cells oracle)."""
+    n = cfg.n_side
+    ns, ss = cfg.north_square, cfg.south_square
+    steps: list[tuple[str, str]] = []
     # face: 0=N 1=O 2=P 3=Q 4=R 5=S  (radian planar units, base side pi/2)
     s0 = PI / 2
     n_lo, n_hi = -PI + ns * s0, -PI + (ns + 1) * s0
@@ -260,3 +275,21 @@ def cell_ul_meters_sql(cellid_col: str, res: int,
     lx = f"CASE ({face_idx}) {ulx} END + ({col_dec}) * {wl}"
     ty = f"CASE ({face_idx}) {uly} END - ({row_dec}) * {wl}"
     return lx, ty
+
+
+def duckdb_planar_encode_select(source_sql: str, pxm: str, pym: str,
+                                res: int, keep: list[str],
+                                cfg: RHEALPixConfig = DEFAULT_CONFIG,
+                                out: str = "cellid") -> str:
+    """Nested-SELECT DuckDB query encoding planar-METER coordinates to a
+    cellid — meters / authalic radius -> planar radians, then the shared
+    planar_suffix_steps tail (byte-identical digit text to the lon/lat
+    path).  ``source_sql``: table name or parenthesized subquery."""
+    inner = f"SELECT * FROM {source_sql}"
+    steps = ([("_rhp_px", f"{pxm} / {_lit(AUTHALIC_RADIUS)}"),
+              ("_rhp_py", f"{pym} / {_lit(AUTHALIC_RADIUS)}")]
+             + planar_suffix_steps(res, cfg, out))
+    for name, expr in steps:
+        inner = f"SELECT *, {expr} AS {name} FROM ({inner})"
+    cols = ", ".join(keep + [out])
+    return f"SELECT {cols} FROM ({inner})"

@@ -629,3 +629,73 @@ def near_pairs_sql(points_sql: str, d_m: float, res: int,
           FROM pairs WHERE dist_mm <= {round(d_m * 1000.0)})
     {lim}
     """
+
+
+def segment_cells(segments: DataFrame, res: int, seg_id: str = "seg_id",
+                  x1: str = "x1", y1: str = "y1",
+                  x2: str = "x2", y2: str = "y2",
+                  cfg: RHEALPixConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Path rasterization: every res-``res`` cell whose rectangle
+    intersects the planar segment (x1,y1)-(x2,y2) — the supercover line
+    draw on the cell lattice, as relational algebra: per-segment bbox →
+    covering (ci, ri) candidate explode (the rasterize_polygons lattice
+    snap) → the EXACT separating-axis test shared with the all_touched
+    burn (sat_edge_rect_sql — same predicate text in the oracle).
+
+    Output (seg_id, cellid).  Cost is O(bbox cells) per segment — for a
+    segment of length L that is (L/w + 2)² candidates, so callers should
+    bound L (a trajectory step filter) rather than feed transcontinental
+    jumps to a fine lattice; cells come out via the planar pandas-UDF
+    encoder (cap-face-safe), marked nondeterministic per constraint 4."""
+    from ..functions.encode import cellid_from_planar_udf
+
+    w = HALF_SIDE / cfg.n_side**res
+    gx0 = -2.0 * HALF_SIDE
+    gy0 = 1.5 * HALF_SIDE
+    segs = segments.select(F.col(seg_id).alias("seg_id"),
+                           F.col(x1).alias("x1"), F.col(y1).alias("y1"),
+                           F.col(x2).alias("x2"), F.col(y2).alias("y2"))
+    cand = (segs
+            .withColumn("ci", F.explode(F.sequence(
+                F.floor((F.least("x1", "x2") - gx0) / w).cast("bigint"),
+                F.floor((F.greatest("x1", "x2") - gx0) / w).cast("bigint"))))
+            .withColumn("ri", F.explode(F.sequence(
+                F.floor((gy0 - F.greatest("y1", "y2")) / w).cast("bigint"),
+                F.floor((gy0 - F.least("y1", "y2")) / w).cast("bigint"))))
+            .withColumn("px", F.lit(gx0) + (F.col("ci") + 0.5) * w)
+            .withColumn("py", F.lit(gy0) - (F.col("ri") + 0.5) * w)
+            .filter(F.expr(sat_edge_rect_sql(w / 2.0))))
+    enc = cellid_from_planar_udf(res, cfg).asNondeterministic()
+    return (cand.select("seg_id", enc("px", "py").alias("cellid"))
+            .filter(F.col("cellid").isNotNull()))
+
+
+def segment_cells_ctes(segs_sql: str, res: int,
+                       cfg: RHEALPixConfig = DEFAULT_CONFIG) -> str:
+    """DuckDB twin candidates: CTEs ``segs/scis/sris/scand`` ending in
+    (seg_id, px, py) for every cell rectangle intersecting each segment
+    of ``segs_sql`` (seg_id, x1, y1, x2, y2) — same lattice snap, same
+    SAT predicate text.  The caller maps (px, py) to cellids with the
+    closed-form encode or joins on the planar key directly."""
+    w = float(HALF_SIDE / cfg.n_side**res)
+    gx0 = float(-2.0 * HALF_SIDE)
+    gy0 = float(1.5 * HALF_SIDE)
+    sat = sat_edge_rect_sql(w / 2.0)
+    d = lambda x: f"CAST({float(x)!r} AS DOUBLE)"  # noqa: E731
+    return f"""
+    segs AS MATERIALIZED ({segs_sql}),
+    scis AS (SELECT *,
+                unnest(range(CAST(floor((least(x1, x2) - {d(gx0)}) / {d(w)}) AS BIGINT),
+                             CAST(floor((greatest(x1, x2) - {d(gx0)}) / {d(w)}) AS BIGINT) + 1)) AS ci
+             FROM segs),
+    sris AS (SELECT *,
+                unnest(range(CAST(floor(({d(gy0)} - greatest(y1, y2)) / {d(w)}) AS BIGINT),
+                             CAST(floor(({d(gy0)} - least(y1, y2)) / {d(w)}) AS BIGINT) + 1)) AS ri
+             FROM scis),
+    scand AS (SELECT seg_id, px, py FROM (
+                SELECT seg_id, x1, y1, x2, y2,
+                       {d(gx0)} + (ci + 0.5) * {d(w)} AS px,
+                       {d(gy0)} - (ri + 0.5) * {d(w)} AS py
+                FROM sris)
+              WHERE {sat})
+    """

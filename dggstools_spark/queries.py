@@ -559,7 +559,7 @@ ORACLES.update(ORACLES23)
 _PROMOTE_EARLY = ["ngram_pairs", "stream_dedup",
                   "passage_dedup",
                   "html_extract", "epoch_shuffle",
-                  "lm_score", "dsir_select", "pq_topk",
+                  "dsir_select",
                   "oov_rate", "hybrid_rerank", "embed_clusters",
                   "mixture_plan",
                   "lang_confusion", "cluster_keep",
@@ -573,7 +573,7 @@ _PROMOTE_EARLY = ["ngram_pairs", "stream_dedup",
                   "cell_trends", "cell_trends_dense", "od_flows",
                   "cell_nbrs", "semantic_pq",
                   "overlay_area", "user_trips", "mean_center",
-                  "cell_rank", "near_pairs", "hll_count"]
+                  "cell_rank", "near_pairs", "hll_count", "path_cells"]
 # resample_area: third member of the R1 resample family (bilinear stays
 # in-window; cubic/area remain in the all-query replica gate + pytest incl.
 # the randomized numpy-overlap property test)
@@ -776,6 +776,12 @@ _PROMOTE_EARLY = ["ngram_pairs", "stream_dedup",
 #   lm_score — lm_score_sink (in-window) runs the IDENTICAL model +
 #     scoring construction through the parquet model sink (strictly more
 #     surface: write + scan + the same shared oracle SQL); green r5
+# The r6 batch-26c entry (path_cells — trajectory supercover heat) rotates
+# one more green twin back:
+#   pq_topk — semantic_pq (in-window) replays the FULL PQ construction
+#     (seeds/codebook/subvector/codes/LUT CTEs) verbatim in its oracle,
+#     and the ANN rank shapes stay driver-checked via ann_topk +
+#     hybrid_rerank; green r5 + sf1 row
 # Tail order below follows VERDICT r5 #7: if a future driver window is
 # ever >50, the first rotated-back entries checked should be the
 # unique-machinery ones (minhash, salted_topk, stratified_sample,
@@ -803,7 +809,7 @@ _ROTATE_BACK = ["minhash", "salted_topk", "stratified_sample",
                 "embed_pairs", "stream_sessions",
                 "focal_mean", "morans_i", "tile_pyramid",
                 "area_error", "cellid_algebra", "hotspots",
-                "pip_polygons", "dedup_clusters", "lm_score"]
+                "pip_polygons", "dedup_clusters", "lm_score", "pq_topk"]
 
 
 def _reorder(d: dict) -> dict:

@@ -145,3 +145,88 @@ def _oracle_hll_count() -> str:
 
 QUERIES23["hll_count"] = q_hll_count
 ORACLES23["hll_count"] = _oracle_hll_count()
+
+
+# --------------------------------------------------------------------------
+# q_path_cells — trajectory corridor heat: consecutive same-user events
+# within PATH_MAX_SEG_M (long-haul jumps are not corridors at this res —
+# and the supercover cost is O(bbox) per segment, so the bound is also
+# the scale guard) -> segment_cells supercover at PATH_RES -> cells
+# ranked by crossing count.  The planar points ride the with_planar
+# encode, localCheckpointed before the lag window (constraint 2); the
+# segment predicate is ONE shared snippet on both engines.
+# --------------------------------------------------------------------------
+
+PATH_RES = 4
+PATH_MAX_SEG_M = 1_500_000.0
+PATH_K = 40
+
+_SEG_PRED = (f"(x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)"
+             f" <= CAST({PATH_MAX_SEG_M ** 2!r} AS DOUBLE)")
+
+
+def q_path_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .functions import encode_sql
+    from .operators.spatial_join import segment_cells
+    from .sources import synth
+
+    ev = synth.with_lonlat(load(spark, sf_dir, "events"), "event_id")
+    pts = (encode_sql.spark_encode(ev, "lon", "lat", 1, with_planar=True)
+           .select("user_id", "event_id",
+                   F.expr("unix_millis(CAST(ts AS TIMESTAMP))")
+                   .alias("tms"),
+                   F.col("px_m").alias("x2"), F.col("py_m").alias("y2"))
+           .localCheckpoint(eager=True))
+    w = Window.partitionBy("user_id").orderBy("tms", "event_id")
+    segs = (pts
+            .withColumn("x1", F.lag("x2").over(w))
+            .withColumn("y1", F.lag("y2").over(w))
+            .filter(F.col("x1").isNotNull())
+            .filter(F.expr(_SEG_PRED))
+            .select(F.col("event_id").alias("seg_id"),
+                    "x1", "y1", "x2", "y2"))
+    heat = (segment_cells(segs, PATH_RES)
+            .groupBy("cellid").agg(F.count("*").alias("n_segs")))
+    rw = Window.orderBy(F.desc("n_segs"), F.asc("cellid"))
+    return (heat.withColumn("rank", F.row_number().over(rw))
+            .filter(F.col("rank") <= PATH_K)
+            .select("cellid", "n_segs", "rank"))
+
+
+def _oracle_path_cells() -> str:
+    from .functions import encode_sql
+    from .operators.spatial_join import segment_cells_ctes
+    from .sources import synth
+
+    src = synth.duckdb_lonlat_select("events", "event_id",
+                                    ["event_id", "ts", "user_id"])
+    enc = encode_sql.duckdb_encode_select(f"({src})", "lon", "lat", 1,
+                                          ["event_id", "ts", "user_id"],
+                                          with_planar=True)
+    segs = f"""
+        SELECT seg_id, x1, y1, x2, y2 FROM (
+            SELECT event_id AS seg_id,
+                   lag(px_m) OVER (PARTITION BY user_id
+                       ORDER BY epoch_ms(ts), event_id) AS x1,
+                   lag(py_m) OVER (PARTITION BY user_id
+                       ORDER BY epoch_ms(ts), event_id) AS y1,
+                   px_m AS x2, py_m AS y2
+            FROM ({enc}))
+        WHERE x1 IS NOT NULL AND {_SEG_PRED}"""
+    cells = encode_sql.duckdb_planar_encode_select("scand", "px", "py",
+                                                   PATH_RES, ["seg_id"])
+    return f"""
+    WITH {segment_cells_ctes(segs, PATH_RES)},
+    hc AS (SELECT cellid, CAST(count(*) AS BIGINT) AS n_segs
+           FROM ({cells}) GROUP BY cellid)
+    SELECT cellid, n_segs, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+              ORDER BY n_segs DESC, cellid) AS rank FROM hc)
+    WHERE rank <= {PATH_K}
+    """
+
+
+QUERIES23["path_cells"] = q_path_cells
+ORACLES23["path_cells"] = _oracle_path_cells()

@@ -117,3 +117,29 @@ def test_hll_matches_python_replica_and_is_accurate(spark):
     assert out.hll_est == hll_py(keys)  # duplicates change nothing
     # 256 registers -> ~6.5% standard error; 4 sigma bound
     assert abs(out.hll_est - n) / n < 0.26
+
+
+def test_segment_cells_supercover(spark):
+    from dggstools_spark.dggs import cells as K
+    from dggstools_spark.operators.spatial_join import segment_cells
+
+    s = float(HALF_SIDE)
+    res = 3
+    segs = [(1, 0.1 * s, 0.05 * s, 0.9 * s, 0.41 * s),   # diagonal
+            (2, -0.5 * s, -0.2 * s, -0.5 * s, -0.2 * s)]  # degenerate point
+    df = spark.createDataFrame(
+        segs, "seg_id long, x1 double, y1 double, x2 double, y2 double")
+    out = {}
+    for r in segment_cells(df, res).collect():
+        out.setdefault(r.seg_id, set()).add(r.cellid)
+    # dense sampling along segment 1: every sampled cell must be covered
+    t = np.linspace(0.0, 1.0, 4000)
+    xs = segs[0][1] + (segs[0][3] - segs[0][1]) * t
+    ys = segs[0][2] + (segs[0][4] - segs[0][2]) * t
+    sampled = set(K.planar_to_cellid(xs, ys, res))
+    assert sampled <= out[1]
+    # supercover is tight: no cell further than one diagonal from the line
+    assert len(out[1]) <= len(sampled) + 8
+    # the degenerate point-segment burns exactly its containing cell
+    assert out[2] == set(K.planar_to_cellid(
+        np.array([segs[1][1]]), np.array([segs[1][2]]), res))
