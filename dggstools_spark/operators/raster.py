@@ -209,3 +209,54 @@ def merge_cells(existing: DataFrame, updates: DataFrame,
     return updates.unionByName(
         existing.join(updates.select(cellid_col), cellid_col, "left_anti")
     )
+
+
+def change_matrix(a: DataFrame, b: DataFrame, res: int,
+                  class_col: str = "band1", cellid_col: str = "cellid",
+                  cfg: RHEALPixConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Land-cover change matrix between two epochs of a classed cell
+    raster: FULL OUTER join on the cell key, transition cross-tab
+    (class_from, class_to, n_cells, area_km2) with −1 standing for
+    "absent in that epoch" (appeared / disappeared rows), area under the
+    ÷1.178 convention (class_cell_areas).  The remote-sensing change-
+    detection op as pure relational algebra.
+
+    Scale design (100 TB): one cellid-keyed full-outer join (both sides
+    shuffle on the natural key — a prefix-bucketed cell store co-locates
+    it) + one tiny (classes²) hash aggregate; the same deliberate-SMJ
+    family as corpus_diff (neither epoch is broadcastable by
+    assumption).  Cells must be unique per epoch (cell-table contract)."""
+    ja = a.select(F.col(cellid_col).alias("_cid"),
+                  F.col(class_col).alias("_ca"))
+    jb = b.select(F.col(cellid_col).alias("_cid"),
+                  F.col(class_col).alias("_cb"))
+    area = cfg.cell_area(res)
+    return (ja.join(jb, "_cid", "full_outer")
+            .groupBy(F.coalesce(F.col("_ca"), F.lit(-1)).cast("bigint")
+                     .alias("class_from"),
+                     F.coalesce(F.col("_cb"), F.lit(-1)).cast("bigint")
+                     .alias("class_to"))
+            .agg(F.count("*").alias("n_cells"),
+                 F.round(F.count("*") * F.lit(area) / 1e6)
+                 .cast("bigint").alias("area_km2")))
+
+
+def change_matrix_sql(a_sql: str, b_sql: str, res: int,
+                      class_col: str = "band1",
+                      cellid_col: str = "cellid",
+                      cfg: RHEALPixConfig = DEFAULT_CONFIG) -> str:
+    """DuckDB twin of :func:`change_matrix` (same −1 absent code, same
+    area constant)."""
+    area = cfg.cell_area(res)
+    return f"""
+    WITH _ea AS MATERIALIZED (
+        SELECT {cellid_col} AS _cid, {class_col} AS _ca FROM ({a_sql})),
+    _eb AS MATERIALIZED (
+        SELECT {cellid_col} AS _cid, {class_col} AS _cb FROM ({b_sql}))
+    SELECT CAST(coalesce(_ca, -1) AS BIGINT) AS class_from,
+           CAST(coalesce(_cb, -1) AS BIGINT) AS class_to,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(round(count(*) * {area!r} / 1e6) AS BIGINT) AS area_km2
+    FROM _ea FULL OUTER JOIN _eb USING (_cid)
+    GROUP BY 1, 2
+    """

@@ -469,6 +469,7 @@ from .queries20 import QUERIES20, ORACLES20  # noqa: E402
 from .queries21 import QUERIES21, ORACLES21  # noqa: E402
 from .queries22 import QUERIES22, ORACLES22  # noqa: E402
 from .queries23 import QUERIES23, ORACLES23  # noqa: E402
+from .queries24 import QUERIES24, ORACLES24  # noqa: E402
 
 QUERIES.update(QUERIES2)
 ORACLES.update(ORACLES2)
@@ -514,6 +515,8 @@ QUERIES.update(QUERIES22)
 ORACLES.update(ORACLES22)
 QUERIES.update(QUERIES23)
 ORACLES.update(ORACLES23)
+QUERIES.update(QUERIES24)
+ORACLES.update(ORACLES24)
 
 
 # --------------------------------------------------------------------------
@@ -556,13 +559,13 @@ ORACLES.update(ORACLES23)
 
 # (a name in BOTH lists would stay promoted — _reorder draws `promoted`
 # before subtracting the tail — so rotated-back names must leave this list)
-_PROMOTE_EARLY = ["ngram_pairs", "stream_dedup",
+_PROMOTE_EARLY = ["stream_dedup",
                   "passage_dedup",
                   "html_extract", "epoch_shuffle",
                   "dsir_select",
                   "oov_rate", "hybrid_rerank", "embed_clusters",
                   "mixture_plan",
-                  "lang_confusion", "cluster_keep",
+                  "lang_confusion",
                   "len_histogram", "corpus_diff",
                   "local_moran",
                   "bbox_cells", "zonal_stats",
@@ -573,7 +576,8 @@ _PROMOTE_EARLY = ["ngram_pairs", "stream_dedup",
                   "cell_trends", "cell_trends_dense", "od_flows",
                   "cell_nbrs", "semantic_pq",
                   "overlay_area", "user_trips", "mean_center",
-                  "cell_rank", "near_pairs", "hll_count", "path_cells"]
+                  "cell_rank", "near_pairs", "hll_count", "path_cells",
+                  "change_matrix", "hll_overlap"]
 # resample_area: third member of the R1 resample family (bilinear stays
 # in-window; cubic/area remain in the all-query replica gate + pytest incl.
 # the randomized numpy-overlap property test)
@@ -782,6 +786,16 @@ _PROMOTE_EARLY = ["ngram_pairs", "stream_dedup",
 #     (seeds/codebook/subvector/codes/LUT CTEs) verbatim in its oracle,
 #     and the ANN rank shapes stay driver-checked via ann_topk +
 #     hybrid_rerank; green r5 + sf1 row
+# The r6 batch-27 pair (change_matrix/hll_overlap) rotates two more
+# green twins back (both picked because dedup_pipeline, in-window,
+# REPLAYS their oracle machinery verbatim — the safe-rotation rule):
+#   ngram_pairs — dedup_pipeline's oracle composes the identical shared
+#     ngram shingle-pair SQL generators over its survivors CTE, and the
+#     sketch lever keeps ngram_sampled's replica + sf1 + recall study;
+#     green r1-r5 + sf1 row;
+#   cluster_keep — dedup_pipeline's keep stage runs the identical
+#     quality_q20 argmax snippet (shared generator), and the q20 scorer
+#     stays driver-checked via novelty/keep machinery there; green r5
 # Tail order below follows VERDICT r5 #7: if a future driver window is
 # ever >50, the first rotated-back entries checked should be the
 # unique-machinery ones (minhash, salted_topk, stratified_sample,
@@ -809,7 +823,8 @@ _ROTATE_BACK = ["minhash", "salted_topk", "stratified_sample",
                 "embed_pairs", "stream_sessions",
                 "focal_mean", "morans_i", "tile_pyramid",
                 "area_error", "cellid_algebra", "hotspots",
-                "pip_polygons", "dedup_clusters", "lm_score", "pq_topk"]
+                "pip_polygons", "dedup_clusters", "lm_score", "pq_topk",
+                "ngram_pairs", "cluster_keep"]
 
 
 def _reorder(d: dict) -> dict:

@@ -1,0 +1,157 @@
+"""Driver-contract queries, batch 27 (round 6): change detection +
+corpus-overlap estimation.
+
+- ``change_matrix``: land-cover change cross-tab between two raster
+  epochs (full-outer cellid join, −1 = absent, transition areas) — the
+  remote-sensing change-detection op the raster family lacked.
+- ``hll_overlap``: snapshot-overlap estimate from the deterministic HLL
+  sketch (|A|, |B|, |A∪B| estimated; |A∩B| by inclusion–exclusion) next
+  to the exact intersection yardstick — the bounded-memory alternative
+  to corpus_diff when only sizes are needed.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .queries3 import load
+
+QUERIES24: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {}
+ORACLES24: "dict[str, str]" = {}
+
+
+# --------------------------------------------------------------------------
+# q_change_matrix — epochs derived deterministically from the part table
+# (the raster_roundtrip fixture lattice): epoch B drops p % 17 = 0 cells
+# (disappeared), adds a shifted band of p % 13 = 0 cells (appeared), and
+# advances the class where p % 5 = 0.  One shared snippet per epoch.
+# --------------------------------------------------------------------------
+
+CM_RES = 5
+CM_CLASSES = 7
+
+
+def _epoch_a_sql(cellid: str) -> str:
+    return (f"SELECT {cellid} AS cellid,"
+            f" CAST(p_partkey % {CM_CLASSES} AS BIGINT) AS band1"
+            f" FROM part")
+
+
+def _epoch_b_sql(cellid: str, cellid_shift: str) -> str:
+    return (f"SELECT {cellid} AS cellid,"
+            f" CAST((p_partkey % {CM_CLASSES}"
+            f" + CASE WHEN p_partkey % 5 = 0 THEN 1 ELSE 0 END)"
+            f" % {CM_CLASSES} AS BIGINT) AS band1"
+            f" FROM part WHERE p_partkey % 17 <> 0"
+            f" UNION ALL"
+            f" SELECT {cellid_shift} AS cellid,"
+            f" CAST(p_partkey % {CM_CLASSES} AS BIGINT) AS band1"
+            f" FROM part WHERE p_partkey % 13 = 0")
+
+
+def _cm_cellids() -> "tuple[str, str, str]":
+    from .functions import encode_sql
+
+    row = "100 + (p_partkey % 81)"
+    col = "50 + CAST(floor(p_partkey / 81.0) AS BIGINT)"
+    cellid = encode_sql.rowcol_cellid_sql("'Q'", f"({row})", f"({col})",
+                                          CM_RES)
+    # appeared band: shifted 120 rows down — disjoint from epoch A's rows
+    cellid_shift = encode_sql.rowcol_cellid_sql("'Q'", f"({row} + 120)",
+                                                f"({col})", CM_RES)
+    return cellid, cellid_shift, row
+
+
+def q_change_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.raster import change_matrix
+
+    cellid, cellid_shift, _ = _cm_cellids()
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    a = spark.sql(_epoch_a_sql(cellid))
+    b = spark.sql(_epoch_b_sql(cellid, cellid_shift))
+    return change_matrix(a, b, CM_RES)
+
+
+def _oracle_change_matrix() -> str:
+    from .operators.raster import change_matrix_sql
+
+    cellid, cellid_shift, _ = _cm_cellids()
+    return change_matrix_sql(_epoch_a_sql(cellid),
+                             _epoch_b_sql(cellid, cellid_shift), CM_RES)
+
+
+QUERIES24["change_matrix"] = q_change_matrix
+ORACLES24["change_matrix"] = _oracle_change_matrix()
+
+
+# --------------------------------------------------------------------------
+# q_hll_overlap — snapshot B shares the corpus_diff edit family: text
+# edited where doc_id % 3 = 0, docs dropped where doc_id % 5 = 0.  The
+# union estimate runs the SAME hll construction over the tagged union
+# frame (register-merge is the incremental production path; one-scan
+# union is its batch equivalent).  err vs the exact intersection is the
+# yardstick column.
+# --------------------------------------------------------------------------
+
+_OV_B_TEXT = "CASE WHEN doc_id % 3 = 0 THEN concat(text, ' v2') ELSE text END"
+_OV_B_PRED = "doc_id % 5 <> 0"
+
+
+def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketch import hll_distinct
+
+    docs = load(spark, sf_dir, "documents")
+    a = docs.select(F.lit("a").alias("snap"), F.col("text").alias("k"))
+    b = (docs.filter(F.expr(_OV_B_PRED))
+         .select(F.lit("b").alias("snap"),
+                 F.expr(_OV_B_TEXT).alias("k")))
+    u = a.unionByName(b).select(F.lit("u").alias("snap"), "k")
+    est = (hll_distinct(a.unionByName(b).unionByName(u), "snap", "k")
+           .groupBy()
+           .pivot("snap", ["a", "b", "u"]).sum("hll_est"))
+    exact = (docs.select(F.col("text").alias("k")).distinct()
+             .join(docs.filter(F.expr(_OV_B_PRED))
+                   .select(F.expr(_OV_B_TEXT).alias("k")).distinct(), "k")
+             .agg(F.count("*").alias("exact_inter")))
+    return (est.crossJoin(exact)
+            .select(F.col("a").alias("est_a"), F.col("b").alias("est_b"),
+                    F.col("u").alias("est_union"),
+                    F.expr("a + b - u").alias("est_inter"),
+                    "exact_inter"))
+
+
+def _oracle_hll_overlap() -> str:
+    from .operators.sketch import hll_distinct_sql
+
+    src = f"""(
+        SELECT 'a' AS snap, text AS k FROM documents
+        UNION ALL
+        SELECT 'b', {_OV_B_TEXT} FROM documents WHERE {_OV_B_PRED}
+        UNION ALL
+        SELECT 'u', k FROM (
+            SELECT text AS k FROM documents
+            UNION ALL
+            SELECT {_OV_B_TEXT} FROM documents WHERE {_OV_B_PRED}))"""
+    est = hll_distinct_sql(src, "snap", "k")
+    return f"""
+    WITH est AS MATERIALIZED ({est}),
+    p AS (SELECT
+            max(CASE WHEN snap = 'a' THEN hll_est END) AS est_a,
+            max(CASE WHEN snap = 'b' THEN hll_est END) AS est_b,
+            max(CASE WHEN snap = 'u' THEN hll_est END) AS est_union
+          FROM est),
+    ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_inter FROM (
+            SELECT DISTINCT text AS k FROM documents) a
+           JOIN (SELECT DISTINCT {_OV_B_TEXT} AS k FROM documents
+                 WHERE {_OV_B_PRED}) b USING (k))
+    SELECT est_a, est_b, est_union,
+           CAST(est_a + est_b - est_union AS BIGINT) AS est_inter,
+           exact_inter
+    FROM p, ex
+    """
+
+
+QUERIES24["hll_overlap"] = q_hll_overlap
+ORACLES24["hll_overlap"] = _oracle_hll_overlap()

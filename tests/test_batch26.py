@@ -143,3 +143,27 @@ def test_segment_cells_supercover(spark):
     # the degenerate point-segment burns exactly its containing cell
     assert out[2] == set(K.planar_to_cellid(
         np.array([segs[1][1]]), np.array([segs[1][2]]), res))
+
+
+def test_change_matrix(spark):
+    from dggstools_spark.operators.raster import change_matrix
+
+    a = spark.createDataFrame(
+        [("c1", 1), ("c2", 1), ("c3", 2)], "cellid string, band1 long")
+    b = spark.createDataFrame(
+        [("c1", 1), ("c2", 2), ("c4", 3)], "cellid string, band1 long")
+    out = {(r.class_from, r.class_to): r.n_cells
+           for r in change_matrix(a, b, 4).collect()}
+    assert out == {(1, 1): 1,   # unchanged
+                   (1, 2): 1,   # changed
+                   (2, -1): 1,  # disappeared
+                   (-1, 3): 1}  # appeared
+
+
+def test_hll_overlap_estimates_track_truth(spark):
+    # wiring sanity at query level: est_inter within the sketch's error
+    # band of the exact intersection
+    from dggstools_spark.queries24 import q_hll_overlap
+    r = q_hll_overlap(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r.exact_inter > 0
+    assert abs(r.est_inter - r.exact_inter) <= max(0.35 * r.est_union, 10)
