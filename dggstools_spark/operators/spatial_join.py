@@ -699,3 +699,80 @@ def segment_cells_ctes(segs_sql: str, res: int,
                 FROM sris)
               WHERE {sat})
     """
+
+
+def buffer_cells(points: DataFrame, d_m: float, res: int,
+                 px: str = "px", py: str = "py",
+                 cfg: RHEALPixConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Buffer as a cell set: every res-``res`` cell whose CENTER lies
+    within ``d_m`` planar meters of at least one input point, with the
+    coverage count — the GIS buffer/service-area op on the grid
+    (center-inclusion semantics, consistent with the center-burn
+    rasterize contract; refine with ``res``).
+
+    Per point the candidates are the (2K+1)² lattice blocks around it
+    (K = ceil(d/w), asserted small), snapped on the SAME global lattice
+    as rasterize_polygons, then filtered by exact center distance and
+    counted per cell.  Output (cellid, n_pts).  Cost is O(K²) per point
+    — bound d/w (the scale guard; a kilometer buffer on a centimeter
+    lattice wants a coarser res or a pre-aggregation to cells first)."""
+    import math
+
+    from ..functions.encode import cellid_from_planar_udf
+
+    w = HALF_SIDE / cfg.n_side**res
+    k = math.ceil(d_m / w)
+    if k > 16:
+        raise ValueError(
+            f"buffer_cells: radius {d_m:.0f} m spans {k} blocks at res "
+            f"{res} ((2K+1)^2 = {(2 * k + 1) ** 2} candidates per point)"
+            f" — use a coarser res")
+    gx0 = -2.0 * HALF_SIDE
+    gy0 = 1.5 * HALF_SIDE
+    cand = (points
+            .select(F.col(px).alias("_px"), F.col(py).alias("_py"))
+            .withColumn("ci", F.explode(F.expr(
+                f"transform(sequence({-k}, {k}), i -> "
+                f"CAST(floor((_px - {gx0!r}) / {w!r}) AS BIGINT) + i)")))
+            .withColumn("ri", F.explode(F.expr(
+                f"transform(sequence({-k}, {k}), i -> "
+                f"CAST(floor(({gy0!r} - _py) / {w!r}) AS BIGINT) + i)")))
+            .withColumn("cx", F.lit(gx0) + (F.col("ci") + 0.5) * w)
+            .withColumn("cy", F.lit(gy0) - (F.col("ri") + 0.5) * w)
+            .filter(F.expr(
+                f"(cx - _px) * (cx - _px) + (cy - _py) * (cy - _py)"
+                f" <= CAST({d_m * d_m!r} AS DOUBLE)")))
+    enc = cellid_from_planar_udf(res, cfg).asNondeterministic()
+    return (cand.select(enc("cx", "cy").alias("cellid"))
+            .filter(F.col("cellid").isNotNull())
+            .groupBy("cellid").agg(F.count("*").alias("n_pts")))
+
+
+def buffer_cells_ctes(points_sql: str, d_m: float, res: int,
+                      px: str = "px", py: str = "py",
+                      cfg: RHEALPixConfig = DEFAULT_CONFIG) -> str:
+    """DuckDB twin candidates: CTEs ``bpts/bcis/bcand`` ending in
+    (cx, cy) rows, one per (point, in-range cell center) — the caller
+    encodes centers with duckdb_planar_encode_select and aggregates."""
+    import math
+
+    w = float(HALF_SIDE / cfg.n_side**res)
+    k = math.ceil(d_m / w)
+    gx0 = float(-2.0 * HALF_SIDE)
+    gy0 = float(1.5 * HALF_SIDE)
+    d = lambda x: f"CAST({float(x)!r} AS DOUBLE)"  # noqa: E731
+    return f"""
+    bpts AS MATERIALIZED (
+        SELECT {px} AS _px, {py} AS _py FROM ({points_sql})),
+    bcis AS (SELECT _px, _py,
+                CAST(floor((_px - {d(gx0)}) / {d(w)}) AS BIGINT) + i.i AS ci,
+                CAST(floor(({d(gy0)} - _py) / {d(w)}) AS BIGINT) + j.j AS ri
+             FROM bpts, range({-k}, {k + 1}) i(i), range({-k}, {k + 1}) j(j)),
+    bcand AS (SELECT cx, cy FROM (
+                SELECT _px, _py,
+                       {d(gx0)} + (ci + 0.5) * {d(w)} AS cx,
+                       {d(gy0)} - (ri + 0.5) * {d(w)} AS cy
+                FROM bcis)
+              WHERE (cx - _px) * (cx - _px) + (cy - _py) * (cy - _py)
+                    <= CAST({float(d_m * d_m)!r} AS DOUBLE))
+    """

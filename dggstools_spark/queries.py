@@ -470,6 +470,7 @@ from .queries21 import QUERIES21, ORACLES21  # noqa: E402
 from .queries22 import QUERIES22, ORACLES22  # noqa: E402
 from .queries23 import QUERIES23, ORACLES23  # noqa: E402
 from .queries24 import QUERIES24, ORACLES24  # noqa: E402
+from .queries25 import QUERIES25, ORACLES25  # noqa: E402
 
 QUERIES.update(QUERIES2)
 ORACLES.update(ORACLES2)
@@ -517,6 +518,8 @@ QUERIES.update(QUERIES23)
 ORACLES.update(ORACLES23)
 QUERIES.update(QUERIES24)
 ORACLES.update(ORACLES24)
+QUERIES.update(QUERIES25)
+ORACLES.update(ORACLES25)
 
 
 # --------------------------------------------------------------------------
@@ -796,6 +799,13 @@ _PROMOTE_EARLY = ["stream_dedup",
 #   cluster_keep — dedup_pipeline's keep stage runs the identical
 #     quality_q20 argmax snippet (shared generator), and the q20 scorer
 #     stays driver-checked via novelty/keep machinery there; green r5
+# The r6 batch-28 pair (idw_interp/buffer_cells) is NOT promoted: every
+# remaining in-window entry is either unique machinery or the named
+# in-window anchor of an earlier rotation rationale, and the safe-
+# rotation rule (only rotate a query whose oracle an in-window sibling
+# replays) has no candidates left.  Like hotspots_xface/lisa_xface they
+# ride the replica gate + sf1 gate this round and are FIRST in line for
+# promotion next round.
 # Tail order below follows VERDICT r5 #7: if a future driver window is
 # ever >50, the first rotated-back entries checked should be the
 # unique-machinery ones (minhash, salted_topk, stratified_sample,

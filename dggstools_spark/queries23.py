@@ -220,7 +220,7 @@ def _oracle_path_cells() -> str:
     return f"""
     WITH {segment_cells_ctes(segs, PATH_RES)},
     hc AS (SELECT cellid, CAST(count(*) AS BIGINT) AS n_segs
-           FROM ({cells}) GROUP BY cellid)
+           FROM ({cells}) WHERE cellid IS NOT NULL GROUP BY cellid)
     SELECT cellid, n_segs, CAST(rank AS INT) AS rank
     FROM (SELECT *, row_number() OVER (
               ORDER BY n_segs DESC, cellid) AS rank FROM hc)

@@ -1,0 +1,122 @@
+"""Driver-contract queries, batch 28 (round 6): spatial interpolation +
+buffers.
+
+- ``idw_interp``: inverse-distance-weighted surface estimation at query
+  points from scattered observations (quantized-integer weights → run-
+  stable, engine-exact estimates; block-lattice candidate pruning).
+- ``buffer_cells``: the GIS buffer/service-area op as a cell set with
+  coverage counts (center-inclusion semantics, (2K+1)² lattice
+  candidates per point).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .queries3 import load
+
+QUERIES25: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {}
+ORACLES25: "dict[str, str]" = {}
+
+IDW_D_M = 1_000_000.0
+IDW_RES = 2
+_IDW_Q_PRED = "c_custkey % 29 = 0"
+
+
+def q_idw_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import encode_sql
+    from .operators.interp import idw_interp
+    from .sources import synth
+
+    docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id")
+    obs = (encode_sql.spark_encode(docs, "lon", "lat", IDW_RES,
+                                   with_planar=True)
+           .select(F.col("n_chars").alias("v"),
+                   F.col("px_m").alias("px"), F.col("py_m").alias("py"))
+           .localCheckpoint(eager=True))  # constraint 2: block keys +
+    # distances reference the encoded planar columns many times
+    cust = synth.with_lonlat(load(spark, sf_dir, "customer"),
+                             "c_custkey").filter(F.expr(_IDW_Q_PRED))
+    qs = (encode_sql.spark_encode(cust, "lon", "lat", IDW_RES,
+                                  with_planar=True)
+          .select(F.col("c_custkey").alias("q_id"),
+                  F.col("px_m").alias("qx"), F.col("py_m").alias("qy"))
+          .localCheckpoint(eager=True))
+    return idw_interp(obs, qs, IDW_D_M, IDW_RES)
+
+
+def _oracle_idw_interp() -> str:
+    from .functions import encode_sql
+    from .operators.interp import idw_interp_sql
+    from .sources import synth
+
+    src = synth.duckdb_lonlat_select("documents", "doc_id",
+                                    ["doc_id", "n_chars"])
+    enc = encode_sql.duckdb_encode_select(f"({src})", "lon", "lat",
+                                          IDW_RES, ["n_chars"],
+                                          with_planar=True)
+    obs = f"SELECT n_chars AS v, px_m AS px, py_m AS py FROM ({enc})"
+    qsrc = synth.duckdb_lonlat_select("customer", "c_custkey",
+                                      ["c_custkey"])
+    qenc = encode_sql.duckdb_encode_select(
+        f"(SELECT * FROM ({qsrc}) WHERE {_IDW_Q_PRED})", "lon", "lat",
+        IDW_RES, ["c_custkey"], with_planar=True)
+    qs = (f"SELECT c_custkey AS q_id, px_m AS qx, py_m AS qy"
+          f" FROM ({qenc})")
+    return idw_interp_sql(obs, qs, IDW_D_M, IDW_RES)
+
+
+QUERIES25["idw_interp"] = q_idw_interp
+ORACLES25["idw_interp"] = _oracle_idw_interp()
+
+
+# --------------------------------------------------------------------------
+# q_buffer_cells — 200 km buffer around a deterministic document
+# subsample (doc_id % 97 = 0), res 4 (K = 2 -> 25 candidates per point).
+# --------------------------------------------------------------------------
+
+BUF_D_M = 200_000.0
+BUF_RES = 4
+_BUF_PRED = "doc_id % 97 = 0"
+
+
+def q_buffer_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import encode_sql
+    from .operators.spatial_join import buffer_cells
+    from .sources import synth
+
+    docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id") \
+        .filter(F.expr(_BUF_PRED))
+    pts = (encode_sql.spark_encode(docs, "lon", "lat", 1,
+                                   with_planar=True)
+           .select(F.col("px_m").alias("px"), F.col("py_m").alias("py"))
+           .localCheckpoint(eager=True))
+    return buffer_cells(pts, BUF_D_M, BUF_RES)
+
+
+def _oracle_buffer_cells() -> str:
+    from .functions import encode_sql
+    from .operators.spatial_join import buffer_cells_ctes
+    from .sources import synth
+
+    src = synth.duckdb_lonlat_select("documents", "doc_id", ["doc_id"])
+    enc = encode_sql.duckdb_encode_select(
+        f"(SELECT * FROM ({src}) WHERE {_BUF_PRED})", "lon", "lat", 1,
+        [], with_planar=True)
+    pts = f"SELECT px_m AS px, py_m AS py FROM ({enc})"
+    cells = encode_sql.duckdb_planar_encode_select("bcand", "cx", "cy",
+                                                   BUF_RES, [])
+    return f"""
+    WITH {buffer_cells_ctes(pts, BUF_D_M, BUF_RES)}
+    SELECT cellid, CAST(count(*) AS BIGINT) AS n_pts
+    FROM ({cells}) WHERE cellid IS NOT NULL GROUP BY cellid
+    """
+    # NOT NULL mirrors the Spark side's isNotNull on the UDF encode:
+    # candidate centers just outside the unfolded cube (face -1) must
+    # not form a NULL group (caught by the sf1 gate, one seam point)
+
+
+QUERIES25["buffer_cells"] = q_buffer_cells
+ORACLES25["buffer_cells"] = _oracle_buffer_cells()
