@@ -46,7 +46,8 @@ def main() -> None:
              "lm_score_sink", "stream_sessions_append",
              "cell_trends_dense", "od_flows", "cell_nbrs", "semantic_pq",
              "overlay_area", "user_trips", "mean_center",
-             "cell_rank", "near_pairs", "hll_count", "path_cells"]
+             "cell_rank", "near_pairs", "hll_count", "path_cells",
+             "change_matrix", "hll_overlap", "idw_interp", "buffer_cells"]
     # queries whose joins must stay broadcast (dimension-sized side): a
     # SortMergeJoin here is plan creep and fails the script.  embed_pairs'
     # bucket self-join and rescale_modes' agg-agg joins legitimately shuffle
