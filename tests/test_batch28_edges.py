@@ -1,0 +1,60 @@
+"""Edge-path coverage for the round-6 operator batches."""
+
+from pyspark.sql import functions as F
+
+from dggstools_spark.operators.flows import od_flows, trip_stats
+from dggstools_spark.operators.raster import change_matrix
+from dggstools_spark.operators.sketch import hll_distinct
+from dggstools_spark.operators.spatial_stats import mean_center
+from dggstools_spark.operators.trend import trend_topk_dense
+
+
+def test_od_flows_all_self_loops(spark):
+    rows = [(1, 10, 1, "A"), (1, 20, 2, "A"), (1, 30, 3, "A")]
+    df = spark.createDataFrame(rows, "u long, t long, e long, cell string")
+    assert od_flows(df, "u", "t", "e", "cell", 10).count() == 0
+    t = trip_stats(df, "u", "t", "e", "cell", 10).collect()[0]
+    # dwell-only entity: 0 moves, full revisit share of the repeat events
+    assert (t.n_moves, t.n_cells, t.revisit_ppm) == (0, 1, 666666)
+
+
+def test_change_matrix_empty_epoch(spark):
+    a = spark.createDataFrame([("c1", 1)], "cellid string, band1 long")
+    b = spark.createDataFrame([], "cellid string, band1 long")
+    out = change_matrix(a, b, 4).collect()
+    assert [(r.class_from, r.class_to, r.n_cells) for r in out] \
+        == [(1, -1, 1)]
+
+
+def test_hll_linear_counting_branch(spark):
+    # 3 distinct keys -> tiny E, many zero registers -> the linear
+    # counting branch must fire and be exact-ish at small V
+    df = spark.createDataFrame([("a", "x"), ("a", "y"), ("a", "z")],
+                               "cls string, k string")
+    est = hll_distinct(df, "cls", "k").collect()[0].hll_est
+    assert est == 3
+
+
+def test_mean_center_single_point(spark):
+    df = spark.createDataFrame([("c", 5.0, -3.0)],
+                               "cls string, x double, y double")
+    r = mean_center(df, "cls", "x", "y").collect()[0]
+    assert (r.n_pts, r.cx_m, r.cy_m, r.std_m) == (1, 5, -3, 0)
+
+
+def test_dense_trend_single_global_bucket(spark):
+    # one global bucket -> T = 1 -> den = 0 -> empty (documented)
+    df = spark.createDataFrame([("a", 4, 1), ("b", 4, 9)],
+                               "k string, t long, y long")
+    assert trend_topk_dense(df, "k", "t", "y", 10).count() == 0
+
+
+def test_page_rank_two_node_cycle_conserves_mass(spark):
+    from dggstools_spark.operators.graph import PPB, page_rank
+    edges = [("a", "b", 1), ("b", "a", 1)]
+    df = spark.createDataFrame(edges, "s string, d string, w long")
+    out = page_rank(df, "s", "d", "w", iters=6).collect()
+    # symmetric cycle: both nodes identical, ~PPB/2 each (truncation only)
+    ps = sorted(r.p_ppb for r in out)
+    assert ps[0] == ps[1]
+    assert abs(sum(ps) - PPB) < 100  # < 100 ppb truncation loss
