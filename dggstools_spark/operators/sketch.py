@@ -125,3 +125,40 @@ def hll_distinct_sql(source_sql: str, class_col: str,
         FROM regs GROUP BY {class_col})
     SELECT {class_col}, {est} AS hll_est FROM per
     """
+
+
+def hll_registers(df: DataFrame, class_col: str,
+                  key_col: str) -> DataFrame:
+    """(class, _b, _reg): the raw register frame — the MERGEABLE form of
+    the sketch.  Registers from disjoint scans (snapshots, partitions,
+    days) union + max-merge into the same estimate one combined scan
+    would produce (max is associative/commutative/idempotent), which is
+    the incremental production path: persist m rows per (class, epoch)
+    and never rescan history."""
+    h32 = (f"CAST(conv(substring(md5({key_col}), 1, 8), 16, 10)"
+           f" AS BIGINT)")
+    two = 1 << _REM_BITS
+    return (df
+            .select(class_col, F.expr(h32).alias("_h"))
+            .withColumn("_b", F.expr(f"_h div {two}"))
+            .withColumn("_rho", F.expr(
+                f"CASE WHEN _h % {two} = 0 THEN {_RMAX}"
+                f" ELSE {_RMAX} - length(bin(_h % {two})) END"))
+            .groupBy(class_col, "_b")
+            .agg(F.max("_rho").alias("_reg")))
+
+
+def hll_merge_estimate(regs: DataFrame, class_col: str) -> DataFrame:
+    """(class, hll_est) from a (possibly unioned) register frame —
+    max-merges duplicate (class, bucket) rows first, then applies the
+    identical estimator as :func:`hll_distinct`."""
+    per = (regs.groupBy(class_col, "_b")
+           .agg(F.max("_reg").alias("_reg"))
+           .groupBy(class_col)
+           .agg(F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT),"
+                             f" {_RMAX} - _reg)")).alias("_sp"),
+                F.count("*").alias("_nb"))
+           .withColumn("_v0", F.expr(f"{HLL_M} - _nb"))
+           .withColumn("_s", F.expr(
+               f"CAST(_sp + _v0 * {1 << _RMAX} AS DOUBLE)")))
+    return per.select(class_col, F.expr(_est_sql()).alias("hll_est"))

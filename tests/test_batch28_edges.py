@@ -58,3 +58,25 @@ def test_page_rank_two_node_cycle_conserves_mass(spark):
     ps = sorted(r.p_ppb for r in out)
     assert ps[0] == ps[1]
     assert abs(sum(ps) - PPB) < 100  # < 100 ppb truncation loss
+
+
+def test_hll_register_merge_equals_one_scan(spark):
+    # incremental path: registers of two disjoint scans max-merge into
+    # exactly the one-scan union estimate (and hll_registers ->
+    # hll_merge_estimate reproduces hll_distinct exactly)
+    from dggstools_spark.operators.sketch import (hll_distinct,
+                                                  hll_merge_estimate,
+                                                  hll_registers)
+    rows_a = [("c", f"a-{i}") for i in range(900)]
+    rows_b = [("c", f"b-{i}") for i in range(700)] + rows_a[:300]
+    a = spark.createDataFrame(rows_a, "cls string, k string")
+    b = spark.createDataFrame(rows_b, "cls string, k string")
+    u = a.unionByName(b)
+    one_scan = hll_distinct(u, "cls", "k").collect()[0].hll_est
+    merged = hll_merge_estimate(
+        hll_registers(a, "cls", "k").unionByName(
+            hll_registers(b, "cls", "k")), "cls").collect()[0].hll_est
+    assert merged == one_scan
+    direct = hll_merge_estimate(
+        hll_registers(u, "cls", "k"), "cls").collect()[0].hll_est
+    assert direct == one_scan
