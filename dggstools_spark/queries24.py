@@ -155,3 +155,64 @@ def _oracle_hll_overlap() -> str:
 
 QUERIES24["hll_overlap"] = q_hll_overlap
 ORACLES24["hll_overlap"] = _oracle_hll_overlap()
+
+
+# --------------------------------------------------------------------------
+# q_cell_visitors — geo × sketch composition: per-cell DISTINCT-USER
+# estimation (the unique-visitor map) — HLL registers keyed by cellid
+# next to the exact count-distinct yardstick + signed err_ppm.  The
+# encode feeds two aggregates (registers + exact) -> localCheckpoint
+# (constraint 2).  At 100 TB the exact column is dropped and the
+# register frames persist per epoch (sketch.hll_registers merge path).
+# --------------------------------------------------------------------------
+
+CV_RES = 2
+
+
+def q_cell_visitors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import encode_sql
+    from .operators.sketch import hll_distinct
+    from .sources import synth
+
+    ev = synth.with_lonlat(load(spark, sf_dir, "events"), "event_id")
+    obs = (encode_sql.spark_encode(ev, "lon", "lat", CV_RES)
+           .select("cellid",
+                   F.expr("CAST(user_id AS STRING)").alias("uid"))
+           .localCheckpoint(eager=True))
+    est = hll_distinct(obs, "cellid", "uid")
+    ex = (obs.groupBy("cellid")
+          .agg(F.count("*").alias("n_events"),
+               F.countDistinct("uid").alias("exact_users")))
+    return (ex.join(est, "cellid")
+            .withColumn("err_ppm", F.expr(
+                "((hll_est - exact_users) * 1000000) div exact_users"))
+            .select("cellid", "n_events", "exact_users", "hll_est",
+                    "err_ppm"))
+
+
+def _oracle_cell_visitors() -> str:
+    from .functions import encode_sql
+    from .operators.sketch import hll_distinct_sql
+    from .sources import synth
+
+    src = synth.duckdb_lonlat_select("events", "event_id",
+                                    ["event_id", "user_id"])
+    enc = encode_sql.duckdb_encode_select(f"({src})", "lon", "lat",
+                                          CV_RES, ["user_id"])
+    obs = (f"(SELECT cellid, CAST(user_id AS STRING) AS uid"
+           f" FROM ({enc}))")
+    est = hll_distinct_sql(obs, "cellid", "uid")
+    return f"""
+    WITH est AS MATERIALIZED ({est}),
+    ex AS (SELECT cellid, CAST(count(*) AS BIGINT) AS n_events,
+                  CAST(count(DISTINCT uid) AS BIGINT) AS exact_users
+           FROM {obs} GROUP BY cellid)
+    SELECT cellid, n_events, exact_users, hll_est,
+           CAST(((hll_est - exact_users) * 1000000)
+                // exact_users AS BIGINT) AS err_ppm
+    FROM ex JOIN est USING (cellid)
+    """
+
+
+QUERIES24["cell_visitors"] = q_cell_visitors
+ORACLES24["cell_visitors"] = _oracle_cell_visitors()
