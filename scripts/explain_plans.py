@@ -47,7 +47,8 @@ def main() -> None:
              "cell_trends_dense", "od_flows", "cell_nbrs", "semantic_pq",
              "overlay_area", "user_trips", "mean_center",
              "cell_rank", "near_pairs", "hll_count", "path_cells",
-             "change_matrix", "hll_overlap", "idw_interp", "buffer_cells"]
+             "change_matrix", "hll_overlap", "idw_interp", "buffer_cells",
+             "cell_visitors"]
     # queries whose joins must stay broadcast (dimension-sized side): a
     # SortMergeJoin here is plan creep and fails the script.  embed_pairs'
     # bucket self-join and rescale_modes' agg-agg joins legitimately shuffle
