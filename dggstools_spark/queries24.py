@@ -216,3 +216,57 @@ def _oracle_cell_visitors() -> str:
 
 QUERIES24["cell_visitors"] = q_cell_visitors
 ORACLES24["cell_visitors"] = _oracle_cell_visitors()
+
+
+# --------------------------------------------------------------------------
+# q_stream_hll — sketch-in-streaming: the register max-aggregate IS the
+# streaming-friendly form of HLL (bounded state: m rows per class, no
+# watermark needed, duplicates free).  The stream maintains registers in
+# complete mode across micro-batches (the second file repeats every text
+# under shifted ids — registers provably ignore the re-arrivals without
+# any dedup state); the batch finisher applies the shared estimator to
+# the tiny register table.  Oracle = the batch HLL over the same corpus.
+# --------------------------------------------------------------------------
+
+
+def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries4 import _finish_stream, _stream_tmpdirs
+    from .operators.sketch import hll_merge_estimate, hll_registers
+
+    src, ckpt, cleanup = _stream_tmpdirs("stream_hll")
+    try:
+        docs = (load(spark, sf_dir, "documents")
+                .filter(F.col("text").isNotNull())
+                .select("doc_id", "source", "text"))
+        docs.write.mode("overwrite").parquet(src)
+        docs.withColumn("doc_id", F.col("doc_id") + 1000000) \
+            .write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "doc_id bigint, source string, text string"
+        ).option("maxFilesPerTrigger", 2).parquet(src)
+        regs = hll_registers(stream, "source", "text")
+        try:
+            spark.catalog.dropTempView("dggs_stream_hll")
+        except Exception:
+            pass
+        q = (regs.writeStream.format("memory")
+             .queryName("dggs_stream_hll")
+             .outputMode("complete").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        _finish_stream(q)
+        return hll_merge_estimate(spark.table("dggs_stream_hll"),
+                                  "source")
+    finally:
+        cleanup()
+
+
+def _oracle_stream_hll() -> str:
+    from .operators.sketch import hll_distinct_sql
+
+    return hll_distinct_sql(
+        "(SELECT source, text FROM documents WHERE text IS NOT NULL)",
+        "source", "text")
+
+
+QUERIES24["stream_hll"] = q_stream_hll
+ORACLES24["stream_hll"] = _oracle_stream_hll()
