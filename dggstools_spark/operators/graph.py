@@ -115,3 +115,79 @@ def page_rank_sql(edges_sql: str, src: str, dst: str, w: str,
             ORDER BY p DESC, node) AS rank FROM p{iters})
     {lim}
     """
+
+
+def cost_distance(cells: DataFrame, res: int, sources: DataFrame,
+                  iters: int, w_col: str = "w",
+                  cross_face: bool = False) -> DataFrame:
+    """Hop-bounded cost-distance (accumulated-cost surface) over the cell
+    lattice: ``iters`` Bellman-Ford relaxations of
+
+        dist(v) = min(dist(v), min_{u adj v} dist(u) + w(v))
+
+    under queen adjacency (operators/spatial_stats.cell_neighbors —
+    ``cross_face=True`` closes the seams via the cube gluing), with
+    positive integer enter-costs ``w_col`` and dist(source) = 0.  Cells
+    absent from ``cells`` are barriers (no edge).  After T iterations the
+    result is the exact cost distance restricted to <= T-hop paths — the
+    standard k-relaxation contract (T >= |V|-1 makes it exact; choose T
+    around the lattice diameter plus a zigzag allowance for cheap-detour
+    surfaces).  All-integer arithmetic: deterministic, run-stable,
+    engine-exact (the GIS "cost distance" / least-cost surface op).
+
+    Scale shape: one edge build (neighbor explode + one hash join), then
+    per iteration ONE equi-join of the frontier with the edge table + one
+    min hash-aggregate, localCheckpoint per level (CLAUDE.md constraints
+    2/14 — same fixpoint family as pointer-jumping CC and page_rank)."""
+    from .spatial_stats import cell_neighbors
+
+    cw = (cells.select("cellid", F.col(w_col).cast("bigint").alias("_w"))
+          .localCheckpoint(eager=True))
+    edges = (cell_neighbors(cw.select("cellid"), res, cross_face)
+             .select(F.col("cellid").alias("u"), F.col("nbr").alias("v"))
+             .join(cw.select(F.col("cellid").alias("v"),
+                             F.col("_w").alias("wv")), "v")
+             .localCheckpoint(eager=True))
+    dist = (sources.select("cellid")
+            .join(cw.select("cellid"), "cellid")  # sources must be cells
+            .withColumn("dist", F.lit(0).cast("bigint")))
+    for _ in range(iters):
+        cand = (edges.join(dist.select(F.col("cellid").alias("u"),
+                                       F.col("dist").alias("du")), "u")
+                .select(F.col("v").alias("cellid"),
+                        F.expr("du + wv").alias("dist")))
+        dist = (dist.unionByName(cand)
+                .groupBy("cellid").agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True))
+    return dist
+
+
+def cost_distance_sql(cells_sql: str, res: int, sources_pred: str,
+                      iters: int, w_col: str = "w",
+                      cross_face: bool = False) -> str:
+    """DuckDB twin of :func:`cost_distance` — unrolled relaxation CTEs,
+    AS MATERIALIZED per level (CLAUDE.md constraint 14); ``cells_sql``
+    yields (cellid, w), ``sources_pred`` selects source cells."""
+    from .spatial_stats import cell_neighbors_sql
+
+    nbr = cell_neighbors_sql(f"(SELECT cellid FROM cw)", res, cross_face)
+    ctes = [f"""cw AS MATERIALIZED (
+        SELECT cellid, CAST({w_col} AS BIGINT) AS _w FROM ({cells_sql}))""",
+            f"""edges AS MATERIALIZED (
+        SELECT n.cellid AS u, n.nbr AS v, c._w AS wv
+        FROM ({nbr}) n JOIN cw c ON c.cellid = n.nbr)""",
+            f"""d0 AS MATERIALIZED (
+        SELECT cellid, CAST(0 AS BIGINT) AS dist
+        FROM cw WHERE {sources_pred})"""]
+    for i in range(iters):
+        ctes.append(f"""d{i + 1} AS MATERIALIZED (
+        SELECT cellid, min(dist) AS dist FROM (
+            SELECT cellid, dist FROM d{i}
+            UNION ALL
+            SELECT e.v, d.dist + e.wv FROM d{i} d
+            JOIN edges e ON e.u = d.cellid)
+        GROUP BY cellid)""")
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT cellid, dist FROM d{iters}
+    """

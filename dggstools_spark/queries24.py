@@ -270,3 +270,46 @@ def _oracle_stream_hll() -> str:
 
 QUERIES24["stream_hll"] = q_stream_hll
 ORACLES24["stream_hll"] = _oracle_stream_hll()
+
+
+# --------------------------------------------------------------------------
+# q_cost_distance — least-cost surface over the full face-Q res-2 lattice
+# (81 cells, enumerated identically on both engines via the rowcol digit
+# emitter), enter-costs derived from the cellid digits (shared snippet),
+# two corner sources, T=16 relaxations (lattice diameter 8 + zigzag
+# allowance for cheap-detour paths).
+# --------------------------------------------------------------------------
+
+CD_RES = 2
+CD_ITERS = 16
+_CD_W = ("1 + ((CAST(substring(cellid, 2, 1) AS INT) * 3"
+         " + CAST(substring(cellid, 3, 1) AS INT)) % 7)")
+_CD_SRC = "cellid IN ('Q00', 'Q88')"
+
+
+def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import encode_sql
+    from .operators.graph import cost_distance
+
+    cellid = encode_sql.rowcol_cellid_sql(
+        "'Q'", "CAST(id / 9 AS BIGINT)", "CAST(id % 9 AS BIGINT)", CD_RES)
+    cells = (spark.range(81)
+             .select(F.expr(cellid).alias("cellid"))
+             .withColumn("w", F.expr(_CD_W)))
+    srcs = cells.filter(F.expr(_CD_SRC)).select("cellid")
+    return cost_distance(cells, CD_RES, srcs, CD_ITERS)
+
+
+def _oracle_cost_distance() -> str:
+    from .functions import encode_sql
+    from .operators.graph import cost_distance_sql
+
+    cellid = encode_sql.rowcol_cellid_sql(
+        "'Q'", "CAST(id / 9 AS BIGINT)", "CAST(id % 9 AS BIGINT)", CD_RES)
+    cells = (f"SELECT cellid, {_CD_W} AS w FROM"
+             f" (SELECT {cellid} AS cellid FROM range(81) t(id))")
+    return cost_distance_sql(cells, CD_RES, _CD_SRC, CD_ITERS)
+
+
+QUERIES24["cost_distance"] = q_cost_distance
+ORACLES24["cost_distance"] = _oracle_cost_distance()

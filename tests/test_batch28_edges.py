@@ -80,3 +80,49 @@ def test_hll_register_merge_equals_one_scan(spark):
     direct = hll_merge_estimate(
         hll_registers(u, "cls", "k"), "cls").collect()[0].hll_est
     assert direct == one_scan
+
+
+def test_cost_distance_matches_dijkstra(spark):
+    import heapq
+
+    from dggstools_spark.operators.graph import cost_distance
+
+    # 5x5 single-face lattice, digit-derived weights, one corner source
+    rows = []
+    for r in range(5):
+        for c in range(5):
+            d1 = 3 * (r // 3) + (c // 3)
+            d2 = 3 * (r % 3) + (c % 3)
+            rows.append((f"Q{d1}{d2}", r, c, 1 + (r * 2 + c) % 5))
+    cells = spark.createDataFrame(
+        [(cid, w) for cid, r, c, w in rows], "cellid string, w long")
+    srcs = spark.createDataFrame([("Q00",)], "cellid string")
+    got = {x.cellid: x.dist
+           for x in cost_distance(cells, 2, srcs, 30).collect()}
+
+    wmap = {(r, c): w for _, r, c, w in rows}
+    idmap = {(r, c): cid for cid, r, c, _ in rows}
+    dist = {(0, 0): 0}
+    pq = [(0, (0, 0))]
+    while pq:
+        d, (r, c) = heapq.heappop(pq)
+        if d > dist.get((r, c), 1 << 60):
+            continue
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                n = (r + dr, c + dc)
+                if (dr or dc) and n in wmap:
+                    nd = d + wmap[n]
+                    if nd < dist.get(n, 1 << 60):
+                        dist[n] = nd
+                        heapq.heappush(pq, (nd, n))
+    exp = {idmap[k]: v for k, v in dist.items()}
+    assert got == exp
+    # barrier: removing the center column splits reachability
+    cells2 = cells.filter("cellid NOT IN ('" + "', '".join(
+        idmap[(r, 2)] for r in range(5)) + "')")
+    got2 = {x.cellid: x.dist
+            for x in cost_distance(cells2, 2, srcs, 30).collect()}
+    assert all(int(cid[1]) % 3 * 0 == 0 for cid in got2)  # sanity
+    right_side = {idmap[(r, c)] for r in range(5) for c in (3, 4)}
+    assert not (set(got2) & right_side)  # unreachable across the barrier
