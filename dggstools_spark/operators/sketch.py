@@ -162,3 +162,104 @@ def hll_merge_estimate(regs: DataFrame, class_col: str) -> DataFrame:
            .withColumn("_s", F.expr(
                f"CAST(_sp + _v0 * {1 << _RMAX} AS DOUBLE)")))
     return per.select(class_col, F.expr(_est_sql()).alias("hll_est"))
+
+
+# --------------------------------------------------------------------------
+# Bloom filter — the broadcast pre-filter for 100 TB anti-joins: build a
+# BITS-bit filter (BITS/64 BIGINT words, kilobytes) from corpus A's keys,
+# broadcast it, and drop the provably-absent rows of corpus B WITHOUT
+# shuffling either corpus; only the "maybe present" survivors reach the
+# exact join.  Engine-exact: K hash positions come from disjoint md5 hex
+# slices (the established portable hash idiom), words are bit_or
+# aggregates of shifted bits — integer, associative, run-stable; the
+# probe is K word lookups + bit tests.  False positives are one-sided
+# (never drops a true member) at the standard (1 − e^(−K·n/BITS))^K rate.
+# --------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 17   #: default filter size (128 Kbit = 2048 words)
+BLOOM_K = 4            #: hash count (md5 yields 4 disjoint 8-hex slices)
+
+
+def _pos_spark(key: str, i: int, bits: int) -> str:
+    return (f"CAST(conv(substring(md5({key}), {1 + 8 * i}, 8), 16, 10)"
+            f" AS BIGINT) % {bits}")
+
+
+def _pos_duckdb(mcol: str, i: int, bits: int) -> str:
+    fold = " + ".join(
+        f"(instr('0123456789abcdef', substring({mcol}, {1 + 8 * i + j}, 1))"
+        f" - 1) * {16 ** (7 - j)}" for j in range(8))
+    return f"CAST({fold} AS BIGINT) % {bits}"
+
+
+def bloom_build(df: DataFrame, key_col: str, bits: int = BLOOM_BITS,
+                k: int = BLOOM_K) -> DataFrame:
+    """(word_idx, word): the filter as BIGINT words — broadcast this."""
+    pos = "explode(array(" + ", ".join(
+        _pos_spark(key_col, i, bits) for i in range(k)) + "))"
+    return (df.select(F.expr(pos).alias("_p"))
+            .select(F.expr("_p div 63").alias("word_idx"),
+                    F.expr("shiftleft(CAST(1 AS BIGINT), "
+                           "CAST(_p % 63 AS INT))").alias("_b"))
+            .groupBy("word_idx")
+            .agg(F.expr("bit_or(_b)").alias("word")))
+
+
+def bloom_probe(df: DataFrame, filt: DataFrame, key_col: str,
+                bits: int = BLOOM_BITS, k: int = BLOOM_K) -> DataFrame:
+    """``df`` plus ``maybe`` (1 = possibly in the built set, 0 = provably
+    absent).  One K-way position explode + a broadcast equi-join on
+    word_idx + an all-bits-set aggregate keyed on every original column
+    — no shuffle of ``df`` beyond that agg.  Input rows must be unique
+    (probe distinct keys, or add a row id first)."""
+    pos = "explode(array(" + ", ".join(
+        _pos_spark(key_col, i, bits) for i in range(k)) + "))"
+    cols = df.columns
+    probed = (df
+              .withColumn("_p", F.expr(pos))
+              .withColumn("word_idx", F.expr("_p div 63"))
+              .join(F.broadcast(filt), "word_idx", "left")
+              .withColumn("_hit", F.expr(
+                  "CAST(coalesce((shiftright(word,"
+                  " CAST(_p % 63 AS INT)) & 1) = 1, false) AS INT)")))
+    return (probed.groupBy(*cols)
+            .agg(F.min("_hit").alias("maybe")))
+
+
+def bloom_report_sql(a_keys_sql: str, b_keys_sql: str,
+                     bits: int = BLOOM_BITS, k: int = BLOOM_K) -> str:
+    """DuckDB twin of build+probe+report over key subqueries ``a``/``b``
+    (each yielding a column ``key``): one row (n_probes, n_pass, n_true,
+    false_pos, fpr_ppm)."""
+    apos = " UNION ALL ".join(
+        f"SELECT {_pos_duckdb('_m', i, bits)} AS _p FROM am"
+        for i in range(k))
+    bpos = ", ".join(_pos_duckdb("_m", i, bits) for i in range(k))
+    hit = " + ".join(
+        f"(SELECT CAST(coalesce((w.word >> CAST(_p{i} % 63 AS INT))"
+        f" & 1 = 1, FALSE) AS INT) FROM words w"
+        f" WHERE w.word_idx = _p{i} // 63)" for i in range(k))
+    pcols = ", ".join(f"_ps[{i + 1}] AS _p{i}" for i in range(k))
+    return f"""
+    WITH am AS MATERIALIZED (SELECT md5(key) AS _m FROM ({a_keys_sql})),
+    bm AS MATERIALIZED (SELECT key, md5(key) AS _m FROM ({b_keys_sql})),
+    words AS MATERIALIZED (
+        SELECT _p // 63 AS word_idx,
+               bit_or(CAST(1 AS BIGINT) << CAST(_p % 63 AS INT)) AS word
+        FROM ({apos}) GROUP BY _p // 63),
+    bp AS MATERIALIZED (
+        SELECT key, {pcols} FROM (
+            SELECT key, [{bpos}] AS _ps FROM bm)),
+    probed AS MATERIALIZED (
+        SELECT key, CASE WHEN {hit} = {k} THEN 1 ELSE 0 END AS maybe
+        FROM bp),
+    tru AS (SELECT DISTINCT b.key FROM ({b_keys_sql}) b
+            JOIN ({a_keys_sql}) a USING (key))
+    SELECT CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(maybe) AS BIGINT) AS n_pass,
+           CAST(count(t.key) AS BIGINT) AS n_true,
+           CAST(sum(maybe) - count(t.key) AS BIGINT) AS false_pos,
+           CAST((sum(maybe) - count(t.key)) * 1000000
+                // count(*) AS BIGINT) AS fpr_ppm
+    FROM probed p LEFT JOIN tru t ON t.key = p.key
+    """

@@ -313,3 +313,47 @@ def _oracle_cost_distance() -> str:
 
 QUERIES24["cost_distance"] = q_cost_distance
 ORACLES24["cost_distance"] = _oracle_cost_distance()
+
+
+# --------------------------------------------------------------------------
+# q_bloom_prefilter — the broadcast anti-join reducer: build a 128-Kbit
+# filter from corpus A's distinct texts, probe snapshot B's (corpus_diff
+# edit family), report pass/true/false-positive mass.  One-sided error
+# verified in the report itself: every true member passes, so false_pos
+# = n_pass - n_true >= 0 and fpr_ppm is the measured overshoot the exact
+# join downstream would filter.
+# --------------------------------------------------------------------------
+
+
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketch import bloom_build, bloom_probe
+
+    docs = load(spark, sf_dir, "documents")
+    a = docs.select(F.col("text").alias("key")).distinct()
+    b = (docs.filter(F.expr(_OV_B_PRED))
+         .select(F.expr(_OV_B_TEXT).alias("key")).distinct())
+    filt = bloom_build(a, "key")
+    probed = bloom_probe(b, filt, "key")
+    tru = b.join(a, "key").select("key").withColumn("_t", F.lit(1))
+    return (probed.join(tru, "key", "left")
+            .agg(F.count("*").alias("n_probes"),
+                 F.sum("maybe").alias("n_pass"),
+                 F.count("_t").alias("n_true"))
+            .withColumn("false_pos", F.expr("n_pass - n_true"))
+            .withColumn("fpr_ppm", F.expr(
+                "((n_pass - n_true) * 1000000) div n_probes"))
+            .select("n_probes", "n_pass", "n_true", "false_pos",
+                    "fpr_ppm"))
+
+
+def _oracle_bloom_prefilter() -> str:
+    from .operators.sketch import bloom_report_sql
+
+    a = "SELECT DISTINCT text AS key FROM documents"
+    b = (f"SELECT DISTINCT {_OV_B_TEXT} AS key FROM documents"
+         f" WHERE {_OV_B_PRED}")
+    return bloom_report_sql(a, b)
+
+
+QUERIES24["bloom_prefilter"] = q_bloom_prefilter
+ORACLES24["bloom_prefilter"] = _oracle_bloom_prefilter()

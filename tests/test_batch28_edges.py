@@ -126,3 +126,21 @@ def test_cost_distance_matches_dijkstra(spark):
     assert all(int(cid[1]) % 3 * 0 == 0 for cid in got2)  # sanity
     right_side = {idmap[(r, c)] for r in range(5) for c in (3, 4)}
     assert not (set(got2) & right_side)  # unreachable across the barrier
+
+
+def test_bloom_one_sided_and_effective(spark):
+    from dggstools_spark.operators.sketch import bloom_build, bloom_probe
+
+    a = spark.createDataFrame([(f"in-{i}",) for i in range(2000)],
+                              "key string")
+    b = spark.createDataFrame(
+        [(f"in-{i}",) for i in range(0, 2000, 4)]      # 500 members
+        + [(f"out-{i}",) for i in range(3000)],        # 3000 absent
+        "key string")
+    filt = bloom_build(a, "key")
+    out = {r.key: r.maybe for r in bloom_probe(b, filt, "key").collect()}
+    # one-sided: EVERY true member passes
+    assert all(out[f"in-{i}"] == 1 for i in range(0, 2000, 4))
+    # effective: the vast majority of absent keys are provably dropped
+    fp = sum(out[f"out-{i}"] for i in range(3000))
+    assert fp < 300  # expected ~ (1 - e^(-4*2000/131072))^4 * 3000 ~ 0
