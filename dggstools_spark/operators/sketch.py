@@ -263,3 +263,71 @@ def bloom_report_sql(a_keys_sql: str, b_keys_sql: str,
                 // count(*) AS BIGINT) AS fpr_ppm
     FROM probed p LEFT JOIN tru t ON t.key = p.key
     """
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch — bounded-memory frequency estimation (heavy hitters
+# at 100 TB without retaining the full key dictionary): D hash rows ×
+# W buckets of BIGINT counts (D·W integers total); every key increments
+# one bucket per row, the estimate is the MIN over its D buckets — a
+# one-sided OVER-estimate (collisions only add).  Same md5-slice hash
+# family as the Bloom filter; counts are integer aggregates, so the
+# whole sketch and every estimate is run-stable and engine-exact.
+# --------------------------------------------------------------------------
+
+CM_W = 8192   #: buckets per row
+CM_D = 4      #: hash rows (md5 yields 4 disjoint slices)
+
+
+def cm_build(df: DataFrame, key_col: str, w: int = CM_W,
+             d: int = CM_D) -> DataFrame:
+    """(row_i, bucket, cnt): the sketch — one D-way explode + one hash
+    aggregate with D·W combine state."""
+    rows = ", ".join(
+        f"struct({i} AS row_i, {_pos_spark(key_col, i, w)} AS bucket)"
+        for i in range(d))
+    return (df.select(F.expr(f"explode(array({rows}))").alias("_rb"))
+            .groupBy(F.col("_rb.row_i").alias("row_i"),
+                     F.col("_rb.bucket").alias("bucket"))
+            .agg(F.count("*").alias("cnt")))
+
+
+def cm_estimate(probes: DataFrame, sketch: DataFrame, key_col: str,
+                w: int = CM_W, d: int = CM_D) -> DataFrame:
+    """``probes`` plus ``cm_est`` (>= the key's true multiplicity).  D
+    broadcast-joined bucket lookups + a min aggregate keyed on the probe
+    columns (probe rows must be unique)."""
+    rows = ", ".join(
+        f"struct({i} AS row_i, {_pos_spark(key_col, i, w)} AS bucket)"
+        for i in range(d))
+    cols = probes.columns
+    return (probes
+            .withColumn("_rb", F.expr(f"explode(array({rows}))"))
+            .select(*cols, F.col("_rb.row_i").alias("row_i"),
+                    F.col("_rb.bucket").alias("bucket"))
+            .join(F.broadcast(sketch), ["row_i", "bucket"], "left")
+            .groupBy(*cols)
+            .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cm_est")))
+
+
+def cm_report_sql(keys_sql: str, probes_sql: str, w: int = CM_W,
+                  d: int = CM_D) -> str:
+    """DuckDB twin: build over ``keys_sql`` (column ``key``), estimate
+    for ``probes_sql`` (column ``key``, unique rows) → (key, cm_est)."""
+    kpos = " UNION ALL ".join(
+        f"SELECT {_pos_duckdb('_m', i, w)} AS bucket, {i} AS row_i"
+        f" FROM km" for i in range(d))
+    ppos = " UNION ALL ".join(
+        f"SELECT key, {_pos_duckdb('_m', i, w)} AS bucket, {i} AS row_i"
+        f" FROM pm" for i in range(d))
+    return f"""
+    km AS MATERIALIZED (SELECT md5(key) AS _m FROM ({keys_sql})),
+    pm AS MATERIALIZED (SELECT key, md5(key) AS _m FROM ({probes_sql})),
+    cms AS MATERIALIZED (
+        SELECT row_i, bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM ({kpos}) GROUP BY row_i, bucket),
+    cme AS (
+        SELECT p.key, CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS cm_est
+        FROM ({ppos}) p LEFT JOIN cms s USING (row_i, bucket)
+        GROUP BY p.key)
+    """

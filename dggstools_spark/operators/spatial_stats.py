@@ -703,3 +703,50 @@ def mean_center_sql(source_sql: str, class_col: str, x_col: str,
                       / n_pts) AS BIGINT) AS std_m
     FROM agg
     """
+
+
+def dilate_cells(cells: DataFrame, res: int,
+                 cross_face: bool = True) -> DataFrame:
+    """Morphological DILATION of a cell mask by one queen ring: the
+    input cells plus every grid neighbor (cross-face correct).  One
+    neighbor explode + a distinct — the raster-morphology building block
+    on the lattice (masks are how cell stores encode extents, burn
+    results, buffers)."""
+    nbrs = cell_neighbors(cells, res, cross_face) \
+        .select(F.col("nbr").alias("cellid"))
+    return cells.select("cellid").unionByName(nbrs).distinct()
+
+
+def erode_cells(cells: DataFrame, res: int,
+                cross_face: bool = True) -> DataFrame:
+    """Morphological EROSION: cells whose FULL grid neighborhood is
+    present in the mask (8 neighbors; 7 at cube corners under
+    cross_face=True — the neighborhood the grid actually has; with
+    cross_face=False, face-edge cells use their smaller in-face
+    neighborhood).  required-vs-present counts over ONE neighbor
+    enumeration; erode→dilate = opening (despeckle), dilate→erode =
+    closing (hole fill)."""
+    pairs = cell_neighbors(cells, res, cross_face) \
+        .localCheckpoint(eager=True)  # used twice (required + present)
+    req = pairs.groupBy("cellid").agg(F.count("*").alias("_req"))
+    pres = (pairs.join(cells.select(F.col("cellid").alias("nbr")), "nbr")
+            .groupBy("cellid").agg(F.count("*").alias("_n")))
+    return (req.join(pres, "cellid")
+            .filter(F.col("_n") == F.col("_req"))
+            .select("cellid"))
+
+
+def erode_cells_sql(source_sql: str, res: int,
+                    cross_face: bool = True) -> str:
+    """DuckDB twin of erode_cells (same neighbor enumeration)."""
+    nbr = cell_neighbors_sql(source_sql, res, cross_face)
+    return f"""
+    WITH _mp AS MATERIALIZED ({nbr}),
+    _mr AS (SELECT cellid, count(*) AS _req FROM _mp GROUP BY cellid),
+    _ms AS (SELECT p.cellid, count(*) AS _n
+            FROM _mp p JOIN (SELECT cellid FROM ({source_sql})) c
+              ON c.cellid = p.nbr
+            GROUP BY p.cellid)
+    SELECT r.cellid FROM _mr r JOIN _ms s USING (cellid)
+    WHERE s._n = r._req
+    """

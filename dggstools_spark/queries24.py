@@ -357,3 +357,112 @@ def _oracle_bloom_prefilter() -> str:
 
 QUERIES24["bloom_prefilter"] = q_bloom_prefilter
 ORACLES24["bloom_prefilter"] = _oracle_bloom_prefilter()
+
+
+# --------------------------------------------------------------------------
+# q_cm_topk — count-min frequency estimation for the exact top-20 tokens
+# (the yardstick the sketch would replace at scale): cm_est >= true by
+# construction (one-sided collisions), over_ppm measures the overshoot.
+# --------------------------------------------------------------------------
+
+CM_TOPK = 20
+
+
+def q_cm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.dedup import tokens
+    from .operators.sketch import cm_build, cm_estimate
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    toks = tokens(docs, "text").select(F.col("tok").alias("key"))
+    sketch = cm_build(toks, "key")
+    w = Window.orderBy(F.desc("true_cnt"), F.asc("key"))
+    top = (toks.groupBy("key").agg(F.count("*").alias("true_cnt"))
+           .withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= CM_TOPK))
+    return (cm_estimate(top, sketch, "key")
+            .withColumn("over_ppm", F.expr(
+                "((cm_est - true_cnt) * 1000000) div true_cnt"))
+            .select("key", "true_cnt", "cm_est", "over_ppm", "rank"))
+
+
+def _oracle_cm_topk() -> str:
+    from .operators.sketch import cm_report_sql
+
+    toks = ("SELECT unnest(string_split(text, ' ')) AS key"
+            " FROM documents WHERE text IS NOT NULL")
+    cm = cm_report_sql("SELECT key FROM toks", "SELECT key FROM top")
+    return f"""
+    WITH toks AS MATERIALIZED ({toks}),
+    top AS MATERIALIZED (
+        SELECT key, true_cnt, rank FROM (
+            SELECT key, CAST(count(*) AS BIGINT) AS true_cnt,
+                   row_number() OVER (ORDER BY count(*) DESC, key)
+                       AS rank
+            FROM toks GROUP BY key)
+        WHERE rank <= {CM_TOPK}),
+    {cm}
+    SELECT t.key, t.true_cnt, e.cm_est,
+           CAST(((e.cm_est - t.true_cnt) * 1000000)
+                // t.true_cnt AS BIGINT) AS over_ppm,
+           CAST(t.rank AS INT) AS rank
+    FROM top t JOIN cme e USING (key)
+    """
+
+
+QUERIES24["cm_topk"] = q_cm_topk
+ORACLES24["cm_topk"] = _oracle_cm_topk()
+
+
+# --------------------------------------------------------------------------
+# q_morph_close — morphological CLOSING (dilate -> erode) of the
+# occupied-cell mask of the document corpus at res 2: fills holes and
+# channels narrower than one ring, keeping cluster interiors — the
+# raster-mask hygiene op, cross-face correct.  (Opening on this sparse
+# mask erodes to the empty set — no doc cell has a full neighborhood at
+# sf0.01 — so closing is the semantically exercised direction; both
+# primitives are pytest-covered.)  constraint 2: the mask is
+# checkpointed before the digit-heavy neighbor enumerations.
+# --------------------------------------------------------------------------
+
+MO_RES = 2
+
+
+def q_morph_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import encode_sql
+    from .operators.spatial_stats import dilate_cells, erode_cells
+    from .sources import synth
+
+    docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id")
+    mask = (encode_sql.spark_encode(docs, "lon", "lat", MO_RES)
+            .select("cellid").distinct().localCheckpoint(eager=True))
+    dl = dilate_cells(mask, MO_RES).localCheckpoint(eager=True)
+    return erode_cells(dl, MO_RES)
+
+
+def _oracle_morph_close() -> str:
+    from .functions import encode_sql
+    from .operators.spatial_stats import (cell_neighbors_sql,
+                                          erode_cells_sql)
+    from .sources import synth
+
+    src = synth.duckdb_lonlat_select("documents", "doc_id", ["doc_id"])
+    enc = encode_sql.duckdb_encode_select(f"({src})", "lon", "lat",
+                                          MO_RES, [])
+    dl_nbr = cell_neighbors_sql("SELECT cellid FROM _mask", MO_RES)
+    er = erode_cells_sql("SELECT cellid FROM _dl", MO_RES)
+    return f"""
+    WITH _mask AS MATERIALIZED (
+        SELECT DISTINCT cellid FROM ({enc})),
+    _dl AS MATERIALIZED (
+        SELECT cellid FROM _mask
+        UNION
+        SELECT nbr AS cellid FROM ({dl_nbr}))
+    SELECT cellid FROM ({er}) _x
+    """
+
+
+QUERIES24["morph_close"] = q_morph_close
+ORACLES24["morph_close"] = _oracle_morph_close()

@@ -144,3 +144,48 @@ def test_bloom_one_sided_and_effective(spark):
     # effective: the vast majority of absent keys are provably dropped
     fp = sum(out[f"out-{i}"] for i in range(3000))
     assert fp < 300  # expected ~ (1 - e^(-4*2000/131072))^4 * 3000 ~ 0
+
+
+def test_morphology_dilate_erode(spark):
+    from dggstools_spark.operators.spatial_stats import (dilate_cells,
+                                                         erode_cells)
+
+    # full face Q at res 1 plus one isolated cell on face O
+    q_cells = [f"Q{d}" for d in "012345678"]
+    cells = spark.createDataFrame([(c,) for c in q_cells + ["O4"]],
+                                  "cellid string")
+    # cross_face=False: every Q cell's (smaller) in-face neighborhood is
+    # complete, so the full face survives; the isolated O4 erodes away
+    er_in = {r.cellid for r in erode_cells(cells, 1, cross_face=False)
+             .collect()}
+    assert er_in == set(q_cells)
+    # cross_face=True: edge cells' seam neighbors are absent -> only the
+    # face center keeps its full grid neighborhood
+    er = {r.cellid for r in erode_cells(cells, 1, cross_face=True)
+          .collect()}
+    assert er == {"Q4"}
+    dl = {r.cellid for r in
+          dilate_cells(spark.createDataFrame([("Q4",)], "cellid string"),
+                       1, cross_face=False).collect()}
+    assert dl == set(q_cells)  # center + ring = the whole face
+    # closing the full face keeps it intact (interior semantics)
+    close = {r.cellid for r in erode_cells(
+        dilate_cells(cells.filter("cellid LIKE 'Q%'"), 1,
+                     cross_face=True), 1, cross_face=True).collect()}
+    assert set(q_cells) <= close
+
+
+def test_cm_sketch_overestimates_exactly_bounded(spark):
+    from dggstools_spark.operators.dedup import tokens  # noqa: F401
+    from dggstools_spark.operators.sketch import cm_build, cm_estimate
+
+    rows = [(f"k{i % 50}",) for i in range(5000)]  # 50 keys x 100
+    df = spark.createDataFrame(rows, "key string")
+    sk = cm_build(df, "key")
+    probes = spark.createDataFrame(
+        [(f"k{i}",) for i in range(50)] + [("absent",)], "key string")
+    out = {r.key: r.cm_est for r in
+           cm_estimate(probes, sk, "key").collect()}
+    assert all(out[f"k{i}"] >= 100 for i in range(50))  # one-sided
+    assert sum(out[f"k{i}"] for i in range(50)) < 50 * 100 * 1.2
+    assert out["absent"] >= 0  # min over empty buckets -> likely 0
