@@ -466,3 +466,70 @@ def _oracle_morph_close() -> str:
 
 QUERIES24["morph_close"] = q_morph_close
 ORACLES24["morph_close"] = _oracle_morph_close()
+
+
+# --------------------------------------------------------------------------
+# q_region_group — raster "clump"/region-group: connected components of
+# the occupied-cell mask under queen adjacency (cross-face correct),
+# labels = min member cellid (the dedup_clusters pointer-jumping kernel
+# on lattice edges), isolated cells self-labeled; report region sizes.
+# Oracle = recursive-CTE reachability over the same edges (the
+# embed_clusters oracle family).
+# --------------------------------------------------------------------------
+
+RG_RES = 2
+
+
+def q_region_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import encode_sql
+    from .operators.dedup import dedup_clusters
+    from .operators.spatial_stats import cell_neighbors
+    from .sources import synth
+
+    docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id")
+    mask = (encode_sql.spark_encode(docs, "lon", "lat", RG_RES)
+            .select("cellid").distinct().localCheckpoint(eager=True))
+    pairs = (cell_neighbors(mask, RG_RES, cross_face=True)
+             .join(mask.select(F.col("cellid").alias("nbr")), "nbr")
+             .select(F.col("cellid").alias("a_id"),
+                     F.col("nbr").alias("b_id")))
+    cc = dedup_clusters(pairs, node_col="cellid", cluster_col="region")
+    labeled = (mask.join(cc, "cellid", "left")
+               .select("cellid",
+                       F.coalesce("region", F.col("cellid"))
+                       .alias("region")))
+    return (labeled.groupBy("region")
+            .agg(F.count("*").alias("n_cells")))
+
+
+def _oracle_region_group() -> str:
+    from .functions import encode_sql
+    from .operators.spatial_stats import cell_neighbors_sql
+    from .sources import synth
+
+    src = synth.duckdb_lonlat_select("documents", "doc_id", ["doc_id"])
+    enc = encode_sql.duckdb_encode_select(f"({src})", "lon", "lat",
+                                          RG_RES, [])
+    nbr = cell_neighbors_sql("SELECT cellid FROM _mask", RG_RES,
+                             cross_face=True)
+    return f"""
+    WITH RECURSIVE _mask AS MATERIALIZED (
+        SELECT DISTINCT cellid FROM ({enc})),
+    edges AS MATERIALIZED (
+        SELECT n.cellid AS x, n.nbr AS y
+        FROM ({nbr}) n JOIN _mask m ON m.cellid = n.nbr),
+    reach(n, lab) AS (
+        SELECT x, x FROM edges
+        UNION
+        SELECT e.x, r.lab FROM edges e JOIN reach r ON r.n = e.y),
+    cc AS MATERIALIZED (
+        SELECT n AS cellid, min(lab) AS region FROM reach GROUP BY n)
+    SELECT coalesce(c.region, m.cellid) AS region,
+           CAST(count(*) AS BIGINT) AS n_cells
+    FROM _mask m LEFT JOIN cc c USING (cellid)
+    GROUP BY 1
+    """
+
+
+QUERIES24["region_group"] = q_region_group
+ORACLES24["region_group"] = _oracle_region_group()

@@ -189,3 +189,29 @@ def test_cm_sketch_overestimates_exactly_bounded(spark):
     assert all(out[f"k{i}"] >= 100 for i in range(50))  # one-sided
     assert sum(out[f"k{i}"] for i in range(50)) < 50 * 100 * 1.2
     assert out["absent"] >= 0  # min over empty buckets -> likely 0
+
+
+def test_region_group_components(spark):
+    # two L-shaped clumps on face Q (res 1) + one isolated cell on O
+    from dggstools_spark.operators.dedup import dedup_clusters
+    from dggstools_spark.operators.spatial_stats import cell_neighbors
+    from pyspark.sql import functions as F2
+
+    cells = spark.createDataFrame(
+        [("Q0",), ("Q1",), ("Q3",),   # clump A (0-1 row adj, 0-3 col adj)
+         ("Q8",),                      # corner, isolated within face...
+         ("O4",)], "cellid string")
+    mask = cells
+    pairs = (cell_neighbors(mask, 1, cross_face=False)
+             .join(mask.select(F2.col("cellid").alias("nbr")), "nbr")
+             .select(F2.col("cellid").alias("a_id"),
+                     F2.col("nbr").alias("b_id")))
+    cc = dedup_clusters(pairs, node_col="cellid", cluster_col="region")
+    labeled = {r.cellid: r.region for r in
+               (mask.join(cc, "cellid", "left")
+                .select("cellid", F2.coalesce("region", F2.col("cellid"))
+                        .alias("region"))).collect()}
+    assert labeled["Q0"] == labeled["Q1"] == labeled["Q3"] == "Q0"
+    # Q8 is diagonal to Q4 (absent) — isolated; queen-adjacent to Q5/Q7
+    # (absent) too -> own region; O4 likewise
+    assert labeled["Q8"] == "Q8" and labeled["O4"] == "O4"
