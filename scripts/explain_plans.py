@@ -48,7 +48,8 @@ def main() -> None:
              "overlay_area", "user_trips", "mean_center",
              "cell_rank", "near_pairs", "hll_count", "path_cells",
              "change_matrix", "hll_overlap", "idw_interp", "buffer_cells",
-             "cell_visitors"]
+             "cell_visitors", "cost_distance", "bloom_prefilter",
+             "cm_topk", "morph_close", "region_group", "stream_hll"]
     # queries whose joins must stay broadcast (dimension-sized side): a
     # SortMergeJoin here is plan creep and fails the script.  embed_pairs'
     # bucket self-join and rescale_modes' agg-agg joins legitimately shuffle
