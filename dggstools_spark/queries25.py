@@ -120,3 +120,66 @@ def _oracle_buffer_cells() -> str:
 
 QUERIES25["buffer_cells"] = q_buffer_cells
 ORACLES25["buffer_cells"] = _oracle_buffer_cells()
+
+
+# --------------------------------------------------------------------------
+# q_asof_status — point-in-time lookup: every 7th event is a per-user
+# status change; all other events pick up the status AS OF their own
+# timestamp (inclusive at equal timestamps — the standard contract).
+# The ORACLE uses DuckDB's NATIVE `ASOF LEFT JOIN` — an independent
+# implementation of the semantics, not a replay of the union+window
+# construction — the strongest oracle shape in the repo.  Output is the
+# per-user-bucket rollup (n_events, n_matched, sum_status_cents).
+# --------------------------------------------------------------------------
+
+ASOF_BUCKETS = 17
+
+
+def q_asof_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import asof_join
+
+    ev = (load(spark, sf_dir, "events")
+          .select("event_id", "user_id", "value",
+                  F.expr("unix_millis(CAST(ts AS TIMESTAMP))")
+                  .alias("tms")))
+    ch = (ev.filter("event_id % 7 = 0")
+          .withColumn("status_cents",
+                      F.expr("CAST(round(value * 100) AS BIGINT)"))
+          .groupBy("user_id", "tms")
+          .agg(F.max("status_cents").alias("status_cents")))
+    lt = ev.filter("event_id % 7 <> 0").select("user_id", "event_id",
+                                               "tms")
+    m = asof_join(lt, ch, "user_id", "tms", "tms", ["status_cents"])
+    return (m.groupBy(F.expr(f"user_id % {ASOF_BUCKETS}")
+                      .alias("user_bucket"))
+            .agg(F.count("*").alias("n_events"),
+                 F.count("matched_t").alias("n_matched"),
+                 F.sum(F.coalesce("status_cents", F.lit(0)))
+                 .alias("sum_status")))
+
+
+def _oracle_asof_status() -> str:
+    return f"""
+    WITH ch AS MATERIALIZED (
+        SELECT user_id, tms, max(status_cents) AS status_cents FROM (
+            SELECT user_id, epoch_ms(ts) AS tms,
+                   CAST(round(value * 100) AS BIGINT) AS status_cents
+            FROM events WHERE event_id % 7 = 0)
+        GROUP BY user_id, tms),
+    lt AS MATERIALIZED (
+        SELECT user_id, event_id, epoch_ms(ts) AS tms
+        FROM events WHERE event_id % 7 <> 0),
+    m AS (
+        SELECT l.user_id, r.tms AS matched_t, r.status_cents
+        FROM lt l ASOF LEFT JOIN ch r
+          ON l.user_id = r.user_id AND l.tms >= r.tms)
+    SELECT user_id % {ASOF_BUCKETS} AS user_bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(matched_t) AS BIGINT) AS n_matched,
+           CAST(sum(coalesce(status_cents, 0)) AS BIGINT) AS sum_status
+    FROM m GROUP BY 1
+    """
+
+
+QUERIES25["asof_status"] = q_asof_status
+ORACLES25["asof_status"] = _oracle_asof_status()

@@ -215,3 +215,33 @@ def test_region_group_components(spark):
     # Q8 is diagonal to Q4 (absent) — isolated; queen-adjacent to Q5/Q7
     # (absent) too -> own region; O4 likewise
     assert labeled["Q8"] == "Q8" and labeled["O4"] == "O4"
+
+
+def test_asof_join_semantics(spark):
+    from dggstools_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "e1"), (1, 5, "e2"), (1, 3, "e3"), (2, 7, "e4")],
+        "k long, t long, tag string")
+    right = spark.createDataFrame(
+        [(1, 10, 100), (1, 4, 40), (2, 9, 90)],
+        "k long, rt long, v long")
+    out = {r.tag: (r.matched_t, r.v) for r in
+           asof_join(left, right, "k", "t", "rt", ["v"]).collect()}
+    assert out["e1"] == (10, 100)   # equal timestamp matches (inclusive)
+    assert out["e2"] == (4, 40)     # latest <= 5
+    assert out["e3"] == (None, None)  # nothing at or before 3
+    assert out["e4"] == (None, None)  # right exists only later
+    # tolerance nulls out stale matches
+    out2 = {r.tag: r.v for r in
+            asof_join(left, right, "k", "t", "rt", ["v"],
+                      tolerance=0).collect()}
+    assert out2["e1"] == 100 and out2["e2"] is None
+    # duplicate right rows per (k, t) are refused loudly
+    dup = right.union(spark.createDataFrame([(1, 4, 41)],
+                                            "k long, rt long, v long"))
+    try:
+        asof_join(left, dup, "k", "t", "rt", ["v"])
+        assert False
+    except ValueError as e:
+        assert "duplicate" in str(e)
