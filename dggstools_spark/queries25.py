@@ -183,3 +183,62 @@ def _oracle_asof_status() -> str:
 
 QUERIES25["asof_status"] = q_asof_status
 ORACLES25["asof_status"] = _oracle_asof_status()
+
+
+# --------------------------------------------------------------------------
+# q_range_events — interval join: every 11th event anchors a 30-minute
+# per-user session window; all events of the same user landing inside a
+# window are attributed to it (bucketized equi-join, 5-minute buckets ->
+# 7 buckets per interval).  ORACLE = a plain inequality join (DuckDB's
+# IEJoin path) — an independent implementation, like asof_status.
+# --------------------------------------------------------------------------
+
+RJ_GRAN = 300_000           # 5-minute buckets (ms)
+RJ_SPAN = 1_800_000         # 30-minute windows
+RJ_BUCKETS = 13
+
+
+def q_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import range_join
+
+    ev = (load(spark, sf_dir, "events")
+          .select("event_id", "user_id",
+                  F.expr("unix_millis(CAST(ts AS TIMESTAMP))")
+                  .alias("tms")))
+    iv = (ev.filter("event_id % 11 = 0")
+          .select(F.col("event_id").alias("sess_id"), "user_id",
+                  F.col("tms").alias("t_start"),
+                  (F.col("tms") + RJ_SPAN).alias("t_end")))
+    pts = ev.select("user_id", F.col("event_id").alias("pt_id"), "tms")
+    hits = range_join(pts, iv, "tms", "t_start", "t_end", RJ_GRAN,
+                      key="user_id")
+    return (hits.groupBy(F.expr(f"sess_id % {RJ_BUCKETS}")
+                         .alias("sess_bucket"))
+            .agg(F.count("*").alias("n_hits"),
+                 F.countDistinct("sess_id").alias("n_sessions"),
+                 F.countDistinct("pt_id").alias("n_events")))
+
+
+def _oracle_range_events() -> str:
+    return f"""
+    WITH ev AS MATERIALIZED (
+        SELECT event_id, user_id, epoch_ms(ts) AS tms FROM events),
+    iv AS MATERIALIZED (
+        SELECT event_id AS sess_id, user_id, tms AS t_start,
+               tms + {RJ_SPAN} AS t_end
+        FROM ev WHERE event_id % 11 = 0),
+    hits AS (
+        SELECT i.sess_id, p.event_id AS pt_id
+        FROM ev p JOIN iv i
+          ON p.user_id = i.user_id
+         AND p.tms >= i.t_start AND p.tms <= i.t_end)
+    SELECT sess_id % {RJ_BUCKETS} AS sess_bucket,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(count(DISTINCT sess_id) AS BIGINT) AS n_sessions,
+           CAST(count(DISTINCT pt_id) AS BIGINT) AS n_events
+    FROM hits GROUP BY 1
+    """
+
+
+QUERIES25["range_events"] = q_range_events
+ORACLES25["range_events"] = _oracle_range_events()

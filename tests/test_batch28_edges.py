@@ -245,3 +245,28 @@ def test_asof_join_semantics(spark):
         assert False
     except ValueError as e:
         assert "duplicate" in str(e)
+
+
+def test_range_join_matches_brute_force(spark):
+    import random
+
+    from dggstools_spark.operators.temporal import range_join
+
+    rnd = random.Random(5)
+    pts = [(i % 3, i, rnd.randrange(0, 10000)) for i in range(300)]
+    ivs = [(j, j % 3, s := rnd.randrange(0, 9000), s + rnd.randrange(0, 900))
+           for j in range(40)]
+    p = spark.createDataFrame(pts, "k long, pid long, t long")
+    iv = spark.createDataFrame(ivs, "iid long, k long, s long, e long")
+    got = {(r.pid, r.iid) for r in
+           range_join(p, iv, "t", "s", "e", 100, key="k").collect()}
+    exp = {(pid, iid) for k, pid, t in pts
+           for iid, ik, s, e in ivs if ik == k and s <= t <= e}
+    assert got == exp and len(exp) > 100
+    # guard: a huge span at tiny granularity is refused loudly
+    try:
+        range_join(p, iv, "t", "s", "e", 1, key="k",
+                   max_buckets_per_interval=8)
+        assert False
+    except ValueError as ex:
+        assert "buckets" in str(ex)
