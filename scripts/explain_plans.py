@@ -49,7 +49,8 @@ def main() -> None:
              "cell_rank", "near_pairs", "hll_count", "path_cells",
              "change_matrix", "hll_overlap", "idw_interp", "buffer_cells",
              "cell_visitors", "cost_distance", "bloom_prefilter",
-             "cm_topk", "morph_close", "region_group", "stream_hll"]
+             "cm_topk", "morph_close", "region_group", "stream_hll",
+             "asof_status", "range_events"]
     # queries whose joins must stay broadcast (dimension-sized side): a
     # SortMergeJoin here is plan creep and fails the script.  embed_pairs'
     # bucket self-join and rescale_modes' agg-agg joins legitimately shuffle
