@@ -750,3 +750,91 @@ def erode_cells_sql(source_sql: str, res: int,
     SELECT r.cellid FROM _mr r JOIN _ms s USING (cellid)
     WHERE s._n = r._req
     """
+
+
+def kring_cells(cells: DataFrame, res: int, k: int,
+                cross_face: bool = True) -> DataFrame:
+    """(cellid, nbr, ring): every grid cell within queen GRAPH distance
+    ``k`` of each input cell, with ``ring`` = exact minimum hop count
+    (1..k) — the H3 `grid_disk`/`k_ring` surface on the rHEALPix lattice,
+    cross-face CORRECT (TODO_r7 #3; radius 1 = :func:`cell_neighbors`).
+
+    Semantics: distance is minimum #steps in the queen adjacency graph
+    (``cell_neighbors`` edges, seam-glued when ``cross_face``).  On a
+    face interior this equals Chebyshev distance; across seams and at
+    the 24 cube corners the planar closed form does not exist, so the
+    ring index is computed by breadth-first EXPANSION — exactly k rounds
+    of the radius-1 relation with an anti-join against already-reached
+    cells (min-distance by construction: a cell first reached in round r
+    has ring r).
+
+    Scale shape (100 TB): each of the k rounds is one lattice neighbor
+    enumeration over the current frontier (offsets explode + the
+    O(sqrt) seam branch, broadcast 24-row gluing table) + one hash
+    equi-join back to the seeds + one anti-join; frontier size is
+    O(seeds·k) after dedup, not O(seeds·9^k).  ``localCheckpoint`` per
+    round cuts the re-inlined cellid-fold lineage (CLAUDE.md
+    constraint 2 family — the loop would otherwise stack k copies of
+    the digit fold into one janino stage)."""
+    if k < 1:
+        raise ValueError(f"kring_cells: k must be >= 1, got {k}")
+    e1 = (cell_neighbors(cells.select("cellid").distinct(), res,
+                         cross_face)
+          .select("cellid", "nbr").distinct()
+          .localCheckpoint(eager=True))
+    reach = e1.withColumn("ring", F.lit(1).cast("int"))
+    frontier = e1
+    for r in range(2, k + 1):
+        hop = (cell_neighbors(
+                   frontier.select(F.col("nbr").alias("cellid"))
+                           .distinct(),
+                   res, cross_face)
+               .select(F.col("cellid").alias("_mid"), "nbr"))
+        new = (frontier.select("cellid", F.col("nbr").alias("_mid"))
+               .join(hop, "_mid")
+               .select("cellid", "nbr").distinct()
+               .join(reach.select("cellid", "nbr"),
+                     ["cellid", "nbr"], "left_anti")
+               .filter(F.col("nbr") != F.col("cellid"))
+               .localCheckpoint(eager=True))
+        reach = reach.unionByName(
+            new.withColumn("ring", F.lit(r).cast("int")))
+        frontier = new
+    return reach
+
+
+def kring_cells_sql(source_sql: str, res: int, k: int,
+                    cross_face: bool = True) -> str:
+    """DuckDB twin of :func:`kring_cells`: the same k-round expansion as
+    an unrolled CTE chain, every level MATERIALIZED (CLAUDE.md
+    constraint 14 — un-materialized levels inline exponentially)."""
+    if k < 1:
+        raise ValueError(f"kring_cells_sql: k must be >= 1, got {k}")
+    seeds = f"(SELECT DISTINCT cellid FROM ({source_sql}))"
+    e1 = cell_neighbors_sql(seeds, res, cross_face)
+    parts = [f"_e1 AS MATERIALIZED (SELECT DISTINCT cellid, nbr"
+             f" FROM ({e1}))",
+             "_reach1 AS MATERIALIZED (SELECT cellid, nbr,"
+             " CAST(1 AS INT) AS ring FROM _e1)",
+             "_front1 AS MATERIALIZED (SELECT cellid, nbr FROM _e1)"]
+    for r in range(2, k + 1):
+        hop = cell_neighbors_sql(
+            f"(SELECT DISTINCT nbr AS cellid FROM _front{r - 1})",
+            res, cross_face)
+        parts.append(f"_hop{r} AS MATERIALIZED (SELECT cellid AS _mid,"
+                     f" nbr FROM ({hop}))")
+        parts.append(f"""_front{r} AS MATERIALIZED (
+            SELECT cellid, nbr FROM (
+                SELECT DISTINCT f.cellid, h.nbr
+                FROM _front{r - 1} f JOIN _hop{r} h ON h._mid = f.nbr) q
+            WHERE q.nbr <> q.cellid
+              AND NOT EXISTS (SELECT 1 FROM _reach{r - 1} p
+                              WHERE p.cellid = q.cellid
+                                AND p.nbr = q.nbr))""")
+        parts.append(f"""_reach{r} AS MATERIALIZED (
+            SELECT cellid, nbr, ring FROM _reach{r - 1}
+            UNION ALL
+            SELECT cellid, nbr, CAST({r} AS INT) AS ring
+            FROM _front{r})""")
+    return (f"WITH {', '.join(parts)}\n"
+            f"SELECT cellid, nbr, ring FROM _reach{k}")

@@ -471,6 +471,7 @@ from .queries22 import QUERIES22, ORACLES22  # noqa: E402
 from .queries23 import QUERIES23, ORACLES23  # noqa: E402
 from .queries24 import QUERIES24, ORACLES24  # noqa: E402
 from .queries25 import QUERIES25, ORACLES25  # noqa: E402
+from .queries26 import QUERIES26, ORACLES26  # noqa: E402
 
 QUERIES.update(QUERIES2)
 ORACLES.update(ORACLES2)
@@ -520,6 +521,8 @@ QUERIES.update(QUERIES24)
 ORACLES.update(ORACLES24)
 QUERIES.update(QUERIES25)
 ORACLES.update(ORACLES25)
+QUERIES.update(QUERIES26)
+ORACLES.update(ORACLES26)
 
 
 # --------------------------------------------------------------------------
@@ -806,6 +809,10 @@ _PROMOTE_EARLY = ["stream_dedup",
 # replays) has no candidates left.  Like hotspots_xface/lisa_xface they
 # ride the replica gate + sf1 gate this round and are FIRST in line for
 # promotion next round.
+# The r6 batch-29 trio (cell_diversity/kring_xface/join_counts —
+# categorical spatial statistics + the cross-face k-ring) is likewise NOT
+# promoted (no safe rotation candidates remain); they ride the replica +
+# sf1 gates and join the TODO_r7 promotion queue behind batch 28.
 # Tail order below follows VERDICT r5 #7: if a future driver window is
 # ever >50, the first rotated-back entries checked should be the
 # unique-machinery ones (minhash, salted_topk, stratified_sample,
