@@ -182,6 +182,152 @@ def pq_topk(emb: DataFrame, queries: DataFrame, topk: int,
             .select(q_id, id_col, "adc_q", "rank"))
 
 
+def ivfpq_topk(emb: DataFrame, queries: DataFrame, topk: int,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               q_vec: str = "q_emb", q_id: str = "q_id",
+               mod: int = 23, residue: int = 3, nprobe: int = 3,
+               m: int = PQ_M, dsub: int = PQ_DSUB, k: int = PQ_K,
+               seed_mod: int = PQ_SEED_MOD,
+               seed_res: int = PQ_SEED_RES) -> DataFrame:
+    """(q_id, vec_id, adc_q, rank): IVF + PQ composed — faiss's IndexIVFPQ
+    shape (non-residual variant, by_residual=false): coarse-quantize the
+    corpus into inverted lists (similarity.ivf_assign), PQ-encode every
+    vector once, then answer queries by probing the ``nprobe`` nearest
+    lists and ADC-ranking ONLY their members.
+
+    This replaces pq_topk's whole-corpus BroadcastNestedLoop ADC scan with
+    an EQUI-JOIN on the list id — the memory-bound PQ arithmetic AND the
+    IVF candidate pruning together, which is the actual 100-TB ANN
+    architecture: the scan cost drops from |corpus|·M lookups per query to
+    (|corpus|·nprobe/n_lists)·M, the code table is the only corpus-sized
+    state (d/(M·4) compression), and every join is either broadcast
+    (centroids, probes, LUTs, codebook) or the one hash equi-join on cid.
+    Non-residual keeps the construction deterministic-SQL end to end
+    (residual encoding would subtract the float centroid per vector before
+    coding — an extra zip_with per row and a second codebook pass for no
+    oracle gain at these dims; faiss exposes the same switch).
+
+    Determinism: probe selection uses the exact round(.,9) cosine (the
+    ivf_topk probe stage, HOF fold in the BNLJ shape per CLAUDE.md
+    constraint 15); ADC distances are sums of M quantized BIGINTs —
+    associative, run-stable; ties → min id on both engines."""
+    from pyspark.sql.window import Window
+
+    from .similarity import DOT_SPARK, ivf_assign, ivf_centroids, nrm_spark
+
+    cents = ivf_centroids(emb, vec_col, id_col, mod, residue)
+    assigned = ivf_assign(emb, cents, vec_col, id_col)
+    cb = pq_codebook(emb, vec_col, id_col, m, dsub, k, seed_mod, seed_res)
+    codes = pq_encode(emb, cb, vec_col, id_col, m, dsub)
+    lists = assigned.select(id_col, "cid").join(codes, id_col)
+
+    q = queries.withColumn("_nq", F.expr(nrm_spark(q_vec)))
+    c = cents.withColumn("_ncn", F.expr(nrm_spark("cvec")))
+    pdot = DOT_SPARK.format(a=q_vec, b="cvec")
+    pw = Window.partitionBy(q_id).orderBy(F.col("_s").desc(), "cid")
+    probes = (q.join(F.broadcast(c))
+              .withColumn("_s", F.expr(f"round(({pdot}) / (_nq * _ncn), 9)"))
+              .withColumn("_rn", F.row_number().over(pw))
+              .filter(F.col("_rn") <= nprobe)
+              .select(q_id, "cid"))
+
+    lut = pq_lut(queries, cb, q_vec, q_id, m, dsub, k)
+    adc = " + ".join(
+        f"element_at(lut, CAST({j * k} + element_at(codes, {j + 1}) + 1"
+        f" AS INT))" for j in range(m))
+    rw = Window.partitionBy(q_id).orderBy(F.asc("adc_q"), F.asc(id_col))
+    return (lists.join(F.broadcast(probes), "cid")
+            .filter(F.col(id_col) != F.col(q_id))
+            .join(F.broadcast(lut), q_id)
+            .withColumn("adc_q", F.expr(adc))
+            .withColumn("rank", F.row_number().over(rw))
+            .filter(F.col("rank") <= topk)
+            .select(q_id, id_col, "adc_q", "rank"))
+
+
+def ivfpq_topk_sql(emb_table: str, topk: int, query_pred: str,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   mod: int = 23, residue: int = 3, nprobe: int = 3,
+                   m: int = PQ_M, dsub: int = PQ_DSUB, k: int = PQ_K,
+                   seed_mod: int = PQ_SEED_MOD,
+                   seed_res: int = PQ_SEED_RES) -> str:
+    """DuckDB twin of :func:`ivfpq_topk`: the ivf_topk oracle's
+    cents/assign/probes CTEs composed with the pq_topk oracle's
+    seeds/cb/sv/codes/LUT CTEs; the ADC scan is the same cid equi-join."""
+    from .similarity import DOT_DUCK, NRM_DUCK
+
+    def sim(a, b):
+        return (f"round(({DOT_DUCK.format(a=a, b=b)})"
+                f" / ({NRM_DUCK.format(v=a)} * {NRM_DUCK.format(v=b)}), 9)")
+
+    dq = _dq_duckdb(dsub)
+    adc = " + ".join(
+        f"l.lut[{j * k} + c.codes[{j + 1}] + 1]" for j in range(m))
+    return f"""
+    WITH cents AS MATERIALIZED (
+        SELECT {id_col} AS cid, {vec_col} AS cvec FROM {emb_table}
+        WHERE {id_col} % {mod} = {residue}),
+    asim AS (SELECT e.{id_col}, c.cid,
+                    {sim(f'e.{vec_col}', 'c.cvec')} AS s
+             FROM {emb_table} e, cents c),
+    assign AS MATERIALIZED (
+        SELECT {id_col}, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY {id_col}
+                ORDER BY s DESC, cid) AS rn FROM asim) WHERE rn = 1),
+    qs AS (SELECT {id_col} AS q_id, {vec_col} AS q_emb FROM {emb_table}
+           WHERE {query_pred}),
+    psim AS (SELECT q.q_id, c.cid, {sim('q.q_emb', 'c.cvec')} AS s
+             FROM qs q, cents c),
+    probes AS MATERIALIZED (SELECT q_id, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY s DESC, cid) AS rn FROM psim) WHERE rn <= {nprobe}),
+    seeds AS MATERIALIZED (
+        SELECT {vec_col}, row_number() OVER (ORDER BY {id_col}) - 1 AS cid
+        FROM {emb_table} WHERE {id_col} % {seed_mod} = {seed_res}
+        QUALIFY row_number() OVER (ORDER BY {id_col}) <= {k}),
+    cb AS MATERIALIZED (
+        SELECT t.m, cid,
+               list_transform(list_slice({vec_col}, t.m * {dsub} + 1,
+                                         t.m * {dsub} + {dsub}),
+                              x -> CAST(x AS DOUBLE)) AS cvec
+        FROM seeds, range({m}) t(m)),
+    sv AS (
+        SELECT {id_col}, t.m,
+               CASE WHEN len({vec_col}) >= {m * dsub}
+                    THEN list_transform(list_slice({vec_col},
+                                                   t.m * {dsub} + 1,
+                                                   t.m * {dsub} + {dsub}),
+                                        x -> CAST(x AS DOUBLE))
+                    ELSE error('pq: vector shorter than m*dsub') END AS svec
+        FROM {emb_table}, range({m}) t(m)),
+    pc AS MATERIALIZED (
+        SELECT {id_col}, m, cid, {dq} AS dq
+        FROM sv JOIN cb USING (m)),
+    codes AS MATERIALIZED (
+        SELECT {id_col}, list(code ORDER BY m) AS codes FROM (
+            SELECT {id_col}, m, CAST(cid AS INT) AS code,
+                   row_number() OVER (PARTITION BY {id_col}, m
+                                      ORDER BY dq, cid) AS rn
+            FROM pc) WHERE rn = 1 GROUP BY {id_col}),
+    lut AS MATERIALIZED (
+        SELECT {id_col} AS q_id, list(dq ORDER BY m * {k} + cid) AS lut
+        FROM pc JOIN qs ON pc.{id_col} = qs.q_id GROUP BY pc.{id_col}),
+    cand AS (
+        SELECT p.q_id, a.{id_col}, a.cid FROM probes p
+        JOIN assign a USING (cid)
+        WHERE a.{id_col} <> p.q_id),
+    adc AS (
+        SELECT x.q_id, c.{id_col}, CAST({adc} AS BIGINT) AS adc_q
+        FROM cand x
+        JOIN codes c USING ({id_col})
+        JOIN lut l ON l.q_id = x.q_id)
+    SELECT q_id, {id_col}, adc_q, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY adc_q, {id_col}) AS rank FROM adc)
+    WHERE rank <= {topk}
+    """
+
+
 def pq_topk_sql(emb_table: str, topk: int, query_pred: str,
                 vec_col: str = "embedding", id_col: str = "vec_id",
                 m: int = PQ_M, dsub: int = PQ_DSUB, k: int = PQ_K,

@@ -472,6 +472,7 @@ from .queries23 import QUERIES23, ORACLES23  # noqa: E402
 from .queries24 import QUERIES24, ORACLES24  # noqa: E402
 from .queries25 import QUERIES25, ORACLES25  # noqa: E402
 from .queries26 import QUERIES26, ORACLES26  # noqa: E402
+from .queries27 import QUERIES27, ORACLES27  # noqa: E402
 
 QUERIES.update(QUERIES2)
 ORACLES.update(ORACLES2)
@@ -523,6 +524,8 @@ QUERIES.update(QUERIES25)
 ORACLES.update(ORACLES25)
 QUERIES.update(QUERIES26)
 ORACLES.update(ORACLES26)
+QUERIES.update(QUERIES27)
+ORACLES.update(ORACLES27)
 
 
 # --------------------------------------------------------------------------
@@ -813,6 +816,8 @@ _PROMOTE_EARLY = ["stream_dedup",
 # categorical spatial statistics + the cross-face k-ring) is likewise NOT
 # promoted (no safe rotation candidates remain); they ride the replica +
 # sf1 gates and join the TODO_r7 promotion queue behind batch 28.
+# The r6 batch-30 entry (ann_ivfpq — IVF+PQ composed ANN) likewise rides
+# the replica + sf1 gates this round; promotion queue behind batch 29.
 # Tail order below follows VERDICT r5 #7: if a future driver window is
 # ever >50, the first rotated-back entries checked should be the
 # unique-machinery ones (minhash, salted_topk, stratified_sample,
