@@ -818,6 +818,8 @@ _PROMOTE_EARLY = ["stream_dedup",
 # sf1 gates and join the TODO_r7 promotion queue behind batch 28.
 # The r6 batch-30 entry (ann_ivfpq — IVF+PQ composed ANN) likewise rides
 # the replica + sf1 gates this round; promotion queue behind batch 29.
+# The r6 batch-31 entry (route_heat — great-circle corridor heat via the
+# slerp split) rides the same gates; promotion queue behind batch 30.
 # Tail order below follows VERDICT r5 #7: if a future driver window is
 # ever >50, the first rotated-back entries checked should be the
 # unique-machinery ones (minhash, salted_topk, stratified_sample,
