@@ -188,7 +188,8 @@ def ivfpq_topk(emb: DataFrame, queries: DataFrame, topk: int,
                mod: int = 23, residue: int = 3, nprobe: int = 3,
                m: int = PQ_M, dsub: int = PQ_DSUB, k: int = PQ_K,
                seed_mod: int = PQ_SEED_MOD,
-               seed_res: int = PQ_SEED_RES) -> DataFrame:
+               seed_res: int = PQ_SEED_RES,
+               assign_mode: str = "adc") -> DataFrame:
     """(q_id, vec_id, adc_q, rank): IVF + PQ composed — faiss's IndexIVFPQ
     shape (non-residual variant, by_residual=false): coarse-quantize the
     corpus into inverted lists (similarity.ivf_assign), PQ-encode every
@@ -207,6 +208,19 @@ def ivfpq_topk(emb: DataFrame, queries: DataFrame, topk: int,
     coding — an extra zip_with per row and a second codebook pass for no
     oracle gain at these dims; faiss exposes the same switch).
 
+    ``assign_mode`` picks the coarse quantizer:
+
+    - ``'adc'`` (default): nearest centroid by ADC over the centroids'
+      OWN PQ codes (the semantic_dedup_pq lever, SCALE.md "PQ/ADC
+      assignment": the exact-cosine corpus×centroids BNLJ measured
+      137 s at sf1 vs 8.7 s for ADC — the sf1 gate run of the exact
+      mode here clocked 213 s).  The corpus-side cost is |corpus|·
+      |cents| · M BIGINT lookups + one min-struct hash agg — no window,
+      no float folds.  List membership is then approximate at cluster
+      boundaries, exactly faiss's by_residual=false quantizer tradeoff.
+    - ``'exact'``: similarity.ivf_assign (exact cosine, the
+      equivalence-test yardstick).
+
     Determinism: probe selection uses the exact round(.,9) cosine (the
     ivf_topk probe stage, HOF fold in the BNLJ shape per CLAUDE.md
     constraint 15); ADC distances are sums of M quantized BIGINTs —
@@ -215,11 +229,30 @@ def ivfpq_topk(emb: DataFrame, queries: DataFrame, topk: int,
 
     from .similarity import DOT_SPARK, ivf_assign, ivf_centroids, nrm_spark
 
+    if assign_mode not in ("adc", "exact"):
+        raise ValueError(f"unknown assign_mode {assign_mode!r}")
     cents = ivf_centroids(emb, vec_col, id_col, mod, residue)
-    assigned = ivf_assign(emb, cents, vec_col, id_col)
     cb = pq_codebook(emb, vec_col, id_col, m, dsub, k, seed_mod, seed_res)
     codes = pq_encode(emb, cb, vec_col, id_col, m, dsub)
-    lists = assigned.select(id_col, "cid").join(codes, id_col)
+    if assign_mode == "exact":
+        assigned = ivf_assign(emb, cents, vec_col, id_col) \
+            .select(id_col, "cid")
+    else:
+        ccodes = pq_encode(cents.select(F.col("cid").alias("gid"),
+                                        F.col("cvec")),
+                           cb, vec_col="cvec", id_col="gid",
+                           m=m, dsub=dsub)
+        lut_all = pq_lut(emb, cb, vec_col=vec_col, id_col=id_col,
+                         m=m, dsub=dsub, k=k)
+        aadc = " + ".join(
+            f"element_at(lut, CAST({j * k} + element_at(codes, {j + 1})"
+            f" + 1 AS INT))" for j in range(m))
+        assigned = (lut_all.crossJoin(F.broadcast(ccodes))
+                    .withColumn("_adc", F.expr(aadc))
+                    .groupBy(id_col)
+                    .agg(F.min(F.struct("_adc", "gid")).getField("gid")
+                         .alias("cid")))
+    lists = assigned.join(codes, id_col)
 
     q = queries.withColumn("_nq", F.expr(nrm_spark(q_vec)))
     c = cents.withColumn("_ncn", F.expr(nrm_spark("cvec")))
@@ -250,30 +283,63 @@ def ivfpq_topk_sql(emb_table: str, topk: int, query_pred: str,
                    mod: int = 23, residue: int = 3, nprobe: int = 3,
                    m: int = PQ_M, dsub: int = PQ_DSUB, k: int = PQ_K,
                    seed_mod: int = PQ_SEED_MOD,
-                   seed_res: int = PQ_SEED_RES) -> str:
+                   seed_res: int = PQ_SEED_RES,
+                   assign_mode: str = "adc") -> str:
     """DuckDB twin of :func:`ivfpq_topk`: the ivf_topk oracle's
-    cents/assign/probes CTEs composed with the pq_topk oracle's
-    seeds/cb/sv/codes/LUT CTEs; the ADC scan is the same cid equi-join."""
+    cents/probes CTEs composed with the pq_topk oracle's
+    seeds/cb/sv/codes/LUT CTEs; the coarse quantizer is either the exact
+    assignment window or the ADC min (semantic_dedup_pq's gcodes/near
+    shape); the ADC scan is the same cid equi-join."""
     from .similarity import DOT_DUCK, NRM_DUCK
 
     def sim(a, b):
         return (f"round(({DOT_DUCK.format(a=a, b=b)})"
                 f" / ({NRM_DUCK.format(v=a)} * {NRM_DUCK.format(v=b)}), 9)")
 
+    if assign_mode not in ("adc", "exact"):
+        raise ValueError(f"unknown assign_mode {assign_mode!r}")
     dq = _dq_duckdb(dsub)
     adc = " + ".join(
         f"l.lut[{j * k} + c.codes[{j + 1}] + 1]" for j in range(m))
-    return f"""
-    WITH cents AS MATERIALIZED (
-        SELECT {id_col} AS cid, {vec_col} AS cvec FROM {emb_table}
-        WHERE {id_col} % {mod} = {residue}),
+    if assign_mode == "exact":
+        assign_ctes = f"""
     asim AS (SELECT e.{id_col}, c.cid,
                     {sim(f'e.{vec_col}', 'c.cvec')} AS s
              FROM {emb_table} e, cents c),
     assign AS MATERIALIZED (
         SELECT {id_col}, cid FROM (
             SELECT *, row_number() OVER (PARTITION BY {id_col}
-                ORDER BY s DESC, cid) AS rn FROM asim) WHERE rn = 1),
+                ORDER BY s DESC, cid) AS rn FROM asim) WHERE rn = 1),"""
+    else:
+        gadc = " + ".join(
+            f"l.lut[{j * k} + g.codes[{j + 1}] + 1]" for j in range(m))
+        assign_ctes = f"""
+    gsv AS (
+        SELECT cid AS gid, t.m,
+               CASE WHEN len(cvec) >= {m * dsub}
+                    THEN list_transform(list_slice(cvec,
+                                                   t.m * {dsub} + 1,
+                                                   t.m * {dsub} + {dsub}),
+                                        x -> CAST(x AS DOUBLE))
+                    ELSE error('pq: vector shorter than m*dsub') END AS svec
+        FROM cents, range({m}) t(m)),
+    gcodes AS MATERIALIZED (
+        SELECT gid, list(code ORDER BY m) AS codes FROM (
+            SELECT gid, m, CAST(cid AS INT) AS code,
+                   row_number() OVER (PARTITION BY gid, m
+                                      ORDER BY dq, cid) AS rn
+            FROM (SELECT gid, m, cid, {dq} AS dq
+                  FROM gsv JOIN cb USING (m))) WHERE rn = 1 GROUP BY gid),
+    assign AS MATERIALIZED (
+        SELECT {id_col}, gid AS cid FROM (
+            SELECT l.q_id AS {id_col}, g.gid,
+                   row_number() OVER (PARTITION BY l.q_id
+                       ORDER BY {gadc}, g.gid) AS rn
+            FROM lut_all l, gcodes g) WHERE rn = 1),"""
+    return f"""
+    WITH cents AS MATERIALIZED (
+        SELECT {id_col} AS cid, {vec_col} AS cvec FROM {emb_table}
+        WHERE {id_col} % {mod} = {residue}),
     qs AS (SELECT {id_col} AS q_id, {vec_col} AS q_emb FROM {emb_table}
            WHERE {query_pred}),
     psim AS (SELECT q.q_id, c.cid, {sim('q.q_emb', 'c.cvec')} AS s
@@ -309,9 +375,11 @@ def ivfpq_topk_sql(emb_table: str, topk: int, query_pred: str,
                    row_number() OVER (PARTITION BY {id_col}, m
                                       ORDER BY dq, cid) AS rn
             FROM pc) WHERE rn = 1 GROUP BY {id_col}),
-    lut AS MATERIALIZED (
+    lut_all AS MATERIALIZED (
         SELECT {id_col} AS q_id, list(dq ORDER BY m * {k} + cid) AS lut
-        FROM pc JOIN qs ON pc.{id_col} = qs.q_id GROUP BY pc.{id_col}),
+        FROM pc GROUP BY {id_col}),
+    {assign_ctes}
+    lut AS (SELECT q_id, lut FROM lut_all JOIN qs USING (q_id)),
     cand AS (
         SELECT p.q_id, a.{id_col}, a.cid FROM probes p
         JOIN assign a USING (cid)

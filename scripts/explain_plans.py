@@ -50,7 +50,9 @@ def main() -> None:
              "change_matrix", "hll_overlap", "idw_interp", "buffer_cells",
              "cell_visitors", "cost_distance", "bloom_prefilter",
              "cm_topk", "morph_close", "region_group", "stream_hll",
-             "asof_status", "range_events"]
+             "asof_status", "range_events",
+             "kring_xface", "cell_diversity", "join_counts",
+             "ann_ivfpq", "route_heat"]
     # queries whose joins must stay broadcast (dimension-sized side): a
     # SortMergeJoin here is plan creep and fails the script.  embed_pairs'
     # bucket self-join and rescale_modes' agg-agg joins legitimately shuffle

@@ -34,10 +34,24 @@ def test_ivfpq_all_lists_equals_full_pq_scan(spark, sf_dir):
     assert full == ivf and len(full) > 0
 
 
+def test_ivfpq_adc_assign_equals_exact_when_all_probed(spark, sf_dir):
+    # assignment mode cannot change results when every list is probed
+    emb = _emb(spark, sf_dir)
+    qs = _queries(emb)
+    n_lists = emb.filter(F.col("vec_id") % 23 == 3).count()
+    a = {(r.q_id, r.rank): (r.vec_id, r.adc_q)
+         for r in ivfpq_topk(emb, qs, 4, nprobe=n_lists + 1,
+                             assign_mode="adc").collect()}
+    b = {(r.q_id, r.rank): (r.vec_id, r.adc_q)
+         for r in ivfpq_topk(emb, qs, 4, nprobe=n_lists + 1,
+                             assign_mode="exact").collect()}
+    assert a == b and len(a) > 0
+
+
 def test_ivfpq_pruned_candidates_come_from_probed_lists(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     qs = _queries(emb)
-    out = ivfpq_topk(emb, qs, 3, nprobe=2).collect()
+    out = ivfpq_topk(emb, qs, 3, nprobe=2, assign_mode="exact").collect()
     assert len(out) > 0
     # reconstruct assignment + probes independently
     cents = ivf_centroids(emb)
