@@ -43,11 +43,21 @@ PPB = 1_000_000_000
 
 def page_rank(edges: DataFrame, src: str, dst: str, w: str,
               iters: int = 5, d_ppb: int = 850_000_000,
-              k: int | None = None) -> DataFrame:
+              k: int | None = None,
+              state_path: str | None = None) -> DataFrame:
     """(node, p_ppb, rank): integer PageRank after ``iters`` power
     iterations over weighted ``edges`` (see module docstring).  Ranking
     is (p_ppb desc, node); ``k`` trims to the top-k (WindowGroupLimit).
-    Edge weights must be positive integers; parallel edges are summed."""
+    Edge weights must be positive integers; parallel edges are summed.
+
+    ``state_path`` (TODO_r7 #9, the lm_score model_path pattern) swaps
+    the per-iteration in-memory localCheckpoint of the rank vector for a
+    PARQUET sink + scan (alternating ``state_path/iter{0,1}`` subdirs —
+    never overwriting the frame being read): when |V| rivals executor
+    block-manager memory, the iteration state spills to durable storage,
+    survives executor loss, and each iteration starts from a
+    column-pruned parquet scan.  Same values — the sink only cuts
+    lineage, exactly like the checkpoint it replaces."""
     from pyspark.sql.window import Window
 
     e = (edges.groupBy(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -60,7 +70,8 @@ def page_rank(edges: DataFrame, src: str, dst: str, w: str,
     n_nodes = nodes.count()
     base = (PPB - d_ppb) // n_nodes
     p = nodes.withColumn("p", F.lit(PPB // n_nodes).cast("bigint"))
-    for _ in range(iters):
+    spark = edges.sparkSession
+    for it in range(iters):
         contrib = (ew.join(p.withColumnRenamed("node", "u"), "u")
                    .select(F.col("v").alias("node"),
                            F.expr(f"({d_ppb} * ((p * _w) div _om))"
@@ -68,8 +79,13 @@ def page_rank(edges: DataFrame, src: str, dst: str, w: str,
                    .groupBy("node").agg(F.sum("_t").alias("_c")))
         p = (nodes.join(contrib, "node", "left")
              .select("node",
-                     F.expr(f"{base} + coalesce(_c, 0)").alias("p"))
-             .localCheckpoint(eager=True))
+                     F.expr(f"{base} + coalesce(_c, 0)").alias("p")))
+        if state_path is not None:
+            step = f"{state_path}/iter{it % 2}"
+            p.write.mode("overwrite").parquet(step)
+            p = spark.read.parquet(step)
+        else:
+            p = p.localCheckpoint(eager=True)
     out = p.select("node", F.col("p").alias("p_ppb"))
     rw = Window.orderBy(F.desc("p_ppb"), F.asc("node"))
     out = out.withColumn("rank", F.row_number().over(rw))

@@ -270,3 +270,19 @@ def test_range_join_matches_brute_force(spark):
         assert False
     except ValueError as ex:
         assert "buckets" in str(ex)
+
+
+def test_page_rank_state_path_matches_checkpoint(spark, tmp_path):
+    # TODO_r7 #9: the parquet iteration sink only cuts lineage — values
+    # must be bit-identical to the localCheckpoint path
+    from dggstools_spark.operators.graph import page_rank
+    edges = [("a", "b", 3), ("b", "c", 2), ("c", "a", 1), ("a", "c", 5)]
+    df = spark.createDataFrame(edges, "s string, d string, w long")
+    mem = sorted((r.node, r.p_ppb, r.rank)
+                 for r in page_rank(df, "s", "d", "w", iters=4).collect())
+    disk_df = page_rank(df, "s", "d", "w", iters=4,
+                        state_path=str(tmp_path / "pr_state"))
+    disk = sorted((r.node, r.p_ppb, r.rank) for r in disk_df.collect())
+    assert mem == disk
+    # the final vector really is parquet-backed (scan in the plan)
+    assert "iter1" in disk_df.inputFiles()[0]
