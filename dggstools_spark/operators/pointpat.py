@@ -1,0 +1,124 @@
+"""Point-pattern analysis on the DGGS lattice: Ripley's K by grid rings.
+
+Ripley's K summarizes clustering across SCALES: K(r) counts, per point,
+the expected number of other points within distance r — rising faster
+than the random-labeling baseline means clustering at that radius.  On a
+cell-binned corpus the exact point-pair version becomes integer algebra:
+bin points to cells (n_i points in cell i), define distance as queen
+GRAPH distance between cells (the kring_cells relation — cross-face
+correct, exact min-hop ring index), and
+
+    pairs(r)     = Σ_{(i,j): ring(i,j) = r} n_i · n_j     (r ≥ 1)
+    pairs(0)     = Σ_i n_i · (n_i − 1)                     (within-cell)
+    cum_pairs(r) = Σ_{r' ≤ r} pairs(r')
+    k_ppm(r)     = 1e6 · cum_pairs(r) div (N · (N − 1))
+
+— the fraction (ppm) of ordered point pairs within grid distance r, the
+discrete analogue of K(r)/|A| under the binomial null.  All integers:
+pair products and the N·(N−1) denominator ride DECIMAL(38,0)/HUGEINT
+(morans_i's constraint-13 discipline; N up to ~1e16 before the 1e6·cum
+numerator nears 1e38).
+
+Scale design (100 TB): the input is the post-aggregation cell table
+(cells ≪ points).  kring_cells is kmax rounds of the radius-1 lattice
+relation over the OCCUPIED cells (frontier O(cells·kmax), never 9^k);
+the pair sum is one hash equi-join of that relation against the count
+table + one map-side-combining aggregate; the cumulative sum runs over
+kmax+1 rows.  No UDFs, no corpus-wide window.
+
+Reference parity: no counterpart (the reference has no point-pattern
+statistics); extends the spatial_stats family (morans_i / join_counts
+measure autocorrelation of VALUES; Ripley's K measures clustering of
+the POINT PROCESS itself, across radii).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .spatial_stats import kring_cells, kring_cells_sql
+
+PPM = 1_000_000
+
+
+def ripley_k(cells: DataFrame, res: int, kmax: int,
+             cross_face: bool = True) -> DataFrame:
+    """(r, pairs_r, cum_pairs, k_ppm) for r = 0..kmax over a
+    (cellid, n) cell-count table (see module docstring)."""
+    from pyspark.sql.window import Window
+
+    if kmax < 1:
+        raise ValueError(f"ripley_k: kmax must be >= 1, got {kmax}")
+    counts = cells.select("cellid", F.col("n").cast("long").alias("n"))
+    kr = kring_cells(counts.select("cellid"), res, kmax,
+                     cross_face=cross_face)
+    per_ring = (kr
+                .join(counts, "cellid")
+                .join(counts.select(F.col("cellid").alias("nbr"),
+                                    F.col("n").alias("_nj")), "nbr")
+                .groupBy(F.col("ring").alias("r"))
+                .agg(F.sum(F.expr(
+                    "CAST(n AS DECIMAL(38,0)) * _nj")).alias("_p")))
+    r0 = counts.agg(F.expr(
+        "CAST(sum(CAST(n AS DECIMAL(38,0)) * (n - 1)) AS DECIMAL(38,0))")
+        .alias("_p")).select(F.lit(0).alias("r"), "_p")
+    tot = counts.agg(F.sum("n").alias("_nt"))
+    # dense ring spine 0..kmax: rings with no occupied pair still get a
+    # row (pairs_r = 0) so cum/k_ppm are defined at every radius
+    spine = (cells.sparkSession.range(0, kmax + 1)
+             .select(F.col("id").cast("int").alias("r")))
+    w = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
+    return (spine
+            .join(r0.unionByName(per_ring.select("r", "_p")), "r", "left")
+            .withColumn("_p", F.coalesce(
+                "_p", F.lit(0).cast("decimal(38,0)")))
+            .withColumn("cum", F.sum("_p").over(w))  # kmax+1 rows total
+            .crossJoin(F.broadcast(tot))
+            .select(F.col("r").cast("int").alias("r"),
+                    F.col("_p").cast("long").alias("pairs_r"),
+                    F.col("cum").cast("long").alias("cum_pairs"),
+                    F.expr(f"CAST((cum * {PPM}) div"
+                           f" (CAST(_nt AS DECIMAL(38,0)) * (_nt - 1))"
+                           f" AS BIGINT)").alias("k_ppm")))
+
+
+def ripley_k_sql(source_sql: str, res: int, kmax: int,
+                 cross_face: bool = True) -> str:
+    """DuckDB twin of :func:`ripley_k` over ``source_sql`` → (cellid, n)
+    (same kring expansion, same HUGEINT pair arithmetic)."""
+    if kmax < 1:
+        raise ValueError(f"ripley_k_sql: kmax must be >= 1, got {kmax}")
+    kr = kring_cells_sql("(SELECT cellid FROM _cnt)", res, kmax,
+                         cross_face=cross_face)
+    return f"""
+    WITH _cnt AS MATERIALIZED (
+        SELECT cellid, CAST(n AS BIGINT) AS n FROM ({source_sql})),
+    _kr AS MATERIALIZED ({kr}),
+    _pr AS MATERIALIZED (
+        SELECT CAST(k.ring AS INT) AS r,
+               sum(CAST(a.n AS HUGEINT) * b.n) AS _p
+        FROM _kr k
+        JOIN _cnt a ON a.cellid = k.cellid
+        JOIN _cnt b ON b.cellid = k.nbr
+        GROUP BY k.ring),
+    _sparse AS MATERIALIZED (
+        SELECT CAST(0 AS INT) AS r,
+               sum(CAST(n AS HUGEINT) * (n - 1)) AS _p FROM _cnt
+        UNION ALL
+        SELECT r, _p FROM _pr),
+    _all AS MATERIALIZED (
+        SELECT CAST(t.r AS INT) AS r,
+               coalesce(s._p, CAST(0 AS HUGEINT)) AS _p
+        FROM range(0, {kmax + 1}) t(r)
+        LEFT JOIN _sparse s ON s.r = t.r),
+    _tot AS (SELECT CAST(sum(n) AS HUGEINT) AS _nt FROM _cnt)
+    SELECT r, CAST(_p AS BIGINT) AS pairs_r,
+           CAST(cum AS BIGINT) AS cum_pairs,
+           CAST((cum * {PPM}) // ((SELECT _nt FROM _tot)
+                * ((SELECT _nt FROM _tot) - 1)) AS BIGINT) AS k_ppm
+    FROM (SELECT r, _p,
+                 sum(_p) OVER (ORDER BY r
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum
+          FROM _all)
+    """

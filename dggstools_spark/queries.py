@@ -473,6 +473,7 @@ from .queries24 import QUERIES24, ORACLES24  # noqa: E402
 from .queries25 import QUERIES25, ORACLES25  # noqa: E402
 from .queries26 import QUERIES26, ORACLES26  # noqa: E402
 from .queries27 import QUERIES27, ORACLES27  # noqa: E402
+from .queries28 import QUERIES28, ORACLES28  # noqa: E402
 
 QUERIES.update(QUERIES2)
 ORACLES.update(ORACLES2)
@@ -526,6 +527,8 @@ QUERIES.update(QUERIES26)
 ORACLES.update(ORACLES26)
 QUERIES.update(QUERIES27)
 ORACLES.update(ORACLES27)
+QUERIES.update(QUERIES28)
+ORACLES.update(ORACLES28)
 
 
 # --------------------------------------------------------------------------
@@ -818,6 +821,10 @@ _PROMOTE_EARLY = ["stream_dedup",
 # sf1 gates and join the TODO_r7 promotion queue behind batch 28.
 # The r6 batch-30 entry (ann_ivfpq — IVF+PQ composed ANN) likewise rides
 # the replica + sf1 gates this round; promotion queue behind batch 29.
+# The r6 batch-32 trio (watershed/slope_aspect/ripley_k — lattice
+# hydrology, Horn terrain gradients, Ripley's K point-pattern statistic)
+# likewise rides the replica + sf1 gates this round (no safe rotation
+# candidates remain); promotion queue behind batch 31.
 # The r6 batch-31 entry (route_heat — great-circle corridor heat via the
 # slerp split) rides the same gates; promotion queue behind batch 30.
 # Tail order below follows VERDICT r5 #7: if a future driver window is
