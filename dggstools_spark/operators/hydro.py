@@ -316,3 +316,74 @@ def slope_aspect_sql(cells_sql: str, res: int) -> str:
            CAST({seam_pred_sql(res)} AS INT) AS on_seam
     FROM g
     """
+
+
+# --------------------------------------------------------------------------
+# flow accumulation — upstream drainage area: acc(w) = number of cells
+# whose flow path passes through w (including w itself), the statistic
+# that turns a flow-direction field into a STREAM NETWORK (high-acc cells
+# are channels; acc · cell_area is the classic contributing area).
+#
+# Computed from the TRANSITIVE CLOSURE of the flow pointer by relation
+# squaring: R_0 = identity ∪ flow edges (≤ 1 step); R_{k+1} = R_k ∘ R_k
+# (≤ 2^(k+1) steps), so `doublings` rounds cover every path once
+# 2^doublings ≥ the max path length (the elevation-range bound of
+# `watershed`).  Then acc = count of sources per reachable cell — one
+# hash aggregate over the closure.
+#
+# Scale shape (100 TB): the closure has Σ_u |path(u)| rows — output-bound
+# for the statistic (each row is one (cell, upstream-cell) containment
+# fact), NOT all-pairs; each round is one self hash equi-join + distinct
+# over it.  That Σ|path| is bounded by N · max_path_len and in real
+# terrain by N · (a few hundred); the O(log L) rounds are the same
+# pointer-doubling discipline as watershed/dedup_clusters, each behind a
+# localCheckpoint lineage cut.  Pits self-loop, so the identity seed
+# keeps them fixed without growing the closure.
+# --------------------------------------------------------------------------
+
+
+def flow_accum(cells: DataFrame, res: int, doublings: int,
+               cross_face: bool = True) -> DataFrame:
+    """(cellid, acc): upstream drainage count (self-inclusive, acc ≥ 1)
+    for a (cellid, z BIGINT) cell table — see the block comment above.
+    ``doublings`` as in :func:`watershed` (2^d ≥ elevation range)."""
+    if doublings < 1:
+        raise ValueError(f"flow_accum: doublings must be >= 1,"
+                         f" got {doublings}")
+    fd = flow_dir(cells, res, cross_face)
+    r = (fd.select(F.col("cellid").alias("u"), F.col("cellid").alias("w"))
+         .unionByName(fd.select(F.col("cellid").alias("u"),
+                                F.col("nxt").alias("w")))
+         .distinct()
+         .localCheckpoint(eager=True))
+    for _ in range(doublings):
+        mid = r.select(F.col("u").alias("_m"), F.col("w").alias("_w2"))
+        r = (r.join(mid, r["w"] == mid["_m"])
+             .select("u", F.col("_w2").alias("w"))
+             .distinct()
+             .localCheckpoint(eager=True))
+    return (r.groupBy(F.col("w").alias("cellid"))
+            .agg(F.count("*").alias("acc")))
+
+
+def flow_accum_ctes(cells_sql: str, res: int, doublings: int,
+                    cross_face: bool = True) -> str:
+    """DuckDB CTE chain ending in ``faccum`` (cellid, acc) — the twin of
+    :func:`flow_accum` (same squaring rounds, every level MATERIALIZED —
+    CLAUDE.md constraint 14)."""
+    if doublings < 1:
+        raise ValueError(f"flow_accum_ctes: doublings must be >= 1,"
+                         f" got {doublings}")
+    parts = [flow_dir_ctes(cells_sql, res, cross_face),
+             """_r0 AS MATERIALIZED (
+        SELECT cellid AS u, cellid AS w FROM fdir
+        UNION
+        SELECT cellid AS u, nxt AS w FROM fdir)"""]
+    for i in range(1, doublings + 1):
+        parts.append(f"""_r{i} AS MATERIALIZED (
+        SELECT DISTINCT a.u, b.w
+        FROM _r{i - 1} a JOIN _r{i - 1} b ON b.u = a.w)""")
+    parts.append(f"faccum AS MATERIALIZED ("
+                 f"SELECT w AS cellid, CAST(count(*) AS BIGINT) AS acc"
+                 f" FROM _r{doublings} GROUP BY w)")
+    return ",\n".join(parts)

@@ -122,3 +122,89 @@ def ripley_k_sql(source_sql: str, res: int, kmax: int,
                      AS cum
           FROM _all)
     """
+
+
+# --------------------------------------------------------------------------
+# G function — nearest-neighbor distance distribution, the second classic
+# point-pattern statistic (Ripley's K above counts ALL pairs per radius;
+# G looks only at each point's NEAREST neighbor, so it separates "many
+# mid-range pairs" from "tight doublets" that K conflates).  Cell-binned
+# and graph-metric like ripley_k: the distance is the exact min-hop queen
+# ring (kring_cells, cross-face correct), and
+#
+#     nn(i)   = min ring r such that some OTHER occupied cell is in
+#               ring r of cell i                       (1 ≤ nn ≤ kmax)
+#     G(r)    = |{i : nn(i) ≤ r}| / n_occupied         (ppm, exact)
+#
+# Cells whose nearest occupied neighbor is beyond kmax are CENSORED: they
+# count in the denominator (standard reduced-sample border treatment)
+# and are reported in n_censored so the truncation is observable, never
+# silent.
+#
+# Scale shape (100 TB): kring's k bounded lattice expansions over the
+# OCCUPIED cell table + one hash semi-join against it + one min-agg per
+# cell + a kmax-row histogram fold.  No pair table at all (unlike K's
+# Σ n_i·n_j join) — G is the cheap statistic.
+# --------------------------------------------------------------------------
+
+
+def g_function(cells: DataFrame, res: int, kmax: int,
+               cross_face: bool = True) -> DataFrame:
+    """(r, n_le, n_total, n_censored, g_ppm) for r = 1..kmax over a
+    cell table with a ``cellid`` column (occupied set = distinct ids);
+    see the block comment above."""
+    if kmax < 1:
+        raise ValueError(f"g_function: kmax must be >= 1, got {kmax}")
+    occ = cells.select("cellid").distinct()
+    kr = kring_cells(occ, res, kmax, cross_face=cross_face)
+    nn = (kr.join(occ.select(F.col("cellid").alias("nbr")), "nbr")
+          .groupBy("cellid")
+          .agg(F.min("ring").alias("nn_ring")))
+    hist = nn.groupBy("nn_ring").agg(F.count("*").alias("_c"))
+    tot = (occ.agg(F.count("*").alias("n_total"))
+           .crossJoin(nn.agg(F.count("*").alias("_nn"))))
+    spine = (cells.sparkSession.range(1, kmax + 1)
+             .select(F.col("id").cast("int").alias("r")))
+    return (spine
+            .join(hist, hist["nn_ring"] <= spine["r"], "left")
+            .groupBy("r")
+            .agg(F.coalesce(F.sum("_c"), F.lit(0)).alias("n_le"))
+            .crossJoin(F.broadcast(tot))
+            .select("r", F.col("n_le").cast("bigint").alias("n_le"),
+                    F.col("n_total").cast("bigint").alias("n_total"),
+                    F.expr("CAST(n_total - _nn AS BIGINT)")
+                    .alias("n_censored"),
+                    F.expr(f"CAST((n_le * {PPM}) div n_total AS BIGINT)")
+                    .alias("g_ppm")))
+
+
+def g_function_sql(source_sql: str, res: int, kmax: int,
+                   cross_face: bool = True) -> str:
+    """DuckDB twin of :func:`g_function` over ``source_sql`` → cellid."""
+    if kmax < 1:
+        raise ValueError(f"g_function_sql: kmax must be >= 1, got {kmax}")
+    kr = kring_cells_sql("(SELECT cellid FROM _occ)", res, kmax,
+                         cross_face=cross_face)
+    return f"""
+    WITH _occ AS MATERIALIZED (
+        SELECT DISTINCT cellid FROM ({source_sql})),
+    _kr AS MATERIALIZED ({kr}),
+    _nn AS MATERIALIZED (
+        SELECT k.cellid, min(k.ring) AS nn_ring
+        FROM _kr k JOIN _occ o ON o.cellid = k.nbr
+        GROUP BY k.cellid),
+    _hist AS (SELECT nn_ring, count(*) AS _c FROM _nn GROUP BY nn_ring),
+    _tot AS (SELECT (SELECT count(*) FROM _occ) AS n_total,
+                    (SELECT count(*) FROM _nn) AS _nn)
+    SELECT CAST(t.r AS INT) AS r,
+           CAST(coalesce(sum(h._c), 0) AS BIGINT) AS n_le,
+           CAST(any_value(n_total) AS BIGINT) AS n_total,
+           CAST(any_value(n_total) - any_value(_nn) AS BIGINT)
+               AS n_censored,
+           CAST((coalesce(sum(h._c), 0) * {PPM})
+                // any_value(n_total) AS BIGINT) AS g_ppm
+    FROM range(1, {kmax + 1}) t(r)
+    CROSS JOIN _tot
+    LEFT JOIN _hist h ON h.nn_ring <= t.r
+    GROUP BY t.r
+    """

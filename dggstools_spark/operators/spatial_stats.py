@@ -402,7 +402,8 @@ def local_moran(cells: DataFrame, res: int, k: int,
     """(cellid, d, nbr_sum, n_nbrs, lisa, quadrant, rank, on_seam):
     per-cell LISA
     (Anselin's local Moran's I, unnormalized integer core): with d_i the
-    floor-mean-centered value, lisa_i = d_i · Σ_{j adj i} d_j — positive
+    truncated-mean-centered value (div/// semantics, toward zero — NOT
+    numpy floor), lisa_i = d_i · Σ_{j adj i} d_j — positive
     where a cell RESEMBLES its neighborhood (HH or LL cluster), negative
     where it is an OUTLIER (high in a low pocket or vice versa).
     ``quadrant`` labels HH/LL/HL/LH by the signs of d and the neighbor

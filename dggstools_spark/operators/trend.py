@@ -191,3 +191,114 @@ def trend_topk_dense_sql(obs_sql: str, key_col: str, t_col: str,
               AS rank FROM sl)
     WHERE rank <= {k}
     """
+
+
+# --------------------------------------------------------------------------
+# Mann-Kendall trend test (the rank-based sibling of the OLS slope above —
+# the actual "Mann-Kendall dressing" the module docstring notes trend_topk
+# omits).  ALL-INTEGER outputs, so the whole query is hash-exact:
+#
+#     S     = Σ_{i<j} sign(y_j − y_i)          over time-ordered buckets
+#     var18 = 18·Var(S) = n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)
+#             (t_g = size of the g-th tie group of equal y values)
+#     tau_ppm = (2·S·1e6) div (n(n−1))         (Kendall's tau-a, exact)
+#
+# S is robust to outliers and monotone-nonlinear growth where the OLS
+# slope is not; var18 carries the exact tie correction as a BIGINT so a
+# caller needing the normal-approximation z computes
+# (S∓1)/sqrt(var18/18) downstream without the engine-portability risk of
+# shipping a double here.
+#
+# Scale shape (100 TB): one (key, t) hash aggregate, then ONE self
+# equi-join on key producing Σ_key T_k(T_k−1)/2 pair rows (T_k = observed
+# buckets per key — bounded by the calendar, e.g. ≤ 3650 for daily
+# buckets over a decade; the join is hash, never broadcast-cartesian) +
+# two more per-key aggregates for the tie table.  Keys with one bucket
+# have no pairs and are excluded (S undefined).
+# --------------------------------------------------------------------------
+
+
+def mk_trend(obs: DataFrame, key_col: str, t_col: str, y_col: str,
+             k: int) -> DataFrame:
+    """(key, n_buckets, s, var18, tau_ppm, rank): top-``k`` keys by exact
+    Mann-Kendall S (desc, key asc ties) — see the block comment above.
+    ``t_col``/``y_col`` must be integer columns."""
+    from pyspark.sql.window import Window
+
+    pb = (obs.groupBy(key_col, t_col)
+          .agg(F.sum(y_col).cast("bigint").alias("y")))
+    a = pb.select(F.col(key_col), F.col(t_col).alias("_ta"),
+                  F.col("y").alias("_ya"))
+    b = pb.select(F.col(key_col), F.col(t_col).alias("_tb"),
+                  F.col("y").alias("_yb"))
+    s = (a.join(b, key_col)
+         .filter(F.col("_ta") < F.col("_tb"))
+         .groupBy(key_col)
+         .agg(F.sum(F.expr(
+             "CASE WHEN _yb > _ya THEN 1"
+             " WHEN _yb < _ya THEN -1 ELSE 0 END")).alias("s")))
+    # n_buckets = Σ t_g, so the tie rollup carries the count too — one
+    # aggregate and one join fewer (and the final stage stays under the
+    # 8000-byte JIT budget, CLAUDE.md constraint 16: the 3-join shape
+    # generated a 9.8 KB method)
+    ties = (pb.groupBy(key_col, "y").agg(F.count("*").alias("_tg"))
+            .groupBy(key_col)
+            .agg(F.sum("_tg").alias("n_buckets"),
+                 F.sum(F.expr(
+                     "_tg * (_tg - 1) * (2 * _tg + 5)")).alias("_tie")))
+    w = Window.orderBy(F.desc("s"), F.asc(key_col))
+    return (ties.filter(F.col("n_buckets") >= 2)
+            .join(s, key_col)
+            .withColumn("var18", F.expr(
+                "n_buckets * (n_buckets - 1) * (2 * n_buckets + 5)"
+                " - _tie"))
+            .withColumn("tau_ppm", F.expr(
+                f"(2 * s * {PPM}) div (n_buckets * (n_buckets - 1))"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(key_col, "n_buckets",
+                    F.col("s").cast("bigint").alias("s"),
+                    F.col("var18").cast("bigint").alias("var18"),
+                    F.col("tau_ppm").cast("bigint").alias("tau_ppm"),
+                    "rank"))
+
+
+def mk_trend_sql(obs_sql: str, key_col: str, t_col: str, y_col: str,
+                 k: int) -> str:
+    """DuckDB twin of :func:`mk_trend` (same pair join, same tie
+    correction, `//` ↔ `div` both truncating toward zero)."""
+    return f"""
+    WITH obs AS MATERIALIZED ({obs_sql}),
+    pb AS MATERIALIZED (
+        SELECT {key_col}, {t_col}, CAST(sum({y_col}) AS BIGINT) AS y
+        FROM obs GROUP BY {key_col}, {t_col}),
+    s AS (
+        SELECT a.{key_col},
+               CAST(sum(CASE WHEN b.y > a.y THEN 1
+                             WHEN b.y < a.y THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s
+        FROM pb a JOIN pb b ON b.{key_col} = a.{key_col}
+                           AND a.{t_col} < b.{t_col}
+        GROUP BY a.{key_col}),
+    ties AS (
+        SELECT {key_col},
+               CAST(sum(_tg) AS BIGINT) AS n_buckets,
+               CAST(sum(_tg * (_tg - 1) * (2 * _tg + 5)) AS BIGINT)
+               AS _tie
+        FROM (SELECT {key_col}, y, count(*) AS _tg
+              FROM pb GROUP BY {key_col}, y)
+        GROUP BY {key_col}),
+    mk AS (
+        SELECT ties.{key_col}, ties.n_buckets, s.s,
+               ties.n_buckets * (ties.n_buckets - 1)
+               * (2 * ties.n_buckets + 5) - ties._tie AS var18,
+               (2 * s.s * {PPM})
+               // (ties.n_buckets * (ties.n_buckets - 1)) AS tau_ppm
+        FROM ties JOIN s USING ({key_col})
+        WHERE ties.n_buckets >= 2)
+    SELECT {key_col}, n_buckets, s, CAST(var18 AS BIGINT) AS var18,
+           CAST(tau_ppm AS BIGINT) AS tau_ppm, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (ORDER BY s DESC, {key_col})
+              AS rank FROM mk)
+    WHERE rank <= {k}
+    """

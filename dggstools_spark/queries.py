@@ -474,6 +474,7 @@ from .queries25 import QUERIES25, ORACLES25  # noqa: E402
 from .queries26 import QUERIES26, ORACLES26  # noqa: E402
 from .queries27 import QUERIES27, ORACLES27  # noqa: E402
 from .queries28 import QUERIES28, ORACLES28  # noqa: E402
+from .queries29 import QUERIES29, ORACLES29  # noqa: E402
 
 QUERIES.update(QUERIES2)
 ORACLES.update(ORACLES2)
@@ -529,6 +530,8 @@ QUERIES.update(QUERIES27)
 ORACLES.update(ORACLES27)
 QUERIES.update(QUERIES28)
 ORACLES.update(ORACLES28)
+QUERIES.update(QUERIES29)
+ORACLES.update(ORACLES29)
 
 
 # --------------------------------------------------------------------------
@@ -825,6 +828,10 @@ _PROMOTE_EARLY = ["stream_dedup",
 # hydrology, Horn terrain gradients, Ripley's K point-pattern statistic)
 # likewise rides the replica + sf1 gates this round (no safe rotation
 # candidates remain); promotion queue behind batch 31.
+# The r6 batch-33 trio (mk_trend/g_function/flow_accum — Mann-Kendall
+# rank trend, nearest-neighbor G-function, drainage accumulation)
+# likewise rides the replica + sf1 gates; promotion queue behind
+# batch 32.
 # The r6 batch-31 entry (route_heat — great-circle corridor heat via the
 # slerp split) rides the same gates; promotion queue behind batch 30.
 # Tail order below follows VERDICT r5 #7: if a future driver window is

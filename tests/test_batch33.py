@@ -1,0 +1,96 @@
+"""Batch 33 (round 6): Mann-Kendall trend, G-function, flow accumulation.
+
+mk_trend is checked against hand-worked S / tie-corrected var18 / tau
+values; flow_accum against an independent driver-side path walk (the
+same oracle-independence discipline as watershed's test); g_function on
+a hand-built two-neighbors-plus-far-outlier configuration where the
+censoring rule is visible.
+"""
+
+from pyspark.sql import functions as F
+
+from dggstools_spark.operators.hydro import (elev_range, elev_spark,
+                                             flow_accum, flow_dir)
+from dggstools_spark.operators.pointpat import g_function
+from dggstools_spark.operators.trend import mk_trend
+
+from tests.test_batch32 import _face_cells
+
+
+def test_mk_trend_hand_worked(spark):
+    rows = [("up", 0, 1), ("up", 1, 2), ("up", 2, 3),
+            ("tie", 0, 2), ("tie", 1, 2), ("tie", 2, 5),
+            ("down", 0, 5), ("down", 1, 3), ("down", 2, 1)]
+    obs = spark.createDataFrame(rows, "k string, t long, y long")
+    out = {r.k: r for r in mk_trend(obs, "k", "t", "y", 10).collect()}
+    # strictly increasing: S = 3, no ties -> var18 = 3*2*11 = 66
+    assert (out["up"].s, out["up"].var18, out["up"].tau_ppm) == (
+        3, 66, 1_000_000)
+    # one tie pair: S = 2, tie group of 2 -> var18 = 66 - 2*1*9 = 48
+    assert (out["tie"].s, out["tie"].var18, out["tie"].tau_ppm) == (
+        2, 48, 666_666)
+    # strictly decreasing: S = -3 (tau truncates toward zero: -1e6)
+    assert (out["down"].s, out["down"].tau_ppm) == (-3, -1_000_000)
+    # ranking: S desc, key asc
+    assert [r.k for r in sorted(out.values(), key=lambda r: r.rank)] == [
+        "up", "tie", "down"]
+
+
+def test_mk_trend_single_bucket_excluded_and_bounds(spark):
+    rows = [("solo", 7, 9)] + [("b", t, t * t % 5) for t in range(6)]
+    obs = spark.createDataFrame(rows, "k string, t long, y long")
+    out = {r.k: r for r in mk_trend(obs, "k", "t", "y", 10).collect()}
+    assert "solo" not in out
+    n = out["b"].n_buckets
+    assert abs(out["b"].s) <= n * (n - 1) // 2
+    assert abs(out["b"].tau_ppm) <= 1_000_000
+
+
+def test_g_function_hand_built(spark):
+    # N44/N45 edge-adjacent (nn = 1 each); N00 sits 4 rings away from
+    # both (> kmax = 2) -> censored; denominator still 3
+    cells = spark.createDataFrame(
+        [("N44",), ("N45",), ("N00",)], "cellid string")
+    out = {r.r: r for r in g_function(cells, 2, 2).collect()}
+    assert (out[1].n_le, out[1].n_total, out[1].n_censored) == (2, 3, 1)
+    assert out[1].g_ppm == 666_666
+    assert (out[2].n_le, out[2].g_ppm) == (2, 666_666)
+
+
+def test_g_function_all_adjacent_saturates(spark):
+    # (row,col) = (4,4), (4,5), (5,4): digit d encodes (d div 3, d % 3)
+    # per level, so (5,4) is N47 — a queen-adjacent L around N44
+    cells = spark.createDataFrame(
+        [("N44",), ("N45",), ("N47",)], "cellid string")
+    out = {r.r: r for r in g_function(cells, 2, 2).collect()}
+    assert out[1].n_censored == 0
+    assert out[1].g_ppm == 1_000_000 == out[2].g_ppm
+
+
+def test_flow_accum_matches_path_walk(spark):
+    import math
+
+    res = 2
+    cells = (_face_cells(spark, res)
+             .withColumn("z", F.expr(elev_spark(res)))
+             .select("cellid", "z"))
+    nxt = {r.cellid: r.nxt
+           for r in flow_dir(cells, res, cross_face=False).collect()}
+    # independent: count, per cell w, the sources whose path contains w
+    expect = {c: 0 for c in nxt}
+    for u in nxt:
+        c = u
+        seen = {c}
+        expect[c] += 1
+        while nxt[c] != c:
+            c = nxt[c]
+            assert c not in seen  # acyclic (strict descent)
+            seen.add(c)
+            expect[c] += 1
+    d = max(1, math.ceil(math.log2(elev_range(res) + 1)))
+    got = {r.cellid: r.acc
+           for r in flow_accum(cells, res, d, cross_face=False).collect()}
+    assert got == expect
+    # conservation: total accumulation = total path cells
+    assert sum(got.values()) == sum(expect.values())
+    assert min(got.values()) >= 1
