@@ -1,0 +1,214 @@
+"""Distributed BPE merge induction — the tokenizer-training loop.
+
+Classic byte-pair encoding (Sennrich et al. 2016, ACL — public
+algorithm): start from characters (plus a terminal '</w>' symbol per
+word), repeatedly find the most frequent adjacent symbol pair and merge
+it, left-to-right non-overlapping.  The scalable formulation is the one
+every production trainer uses: ONE corpus pass builds the (word, freq)
+table, and all merge rounds run over that VOCABULARY-SIZED table — pair
+counts are Σ_word freq · (#adjacent occurrences in word), so the corpus
+never gets re-scanned.  At 100 TB the word table is a few million rows
+(language vocabulary grows sublinearly) while the corpus is billions of
+documents: the rounds cost R shuffles of the small table, not R corpus
+scans.
+
+Determinism contract (oracle-exact): the best pair per round is
+argmax(pair_count) with ties broken to the lexicographically smallest
+(left, right) — byte-wise ASCII comparison, identical in Spark and
+DuckDB; merge application is left-to-right non-overlapping, which for a
+self-adjacent pair (L = R, e.g. 'aa' in 'aaaa') means selecting the
+1st, 3rd, … match of each maximal run of consecutive matches — the
+gaps-and-islands selection below, exactly Sennrich's greedy re-scan
+semantics expressed relationally.  Everything is integer/string algebra:
+the whole result is hash-exact.
+
+Relational shapes per round (CLAUDE.md constraint 12: the relational
+explode + window form, never nested higher-order functions):
+- pair counts: one lead() window over (word, pos) + one hash aggregate;
+- best pair: min(struct(-count, l, r)) — a 1-row frame; the driver
+  reads it (R one-row actions — control flow, not a hot-path collect,
+  same discipline as plans/lineage key lists);
+- merge application: match flag → island id (pos − row_number over
+  matches) → odd-rank selection → rebuild with lead()/lag() and
+  row_number reindex.  Three windows over the same (word, pos)
+  partitioning (one Exchange, reused), all on the vocab-sized table.
+- ``localCheckpoint`` per round cuts the R-deep lineage (constraint 2
+  family — the unrolled plan would otherwise stack R window stages
+  into one janino compilation unit).
+
+Reference parity: no counterpart (the reference has no text pipeline);
+extends the vocab/oov family (operators/vocab.py) with the actual
+subword-induction loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+EOW = "</w>"
+
+
+def word_table(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, freq): whitespace words of lower(text), exact counts —
+    the single corpus pass (dedup.tokens rule, lowercased)."""
+    return (df.filter(F.col(text_col).isNotNull())
+            .select(F.explode(
+                F.split(F.lower(F.col(text_col)), " ")).alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word").agg(F.count("*").alias("freq")))
+
+
+def init_seq(words: DataFrame) -> DataFrame:
+    """(word, freq, pos, sym): character symbols 1..len plus the
+    terminal '</w>' symbol at len+1."""
+    return (words
+            .select("word", "freq", F.explode(F.expr(
+                "sequence(1, char_length(word) + 1)")).alias("pos"))
+            .withColumn("sym", F.expr(
+                f"CASE WHEN pos <= char_length(word)"
+                f" THEN substring(word, pos, 1) ELSE '{EOW}' END")))
+
+
+def _merge_round(seq: DataFrame) -> "tuple[DataFrame, DataFrame]":
+    """One BPE round over (word, freq, pos, sym): returns
+    (best — 1 row (l, r, pair_count), merged seq reindexed)."""
+    from pyspark.sql.window import Window
+
+    wp = Window.partitionBy("word").orderBy("pos")
+    pairs = (seq.withColumn("_nxt", F.lead("sym").over(wp))
+             .filter(F.col("_nxt").isNotNull()))
+    best = (pairs.groupBy("sym", "_nxt")
+            .agg(F.sum("freq").alias("c"))
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"),
+                                F.col("sym").alias("l"),
+                                F.col("_nxt").alias("r"))).alias("_b"))
+            .select(F.col("_b.l").alias("l"), F.col("_b.r").alias("r"),
+                    (-F.col("_b.nc")).cast("bigint").alias("pair_count"))
+            .localCheckpoint(eager=True))
+    merged = (seq
+              .crossJoin(F.broadcast(best.select("l", "r")))
+              .withColumn("_nxt", F.lead("sym").over(wp))
+              .withColumn("_m", F.expr(
+                  "CAST(coalesce(sym = l AND _nxt = r, FALSE) AS INT)"))
+              # islands of consecutive matches; odd ranks merge
+              .withColumn("_mrn", F.sum("_m").over(
+                  wp.rowsBetween(Window.unboundedPreceding, 0)))
+              .withColumn("_grp", F.expr(
+                  "CASE WHEN _m = 1 THEN pos - _mrn ELSE NULL END"))
+              .withColumn("_sel", F.expr(
+                  "_m = 1 AND (pos - first(pos) OVER ("
+                  "PARTITION BY word, _grp ORDER BY pos)) % 2 = 0"))
+              .withColumn("_psel", F.lag("_sel").over(wp))
+              .filter(~F.coalesce("_psel", F.lit(False)))
+              .select("word", "freq", "pos",
+                      F.expr("CASE WHEN _sel THEN concat(sym, _nxt)"
+                             " ELSE sym END").alias("sym")))
+    reindexed = (merged
+                 .withColumn("pos", F.row_number().over(
+                     Window.partitionBy("word").orderBy("pos"))
+                 .cast("bigint"))
+                 .localCheckpoint(eager=True))
+    return best, reindexed
+
+
+def bpe_train(df: DataFrame, text_col: str,
+              rounds: int) -> "tuple[DataFrame, DataFrame]":
+    """Learn ``rounds`` BPE merges from lower(text) whitespace words.
+
+    Returns (merges, seq): merges = (round, left, right, pair_count)
+    with round 1..rounds; seq = the final (word, freq, pos, sym)
+    symbolization of every word under those merges.  Raises if the
+    corpus runs out of adjacent pairs before ``rounds`` merges (fix the
+    config, don't silently under-train)."""
+    if rounds < 1:
+        raise ValueError(f"bpe_train: rounds must be >= 1, got {rounds}")
+    spark = df.sparkSession
+    seq = init_seq(word_table(df, text_col)).localCheckpoint(eager=True)
+    rows = []
+    for rnd in range(1, rounds + 1):
+        best, seq = _merge_round(seq)
+        b = best.collect()
+        # a global agg over zero pair rows yields one all-NULL row
+        if not b or b[0].l is None:
+            raise ValueError(
+                f"bpe_train: no adjacent pairs left at round {rnd}")
+        rows.append((rnd, b[0].l, b[0].r, b[0].pair_count))
+    merges = spark.createDataFrame(
+        rows, "round int, left string, right string, pair_count bigint")
+    return merges, seq
+
+
+# --------------------------------------------------------------------------
+# DuckDB twins: the same construction as an unrolled MATERIALIZED CTE
+# chain (CLAUDE.md constraints 7/14 — every level materialized, best
+# pair per round included).
+# --------------------------------------------------------------------------
+
+
+def word_table_sql(table: str, text_col: str) -> str:
+    return (f"SELECT word, CAST(count(*) AS BIGINT) AS freq FROM ("
+            f"SELECT unnest(string_split(lower({text_col}), ' ')) AS word"
+            f" FROM {table} WHERE {text_col} IS NOT NULL)"
+            f" WHERE word <> '' GROUP BY word")
+
+
+def bpe_ctes(words_sql: str, rounds: int) -> str:
+    """CTE chain ending in ``mrg`` (round, left, right, pair_count) and
+    ``seq{rounds}`` (word, freq, pos, sym) — the twin of
+    :func:`bpe_train` over ``words_sql`` → (word, freq)."""
+    if rounds < 1:
+        raise ValueError(f"bpe_ctes: rounds must be >= 1, got {rounds}")
+    parts = [f"_w AS MATERIALIZED ({words_sql})",
+             f"""seq0 AS MATERIALIZED (
+        SELECT word, freq, CAST(p AS BIGINT) AS pos,
+               CASE WHEN p <= length(word)
+                    THEN substring(word, CAST(p AS INT), 1)
+                    ELSE '{EOW}' END AS sym
+        FROM (SELECT word, freq,
+                     unnest(generate_series(1, length(word) + 1)) AS p
+              FROM _w))"""]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f"""_pr{i} AS MATERIALIZED (
+        SELECT sym, _nxt, CAST(sum(freq) AS BIGINT) AS c
+        FROM (SELECT sym, freq, lead(sym) OVER (
+                  PARTITION BY word ORDER BY pos) AS _nxt
+              FROM seq{p})
+        WHERE _nxt IS NOT NULL GROUP BY sym, _nxt)""")
+        parts.append(f"""_bc{i} AS MATERIALIZED (
+        SELECT sym AS l, _nxt AS r, c AS pair_count
+        FROM _pr{i} ORDER BY c DESC, sym, _nxt LIMIT 1)""")
+        parts.append(f"""_mk{i} AS MATERIALIZED (
+        SELECT word, freq, pos, sym, _nxt, _m,
+               CASE WHEN _m = 1 THEN pos - sum(_m) OVER (
+                   PARTITION BY word ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   ELSE NULL END AS _grp
+        FROM (SELECT word, freq, pos, sym, _nxt,
+                     CAST(coalesce(sym = (SELECT l FROM _bc{i})
+                          AND _nxt = (SELECT r FROM _bc{i}), FALSE)
+                          AS INT) AS _m
+              FROM (SELECT word, freq, pos, sym,
+                           lead(sym) OVER (
+                               PARTITION BY word ORDER BY pos) AS _nxt
+                    FROM seq{p})))""")
+        parts.append(f"""_sel{i} AS MATERIALIZED (
+        SELECT word, freq, pos, sym, _nxt,
+               coalesce(_m = 1 AND (pos - first_value(pos) OVER (
+                   PARTITION BY word, _grp ORDER BY pos)) % 2 = 0,
+                   FALSE) AS _sel
+        FROM _mk{i})""")
+        parts.append(f"""seq{i} AS MATERIALIZED (
+        SELECT word, freq,
+               CAST(row_number() OVER (PARTITION BY word ORDER BY pos)
+                    AS BIGINT) AS pos,
+               CASE WHEN _sel THEN sym || _nxt ELSE sym END AS sym
+        FROM (SELECT *, lag(_sel) OVER (
+                  PARTITION BY word ORDER BY pos) AS _psel
+              FROM _sel{i})
+        WHERE NOT coalesce(_psel, FALSE))""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INT) AS round, l AS left, r AS right,"
+        f" pair_count FROM _bc{i}" for i in range(1, rounds + 1))
+    parts.append(f"mrg AS MATERIALIZED ({union})")
+    return ",\n".join(parts)

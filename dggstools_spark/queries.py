@@ -475,6 +475,7 @@ from .queries26 import QUERIES26, ORACLES26  # noqa: E402
 from .queries27 import QUERIES27, ORACLES27  # noqa: E402
 from .queries28 import QUERIES28, ORACLES28  # noqa: E402
 from .queries29 import QUERIES29, ORACLES29  # noqa: E402
+from .queries30 import QUERIES30, ORACLES30  # noqa: E402
 
 QUERIES.update(QUERIES2)
 ORACLES.update(ORACLES2)
@@ -532,6 +533,8 @@ QUERIES.update(QUERIES28)
 ORACLES.update(ORACLES28)
 QUERIES.update(QUERIES29)
 ORACLES.update(ORACLES29)
+QUERIES.update(QUERIES30)
+ORACLES.update(ORACLES30)
 
 
 # --------------------------------------------------------------------------
@@ -832,6 +835,9 @@ _PROMOTE_EARLY = ["stream_dedup",
 # rank trend, nearest-neighbor G-function, drainage accumulation)
 # likewise rides the replica + sf1 gates; promotion queue behind
 # batch 32.
+# The r6 batch-34 pair (bpe_merges/bpe_stats — distributed BPE tokenizer
+# training, vocabulary-sized merge rounds) likewise rides the replica +
+# sf1 gates; promotion queue behind batch 33.
 # The r6 batch-31 entry (route_heat — great-circle corridor heat via the
 # slerp split) rides the same gates; promotion queue behind batch 30.
 # Tail order below follows VERDICT r5 #7: if a future driver window is
