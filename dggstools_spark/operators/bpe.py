@@ -85,8 +85,20 @@ def _merge_round(seq: DataFrame) -> "tuple[DataFrame, DataFrame]":
             .select(F.col("_b.l").alias("l"), F.col("_b.r").alias("r"),
                     (-F.col("_b.nc")).cast("bigint").alias("pair_count"))
             .localCheckpoint(eager=True))
+    return best, apply_pair(seq, best.select("l", "r"))
+
+
+def apply_pair(seq: DataFrame, pair: DataFrame) -> DataFrame:
+    """Apply ONE merge (the 1-row broadcast ``pair`` frame (l, r)) to a
+    (word, freq, pos, sym) table: greedy left-to-right non-overlapping
+    rewrite (islands of consecutive matches, odd ranks merge), reindexed
+    and checkpointed.  Shared by training (best pair per round) and
+    tokenization of new text (:func:`bpe_apply`, fixed learned pairs)."""
+    from pyspark.sql.window import Window
+
+    wp = Window.partitionBy("word").orderBy("pos")
     merged = (seq
-              .crossJoin(F.broadcast(best.select("l", "r")))
+              .crossJoin(F.broadcast(pair))
               .withColumn("_nxt", F.lead("sym").over(wp))
               .withColumn("_m", F.expr(
                   "CAST(coalesce(sym = l AND _nxt = r, FALSE) AS INT)"))
@@ -103,12 +115,28 @@ def _merge_round(seq: DataFrame) -> "tuple[DataFrame, DataFrame]":
               .select("word", "freq", "pos",
                       F.expr("CASE WHEN _sel THEN concat(sym, _nxt)"
                              " ELSE sym END").alias("sym")))
-    reindexed = (merged
-                 .withColumn("pos", F.row_number().over(
-                     Window.partitionBy("word").orderBy("pos"))
-                 .cast("bigint"))
-                 .localCheckpoint(eager=True))
-    return best, reindexed
+    return (merged
+            .withColumn("pos", F.row_number().over(
+                Window.partitionBy("word").orderBy("pos"))
+            .cast("bigint"))
+            .localCheckpoint(eager=True))
+
+
+def bpe_apply(new_df: DataFrame, text_col: str,
+              merges: DataFrame) -> DataFrame:
+    """Tokenize NEW text under already-learned merges: apply every
+    (round-ordered) merge pair to the new corpus's word table with the
+    identical greedy rewrite — the runtime tokenizer.  Returns the final
+    (word, freq, pos, sym) symbolization.  The R driver-side pair reads
+    mirror bpe_train's control loop (R 1-row actions)."""
+    seq = init_seq(word_table(new_df, text_col)).localCheckpoint(
+        eager=True)
+    spark = new_df.sparkSession
+    for row in merges.orderBy("round").collect():
+        pair = spark.createDataFrame(
+            [(row.left, row.right)], "l string, r string")
+        seq = apply_pair(seq, pair)
+    return seq
 
 
 def bpe_train(df: DataFrame, text_col: str,
@@ -159,14 +187,7 @@ def bpe_ctes(words_sql: str, rounds: int) -> str:
     if rounds < 1:
         raise ValueError(f"bpe_ctes: rounds must be >= 1, got {rounds}")
     parts = [f"_w AS MATERIALIZED ({words_sql})",
-             f"""seq0 AS MATERIALIZED (
-        SELECT word, freq, CAST(p AS BIGINT) AS pos,
-               CASE WHEN p <= length(word)
-                    THEN substring(word, CAST(p AS INT), 1)
-                    ELSE '{EOW}' END AS sym
-        FROM (SELECT word, freq,
-                     unnest(generate_series(1, length(word) + 1)) AS p
-              FROM _w))"""]
+             init_seq_sql("_w", "seq0")]
     for i in range(1, rounds + 1):
         p = i - 1
         parts.append(f"""_pr{i} AS MATERIALIZED (
@@ -178,37 +199,76 @@ def bpe_ctes(words_sql: str, rounds: int) -> str:
         parts.append(f"""_bc{i} AS MATERIALIZED (
         SELECT sym AS l, _nxt AS r, c AS pair_count
         FROM _pr{i} ORDER BY c DESC, sym, _nxt LIMIT 1)""")
-        parts.append(f"""_mk{i} AS MATERIALIZED (
+        parts.extend(_rewrite_cte_parts(f"seq{p}", f"seq{i}",
+                                        f"_bc{i}", f"_t{i}"))
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INT) AS round, l AS left, r AS right,"
+        f" pair_count FROM _bc{i}" for i in range(1, rounds + 1))
+    parts.append(f"mrg AS MATERIALIZED ({union})")
+    return ",\n".join(parts)
+
+
+def _rewrite_cte_parts(src: str, dst: str, bc: str,
+                       tag: str) -> "list[str]":
+    """Three MATERIALIZED CTE levels rewriting ``src`` → ``dst`` under
+    the pair in 1-row CTE ``bc`` (l, r) — the greedy-application twin of
+    :func:`apply_pair`; ``tag`` uniquifies the intermediate names."""
+    return [f"""{tag}mk AS MATERIALIZED (
         SELECT word, freq, pos, sym, _nxt, _m,
                CASE WHEN _m = 1 THEN pos - sum(_m) OVER (
                    PARTITION BY word ORDER BY pos
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    ELSE NULL END AS _grp
         FROM (SELECT word, freq, pos, sym, _nxt,
-                     CAST(coalesce(sym = (SELECT l FROM _bc{i})
-                          AND _nxt = (SELECT r FROM _bc{i}), FALSE)
+                     CAST(coalesce(sym = (SELECT l FROM {bc})
+                          AND _nxt = (SELECT r FROM {bc}), FALSE)
                           AS INT) AS _m
               FROM (SELECT word, freq, pos, sym,
                            lead(sym) OVER (
                                PARTITION BY word ORDER BY pos) AS _nxt
-                    FROM seq{p})))""")
-        parts.append(f"""_sel{i} AS MATERIALIZED (
+                    FROM {src})))""",
+            f"""{tag}sel AS MATERIALIZED (
         SELECT word, freq, pos, sym, _nxt,
                coalesce(_m = 1 AND (pos - first_value(pos) OVER (
                    PARTITION BY word, _grp ORDER BY pos)) % 2 = 0,
                    FALSE) AS _sel
-        FROM _mk{i})""")
-        parts.append(f"""seq{i} AS MATERIALIZED (
+        FROM {tag}mk)""",
+            f"""{dst} AS MATERIALIZED (
         SELECT word, freq,
                CAST(row_number() OVER (PARTITION BY word ORDER BY pos)
                     AS BIGINT) AS pos,
                CASE WHEN _sel THEN sym || _nxt ELSE sym END AS sym
         FROM (SELECT *, lag(_sel) OVER (
                   PARTITION BY word ORDER BY pos) AS _psel
-              FROM _sel{i})
-        WHERE NOT coalesce(_psel, FALSE))""")
-    union = "\nUNION ALL\n".join(
-        f"SELECT CAST({i} AS INT) AS round, l AS left, r AS right,"
-        f" pair_count FROM _bc{i}" for i in range(1, rounds + 1))
-    parts.append(f"mrg AS MATERIALIZED ({union})")
+              FROM {tag}sel)
+        WHERE NOT coalesce(_psel, FALSE))"""]
+
+
+def init_seq_sql(words_cte: str, out: str) -> str:
+    """One MATERIALIZED CTE: char+'</w>' symbolization of ``words_cte``
+    (word, freq) as ``out`` (word, freq, pos, sym)."""
+    return f"""{out} AS MATERIALIZED (
+        SELECT word, freq, CAST(p AS BIGINT) AS pos,
+               CASE WHEN p <= length(word)
+                    THEN substring(word, CAST(p AS INT), 1)
+                    ELSE '{EOW}' END AS sym
+        FROM (SELECT word, freq,
+                     unnest(generate_series(1, length(word) + 1)) AS p
+              FROM {words_cte}))"""
+
+
+def bpe_apply_ctes(new_words_sql: str, rounds: int) -> str:
+    """CTE chain APPLYING already-learned merges to a new corpus —
+    assumes the training chain (:func:`bpe_ctes`) precedes it in the
+    same WITH so the per-round pair CTEs ``_bc{{i}}`` exist.  Ends in
+    ``app{rounds}`` (word, freq, pos, sym) plus ``_nw`` (the new word
+    table) — the twin of :func:`bpe_apply`."""
+    if rounds < 1:
+        raise ValueError(
+            f"bpe_apply_ctes: rounds must be >= 1, got {rounds}")
+    parts = [f"_nw AS MATERIALIZED ({new_words_sql})",
+             init_seq_sql("_nw", "app0")]
+    for i in range(1, rounds + 1):
+        parts.extend(_rewrite_cte_parts(f"app{i - 1}", f"app{i}",
+                                        f"_bc{i}", f"_a{i}"))
     return ",\n".join(parts)

@@ -93,3 +93,56 @@ def _oracle_bpe_stats() -> str:
 
 QUERIES30["bpe_stats"] = q_bpe_stats
 ORACLES30["bpe_stats"] = _oracle_bpe_stats()
+
+
+# --------------------------------------------------------------------------
+# q_bpe_tokenize (batch 35): the runtime tokenizer — train BPE_ROUNDS
+# merges on the 80% train split (doc_id % 5 != 0), apply them with the
+# identical greedy rewrite to the HELD-OUT 20%, and rank the resulting
+# subword tokens by weighted occurrence.  Exercises cross-corpus
+# application: held-out words unseen in training still decompose under
+# the learned merges (the whole point of subword tokenization).
+# --------------------------------------------------------------------------
+
+BPE_TOK_K = 15
+
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.bpe import bpe_apply, bpe_train
+
+    docs = load(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs.filter("doc_id % 5 != 0"), "text",
+                          BPE_ROUNDS)
+    seq = bpe_apply(docs.filter("doc_id % 5 = 0"), "text", merges)
+    w = Window.orderBy(F.desc("occ"), F.asc("token"))
+    return (seq.groupBy(F.col("sym").alias("token"))
+            .agg(F.sum("freq").cast("bigint").alias("occ"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= BPE_TOK_K)
+            .select("token", "occ", "rank"))
+
+
+def _oracle_bpe_tokenize() -> str:
+    from .operators.bpe import bpe_apply_ctes, bpe_ctes, word_table_sql
+
+    train_w = word_table_sql(
+        "(SELECT * FROM documents WHERE doc_id % 5 != 0)", "text")
+    new_w = word_table_sql(
+        "(SELECT * FROM documents WHERE doc_id % 5 = 0)", "text")
+    return f"""
+    WITH {bpe_ctes(train_w, BPE_ROUNDS)},
+    {bpe_apply_ctes(new_w, BPE_ROUNDS)},
+    _occ AS (
+        SELECT sym AS token, CAST(sum(freq) AS BIGINT) AS occ
+        FROM app{BPE_ROUNDS} GROUP BY sym)
+    SELECT token, occ, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (ORDER BY occ DESC, token)
+              AS rank FROM _occ)
+    WHERE rank <= {BPE_TOK_K}
+    """
+
+
+QUERIES30["bpe_tokenize"] = q_bpe_tokenize
+ORACLES30["bpe_tokenize"] = _oracle_bpe_tokenize()

@@ -105,3 +105,42 @@ def test_bpe_null_and_empty_tokens_excluded(spark):
     merges, seq = bpe_train(df, "text", 1)
     words = {r.word for r in seq.select("word").distinct().collect()}
     assert words == {"x", "y"}  # no '' word from the double space
+
+
+def _ref_apply(word_freq, merges):
+    """Independent application of learned merges to new words."""
+    seqs = {w: list(w) + [EOW] for w in word_freq}
+    for l, r, _ in merges:
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) == (l, r):
+                    out.append(s[i] + s[i + 1])
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return seqs
+
+
+def test_bpe_apply_heldout_matches_reference(spark):
+    from dggstools_spark.operators.bpe import bpe_apply
+
+    train = ["the cat sat on the mat", "the cat ate the rat"]
+    held = ["that theory chats", "aaaa the"]
+    rounds = 5
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train)], "id long, text string")
+    merges, _ = bpe_train(df, "text", rounds)
+    new_df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(held)], "id long, text string")
+    seq = bpe_apply(new_df, "text", merges)
+    got = {}
+    for r in seq.orderBy("word", "pos").collect():
+        got.setdefault(r.word, []).append(r.sym)
+    exp_m, _ = _ref_bpe(_freqs(train), rounds)
+    exp = _ref_apply(_freqs(held), exp_m)
+    assert got == exp
+    # unseen words decomposed, not dropped
+    assert "theory" in got and len(got["theory"]) >= 2
