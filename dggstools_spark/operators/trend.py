@@ -218,13 +218,11 @@ def trend_topk_dense_sql(obs_sql: str, key_col: str, t_col: str,
 # --------------------------------------------------------------------------
 
 
-def mk_trend(obs: DataFrame, key_col: str, t_col: str, y_col: str,
-             k: int) -> DataFrame:
-    """(key, n_buckets, s, var18, tau_ppm, rank): top-``k`` keys by exact
-    Mann-Kendall S (desc, key asc ties) — see the block comment above.
-    ``t_col``/``y_col`` must be integer columns."""
-    from pyspark.sql.window import Window
-
+def mk_stats(obs: DataFrame, key_col: str, t_col: str,
+             y_col: str) -> DataFrame:
+    """(key, n_buckets, s, var18, tau_ppm) for EVERY key with ≥ 2
+    buckets — the rank-free core of :func:`mk_trend`, reused by
+    space-time compositions (operators/spacetime.emerging_hotspots)."""
     pb = (obs.groupBy(key_col, t_col)
           .agg(F.sum(y_col).cast("bigint").alias("y")))
     a = pb.select(F.col(key_col), F.col(t_col).alias("_ta"),
@@ -246,7 +244,6 @@ def mk_trend(obs: DataFrame, key_col: str, t_col: str, y_col: str,
             .agg(F.sum("_tg").alias("n_buckets"),
                  F.sum(F.expr(
                      "_tg * (_tg - 1) * (2 * _tg + 5)")).alias("_tie")))
-    w = Window.orderBy(F.desc("s"), F.asc(key_col))
     return (ties.filter(F.col("n_buckets") >= 2)
             .join(s, key_col)
             .withColumn("var18", F.expr(
@@ -254,12 +251,24 @@ def mk_trend(obs: DataFrame, key_col: str, t_col: str, y_col: str,
                 " - _tie"))
             .withColumn("tau_ppm", F.expr(
                 f"(2 * s * {PPM}) div (n_buckets * (n_buckets - 1))"))
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
             .select(key_col, "n_buckets",
                     F.col("s").cast("bigint").alias("s"),
                     F.col("var18").cast("bigint").alias("var18"),
-                    F.col("tau_ppm").cast("bigint").alias("tau_ppm"),
+                    F.col("tau_ppm").cast("bigint").alias("tau_ppm")))
+
+
+def mk_trend(obs: DataFrame, key_col: str, t_col: str, y_col: str,
+             k: int) -> DataFrame:
+    """(key, n_buckets, s, var18, tau_ppm, rank): top-``k`` keys by exact
+    Mann-Kendall S (desc, key asc ties) — see the block comment above.
+    ``t_col``/``y_col`` must be integer columns."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("s"), F.asc(key_col))
+    return (mk_stats(obs, key_col, t_col, y_col)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(key_col, "n_buckets", "s", "var18", "tau_ppm",
                     "rank"))
 
 
@@ -269,36 +278,45 @@ def mk_trend_sql(obs_sql: str, key_col: str, t_col: str, y_col: str,
     correction, `//` ↔ `div` both truncating toward zero)."""
     return f"""
     WITH obs AS MATERIALIZED ({obs_sql}),
-    pb AS MATERIALIZED (
-        SELECT {key_col}, {t_col}, CAST(sum({y_col}) AS BIGINT) AS y
-        FROM obs GROUP BY {key_col}, {t_col}),
-    s AS (
-        SELECT a.{key_col},
-               CAST(sum(CASE WHEN b.y > a.y THEN 1
-                             WHEN b.y < a.y THEN -1 ELSE 0 END)
-                    AS BIGINT) AS s
-        FROM pb a JOIN pb b ON b.{key_col} = a.{key_col}
-                           AND a.{t_col} < b.{t_col}
-        GROUP BY a.{key_col}),
-    ties AS (
-        SELECT {key_col},
-               CAST(sum(_tg) AS BIGINT) AS n_buckets,
-               CAST(sum(_tg * (_tg - 1) * (2 * _tg + 5)) AS BIGINT)
-               AS _tie
-        FROM (SELECT {key_col}, y, count(*) AS _tg
-              FROM pb GROUP BY {key_col}, y)
-        GROUP BY {key_col}),
-    mk AS (
-        SELECT ties.{key_col}, ties.n_buckets, s.s,
-               ties.n_buckets * (ties.n_buckets - 1)
-               * (2 * ties.n_buckets + 5) - ties._tie AS var18,
-               (2 * s.s * {PPM})
-               // (ties.n_buckets * (ties.n_buckets - 1)) AS tau_ppm
-        FROM ties JOIN s USING ({key_col})
-        WHERE ties.n_buckets >= 2)
+    {mk_stats_ctes('obs', key_col, t_col, y_col)}
     SELECT {key_col}, n_buckets, s, CAST(var18 AS BIGINT) AS var18,
            CAST(tau_ppm AS BIGINT) AS tau_ppm, CAST(rank AS INT) AS rank
     FROM (SELECT *, row_number() OVER (ORDER BY s DESC, {key_col})
               AS rank FROM mk)
     WHERE rank <= {k}
     """
+
+
+def mk_stats_ctes(obs_cte: str, key_col: str, t_col: str,
+                  y_col: str, prefix: str = "") -> str:
+    """CTE parts ending in ``{prefix}mk`` (key, n_buckets, s, var18,
+    tau_ppm) — the composable twin of :func:`mk_stats` over an existing
+    CTE ``obs_cte`` → (key, t, y)."""
+    p = prefix
+    return f"""{p}pb AS MATERIALIZED (
+        SELECT {key_col}, {t_col}, CAST(sum({y_col}) AS BIGINT) AS y
+        FROM {obs_cte} GROUP BY {key_col}, {t_col}),
+    {p}s AS (
+        SELECT a.{key_col},
+               CAST(sum(CASE WHEN b.y > a.y THEN 1
+                             WHEN b.y < a.y THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s
+        FROM {p}pb a JOIN {p}pb b ON b.{key_col} = a.{key_col}
+                           AND a.{t_col} < b.{t_col}
+        GROUP BY a.{key_col}),
+    {p}ties AS (
+        SELECT {key_col},
+               CAST(sum(_tg) AS BIGINT) AS n_buckets,
+               CAST(sum(_tg * (_tg - 1) * (2 * _tg + 5)) AS BIGINT)
+               AS _tie
+        FROM (SELECT {key_col}, y, count(*) AS _tg
+              FROM {p}pb GROUP BY {key_col}, y)
+        GROUP BY {key_col}),
+    {p}mk AS (
+        SELECT t.{key_col}, t.n_buckets, s.s,
+               t.n_buckets * (t.n_buckets - 1)
+               * (2 * t.n_buckets + 5) - t._tie AS var18,
+               (2 * s.s * {PPM})
+               // (t.n_buckets * (t.n_buckets - 1)) AS tau_ppm
+        FROM {p}ties t JOIN {p}s s USING ({key_col})
+        WHERE t.n_buckets >= 2)"""

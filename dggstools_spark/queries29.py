@@ -120,3 +120,46 @@ def _oracle_flow_accum() -> str:
 
 QUERIES29["flow_accum"] = q_flow_accum
 ORACLES29["flow_accum"] = _oracle_flow_accum()
+
+
+# --------------------------------------------------------------------------
+# q_emerging_hotspots (batch 36): space-time Getis-Ord trajectory
+# classification — per-day Gi ratios over event cells, Mann-Kendall
+# trend of each cell's ratio series, ESRI-style integer-exact category
+# labels (operators/spacetime.py).
+# --------------------------------------------------------------------------
+
+EH_RES = 2
+EH_K = 25
+
+
+def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.spacetime import emerging_hotspots
+
+    ev = synth.with_lonlat(load(spark, sf_dir, "events"), "event_id")
+    obs = (encode_sql.spark_encode(ev, "lon", "lat", EH_RES)
+           .select("cellid",
+                   F.expr("unix_millis(CAST(ts AS TIMESTAMP))"
+                          " div 86400000").alias("day"))
+           .groupBy("cellid", "day")
+           .agg(F.count("*").cast("bigint").alias("v"))
+           .localCheckpoint(eager=True))  # constraint 2: lattice decode
+    # + focal join + totals + MK pair join all re-reference cellid
+    return emerging_hotspots(obs, EH_RES, EH_K)
+
+
+def _oracle_emerging_hotspots() -> str:
+    from .operators.spacetime import emerging_hotspots_sql
+
+    src = synth.duckdb_lonlat_select("events", "event_id",
+                                     ["event_id", "ts"])
+    enc = encode_sql.duckdb_encode_select(f"({src})", "lon", "lat",
+                                          EH_RES, ["ts"])
+    obs = (f"SELECT cellid, epoch_ms(ts) // 86400000 AS day,"
+           f" CAST(count(*) AS BIGINT) AS v FROM ({enc})"
+           f" GROUP BY cellid, epoch_ms(ts) // 86400000")
+    return emerging_hotspots_sql(obs, EH_RES, EH_K)
+
+
+QUERIES29["emerging_hotspots"] = q_emerging_hotspots
+ORACLES29["emerging_hotspots"] = _oracle_emerging_hotspots()
