@@ -207,3 +207,100 @@ def cost_distance_sql(cells_sql: str, res: int, sources_pred: str,
     WITH {','.join(ctes)}
     SELECT cellid, dist FROM d{iters}
     """
+
+
+# --------------------------------------------------------------------------
+# Label-propagation communities (Raghavan et al. 2007, public algorithm)
+# — the community-detection sibling of page_rank (centrality) and
+# pointer-jumping CC (connectivity; LPA finds DENSE groups inside a
+# connected component, which CC cannot).
+#
+# Deterministic SYNCHRONOUS variant (classic LPA breaks ties randomly
+# and updates asynchronously — neither is reproducible or engine-
+# portable): labels start as the node id; each round EVERY node adopts
+# the label with the greatest incident edge weight among its neighbors'
+# PREVIOUS labels, ties to the lexicographically smallest label; a node
+# with no neighbors keeps its label.  Fixed ``iters`` rounds (sync LPA
+# can 2-cycle on bipartite-ish shapes — a fixed budget makes the output
+# well-defined; callers wanting convergence diff two successive rounds).
+#
+# Scale shape (100 TB of events → a cell graph ≪ event count): one
+# round = one hash equi-join (edges ⋈ labels on the neighbor key) + one
+# (node, label) weight aggregate + one min-struct argmax aggregate +
+# one left join-back — all on natural keys, AQE broadcasts the label
+# vector while it fits; localCheckpoint per round (constraint 2
+# fixpoint discipline, same as page_rank / dedup_clusters).
+# --------------------------------------------------------------------------
+
+
+def lpa_communities(edges: DataFrame, src: str, dst: str, w: str,
+                    iters: int = 4) -> DataFrame:
+    """(node, label): community labels after ``iters`` synchronous LPA
+    rounds over ``edges`` (directed input; symmetrized internally,
+    self-loops dropped).  See the block comment above."""
+    if iters < 1:
+        raise ValueError(
+            f"lpa_communities: iters must be >= 1, got {iters}")
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"),
+                      F.col(w).cast("bigint").alias("w"))
+         .filter(F.col("u") != F.col("v")))
+    sym = (e.unionByName(e.select(F.col("v").alias("u"),
+                                  F.col("u").alias("v"), "w"))
+           .groupBy("u", "v").agg(F.sum("w").alias("w"))
+           .localCheckpoint(eager=True))
+    labels = (sym.select("u").union(sym.select("v")).distinct()
+              .select(F.col("u").alias("node"),
+                      F.col("u").alias("label"))
+              .localCheckpoint(eager=True))
+    for _ in range(iters):
+        nl = (sym
+              .join(labels.select(F.col("node").alias("v"),
+                                  F.col("label").alias("_lv")), "v")
+              .groupBy(F.col("u").alias("node"), F.col("_lv"))
+              .agg(F.sum("w").alias("_ws"))
+              .groupBy("node")
+              .agg(F.min(F.struct((-F.col("_ws")).alias("nw"),
+                                  F.col("_lv").alias("l"))).alias("_b"))
+              .select("node", F.col("_b.l").alias("_new")))
+        labels = (labels.join(nl, "node", "left")
+                  .select("node", F.coalesce("_new", "label")
+                          .alias("label"))
+                  .localCheckpoint(eager=True))
+    return labels
+
+
+def lpa_communities_ctes(edges_sql: str, src: str, dst: str, w: str,
+                         iters: int = 4) -> str:
+    """DuckDB CTE chain ending in ``lab{iters}`` (node, label) — the
+    twin of :func:`lpa_communities`, every level MATERIALIZED
+    (CLAUDE.md constraint 14)."""
+    if iters < 1:
+        raise ValueError(
+            f"lpa_communities_ctes: iters must be >= 1, got {iters}")
+    parts = [f"_e AS MATERIALIZED (SELECT {src} AS u, {dst} AS v,"
+             f" CAST({w} AS BIGINT) AS w FROM ({edges_sql})"
+             f" WHERE {src} <> {dst})",
+             """_sym AS MATERIALIZED (
+        SELECT u, v, CAST(sum(w) AS BIGINT) AS w
+        FROM (SELECT u, v, w FROM _e
+              UNION ALL SELECT v AS u, u AS v, w FROM _e)
+        GROUP BY u, v)""",
+             """lab0 AS MATERIALIZED (
+        SELECT node, node AS label
+        FROM (SELECT u AS node FROM _sym
+              UNION SELECT v AS node FROM _sym))"""]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(f"""_nl{i} AS MATERIALIZED (
+        SELECT node, min(_lv) FILTER (WHERE _ws = mx) AS _new
+        FROM (SELECT node, _lv, _ws,
+                     max(_ws) OVER (PARTITION BY node) AS mx
+              FROM (SELECT s.u AS node, l.label AS _lv,
+                           CAST(sum(s.w) AS BIGINT) AS _ws
+                    FROM _sym s JOIN lab{p} l ON l.node = s.v
+                    GROUP BY s.u, l.label))
+        GROUP BY node)""")
+        parts.append(f"""lab{i} AS MATERIALIZED (
+        SELECT a.node, coalesce(n._new, a.label) AS label
+        FROM lab{p} a LEFT JOIN _nl{i} n USING (node))""")
+    return ",\n".join(parts)

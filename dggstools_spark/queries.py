@@ -844,6 +844,10 @@ _PROMOTE_EARLY = ["stream_dedup",
 # The r6 batch-36 entry (emerging_hotspots — per-day Gi ratios × MK
 # trajectory classification, operators/spacetime.py) likewise rides the
 # replica + sf1 gates; promotion queue behind batch 35.
+# The r6 batch-37 entry (flow_communities — deterministic synchronous
+# LPA over the OD backbone graph, operators/graph.lpa_communities)
+# likewise rides the replica + sf1 gates; promotion queue behind
+# batch 36.
 # The r6 batch-31 entry (route_heat — great-circle corridor heat via the
 # slerp split) rides the same gates; promotion queue behind batch 30.
 # Tail order below follows VERDICT r5 #7: if a future driver window is

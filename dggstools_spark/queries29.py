@@ -163,3 +163,98 @@ def _oracle_emerging_hotspots() -> str:
 
 QUERIES29["emerging_hotspots"] = q_emerging_hotspots
 ORACLES29["emerging_hotspots"] = _oracle_emerging_hotspots()
+
+
+# --------------------------------------------------------------------------
+# q_flow_communities (batch 37): movement communities — synchronous
+# deterministic label propagation over the OD flow BACKBONE (each
+# cell's top-LPA_M outgoing corridors by weight; the full synthetic
+# flow graph is near-complete — degree ~50 — and any community method
+# rightly collapses it, so the backbone sparsification is part of the
+# operator contract, the classic "keep each node's strongest ties"
+# reduction), communities ranked by member count
+# (operators/graph.lpa_communities).
+# --------------------------------------------------------------------------
+
+LPA_RES = 3
+LPA_ITERS = 4
+LPA_M = 3
+LPA_K = 20
+
+
+def _flow_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = synth.with_lonlat(load(spark, sf_dir, "events"), "event_id")
+    obs = (encode_sql.spark_encode(ev, "lon", "lat", LPA_RES)
+           .select("cellid", "user_id", "event_id",
+                   F.expr("unix_millis(CAST(ts AS TIMESTAMP))")
+                   .alias("tms"))
+           .localCheckpoint(eager=True))  # constraint 2 before the lag
+    w = Window.partitionBy("user_id").orderBy("tms", "event_id")
+    return (obs.withColumn("o_cell", F.lag("cellid").over(w))
+            .filter(F.col("o_cell").isNotNull()
+                    & (F.col("o_cell") != F.col("cellid")))
+            .groupBy("o_cell", F.col("cellid").alias("d_cell"))
+            .agg(F.count("*").alias("n_moves"))
+            .withColumn("_r", F.row_number().over(
+                Window.partitionBy("o_cell").orderBy(
+                    F.desc("n_moves"), F.asc("d_cell"))))
+            .filter(F.col("_r") <= LPA_M)
+            .drop("_r"))
+
+
+def _flow_edges_sql() -> str:
+    src = synth.duckdb_lonlat_select("events", "event_id",
+                                     ["event_id", "ts", "user_id"])
+    enc = encode_sql.duckdb_encode_select(f"({src})", "lon", "lat",
+                                          LPA_RES,
+                                          ["event_id", "ts", "user_id"])
+    return f"""
+    SELECT o_cell, d_cell, n_moves
+    FROM (SELECT o_cell, d_cell, n_moves,
+                 row_number() OVER (PARTITION BY o_cell
+                     ORDER BY n_moves DESC, d_cell) AS _r
+          FROM (SELECT o_cell, d_cell,
+                       CAST(count(*) AS BIGINT) AS n_moves
+                FROM (SELECT lag(cellid) OVER (PARTITION BY user_id
+                           ORDER BY epoch_ms(ts), event_id) AS o_cell,
+                             cellid AS d_cell
+                      FROM ({enc}))
+                WHERE o_cell IS NOT NULL AND o_cell <> d_cell
+                GROUP BY o_cell, d_cell))
+    WHERE _r <= {LPA_M}"""
+
+
+def q_flow_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.graph import lpa_communities
+
+    labels = lpa_communities(_flow_edges(spark, sf_dir),
+                             "o_cell", "d_cell", "n_moves", LPA_ITERS)
+    comm = labels.groupBy("label").agg(F.count("*").alias("n_nodes"))
+    rw = Window.orderBy(F.desc("n_nodes"), F.asc("label"))
+    return (comm.withColumn("rank", F.row_number().over(rw))
+            .filter(F.col("rank") <= LPA_K)
+            .select("label", "n_nodes", "rank"))
+
+
+def _oracle_flow_communities() -> str:
+    from .operators.graph import lpa_communities_ctes
+
+    ctes = lpa_communities_ctes(_flow_edges_sql(), "o_cell", "d_cell",
+                                "n_moves", LPA_ITERS)
+    return f"""
+    WITH {ctes},
+    _c AS (SELECT label, CAST(count(*) AS BIGINT) AS n_nodes
+           FROM lab{LPA_ITERS} GROUP BY label)
+    SELECT label, n_nodes, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+              ORDER BY n_nodes DESC, label) AS rank FROM _c)
+    WHERE rank <= {LPA_K}
+    """
+
+
+QUERIES29["flow_communities"] = q_flow_communities
+ORACLES29["flow_communities"] = _oracle_flow_communities()
