@@ -848,6 +848,9 @@ _PROMOTE_EARLY = ["stream_dedup",
 # LPA over the OD backbone graph, operators/graph.lpa_communities)
 # likewise rides the replica + sf1 gates; promotion queue behind
 # batch 36.
+# The r6 batch-38 entry (access_2sfca — two-step floating catchment
+# accessibility, operators/access.py) likewise rides the replica + sf1
+# gates; promotion queue behind batch 37.
 # The r6 batch-31 entry (route_heat — great-circle corridor heat via the
 # slerp split) rides the same gates; promotion queue behind batch 30.
 # Tail order below follows VERDICT r5 #7: if a future driver window is

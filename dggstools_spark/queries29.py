@@ -258,3 +258,67 @@ def _oracle_flow_communities() -> str:
 
 QUERIES29["flow_communities"] = q_flow_communities
 ORACLES29["flow_communities"] = _oracle_flow_communities()
+
+
+# --------------------------------------------------------------------------
+# q_access_2sfca (batch 38): two-step floating catchment accessibility —
+# suppliers as facilities (deterministic capacity s_suppkey % 50 + 1),
+# document cells as demand, queen-graph catchments of radius AC_KMAX
+# (operators/access.py; exact quantized ratios, no floats).  Demand
+# cells with no facility in reach are absent from the output (inner
+# catchment join — documented).
+# --------------------------------------------------------------------------
+
+AC_RES = 2
+AC_KMAX = 2
+AC_K = 25
+
+
+def q_access_2sfca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.access import access_2sfca
+
+    docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id")
+    pop = (encode_sql.spark_encode(docs, "lon", "lat", AC_RES)
+           .groupBy("cellid")
+           .agg(F.count("*").cast("bigint").alias("pop"))
+           .localCheckpoint(eager=True))  # constraint 2 before kring
+    sup = synth.with_lonlat(load(spark, sf_dir, "supplier"), "s_suppkey")
+    fac = (encode_sql.spark_encode(sup, "lon", "lat", AC_RES)
+           .select(F.col("s_suppkey").alias("fac_id"), "cellid",
+                   F.expr("CAST(s_suppkey % 50 + 1 AS BIGINT)")
+                   .alias("cap"))
+           .localCheckpoint(eager=True))
+    acc = access_2sfca(pop, fac, AC_RES, AC_KMAX)
+    rw = Window.orderBy(F.desc("access_q9"), F.asc("cellid"))
+    return (acc.withColumn("rank", F.row_number().over(rw))
+            .filter(F.col("rank") <= AC_K)
+            .select("cellid", "access_q9", "n_fac", "rank"))
+
+
+def _oracle_access_2sfca() -> str:
+    from .operators.access import access_2sfca_ctes
+
+    dsrc = synth.duckdb_lonlat_select("documents", "doc_id", ["doc_id"])
+    denc = encode_sql.duckdb_encode_select(f"({dsrc})", "lon", "lat",
+                                           AC_RES, ["doc_id"])
+    pop = (f"SELECT cellid, CAST(count(*) AS BIGINT) AS pop"
+           f" FROM ({denc}) GROUP BY cellid")
+    ssrc = synth.duckdb_lonlat_select("supplier", "s_suppkey",
+                                      ["s_suppkey"])
+    senc = encode_sql.duckdb_encode_select(f"({ssrc})", "lon", "lat",
+                                           AC_RES, ["s_suppkey"])
+    fac = (f"SELECT s_suppkey AS fac_id, cellid,"
+           f" CAST(s_suppkey % 50 + 1 AS BIGINT) AS cap FROM ({senc})")
+    return f"""
+    WITH {access_2sfca_ctes(pop, fac, AC_RES, AC_KMAX)}
+    SELECT cellid, access_q9, n_fac, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+              ORDER BY access_q9 DESC, cellid) AS rank FROM acc)
+    WHERE rank <= {AC_K}
+    """
+
+
+QUERIES29["access_2sfca"] = q_access_2sfca
+ORACLES29["access_2sfca"] = _oracle_access_2sfca()
