@@ -208,3 +208,110 @@ def g_function_sql(source_sql: str, res: int, kmax: int,
     LEFT JOIN _hist h ON h.nn_ring <= t.r
     GROUP BY t.r
     """
+
+
+# --------------------------------------------------------------------------
+# Cross-K (bivariate Ripley): the colocation question — are TYPE-B
+# points concentrated around TYPE-A points?  Same integer pair algebra
+# as ripley_k but across two marked point sets:
+#
+#     pairs_ab(0) = Σ_i na_i · nb_i                  (same cell)
+#     pairs_ab(r) = Σ_{(i,j): ring(i,j) = r} na_i · nb_j    (r ≥ 1)
+#     kx_ppm(r)   = 1e6 · cum_pairs(r) div (Na · Nb)
+#
+# — the fraction of ordered (A, B) point pairs within grid distance r.
+# Under independent uniform placement kx_ppm grows like the disk area;
+# kx above the univariate curve of either set alone indicates
+# ATTRACTION between the types (e.g. suppliers sited near customers),
+# below it avoidance.  Kring seeds are the A-occupied cells only — the
+# relation is read A→B, so B-only cells never seed an expansion.
+# --------------------------------------------------------------------------
+
+
+def cross_k(cells_a: DataFrame, cells_b: DataFrame, res: int, kmax: int,
+            cross_face: bool = True) -> DataFrame:
+    """(r, pairs_r, cum_pairs, kx_ppm) for r = 0..kmax over two
+    (cellid, n) cell-count tables — see the block comment above."""
+    from pyspark.sql.window import Window
+
+    if kmax < 1:
+        raise ValueError(f"cross_k: kmax must be >= 1, got {kmax}")
+    ca = cells_a.select("cellid", F.col("n").cast("long").alias("na"))
+    cb = cells_b.select(F.col("cellid").alias("nbr"),
+                        F.col("n").cast("long").alias("nb"))
+    kr = kring_cells(ca.select("cellid"), res, kmax,
+                     cross_face=cross_face)
+    per_ring = (kr.join(ca, "cellid").join(cb, "nbr")
+                .groupBy(F.col("ring").alias("r"))
+                .agg(F.sum(F.expr(
+                    "CAST(na AS DECIMAL(38,0)) * nb")).alias("_p")))
+    r0 = (ca.join(cb, ca["cellid"] == cb["nbr"])
+          .agg(F.expr("CAST(sum(CAST(na AS DECIMAL(38,0)) * nb)"
+                      " AS DECIMAL(38,0))").alias("_p"))
+          .select(F.lit(0).alias("r"),
+                  F.coalesce("_p", F.lit(0).cast("decimal(38,0)"))
+                  .alias("_p")))
+    tot = (ca.agg(F.sum("na").alias("_sa"))
+           .crossJoin(cb.agg(F.sum("nb").alias("_sb"))))
+    spine = (cells_a.sparkSession.range(0, kmax + 1)
+             .select(F.col("id").cast("int").alias("r")))
+    w = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
+    return (spine
+            .join(r0.unionByName(per_ring.select("r", "_p")), "r", "left")
+            .withColumn("_p", F.coalesce(
+                "_p", F.lit(0).cast("decimal(38,0)")))
+            .withColumn("cum", F.sum("_p").over(w))
+            .crossJoin(F.broadcast(tot))
+            .select(F.col("r").cast("int").alias("r"),
+                    F.col("_p").cast("long").alias("pairs_r"),
+                    F.col("cum").cast("long").alias("cum_pairs"),
+                    F.expr(f"CAST((cum * {PPM}) div"
+                           f" (CAST(_sa AS DECIMAL(38,0)) * _sb)"
+                           f" AS BIGINT)").alias("kx_ppm")))
+
+
+def cross_k_sql(a_sql: str, b_sql: str, res: int, kmax: int,
+                cross_face: bool = True) -> str:
+    """DuckDB twin of :func:`cross_k` over ``a_sql``/``b_sql`` →
+    (cellid, n)."""
+    if kmax < 1:
+        raise ValueError(f"cross_k_sql: kmax must be >= 1, got {kmax}")
+    kr = kring_cells_sql("(SELECT cellid FROM _ca)", res, kmax,
+                         cross_face=cross_face)
+    return f"""
+    WITH _ca AS MATERIALIZED (
+        SELECT cellid, CAST(n AS BIGINT) AS na FROM ({a_sql})),
+    _cb AS MATERIALIZED (
+        SELECT cellid, CAST(n AS BIGINT) AS nb FROM ({b_sql})),
+    _kr AS MATERIALIZED ({kr}),
+    _pr AS MATERIALIZED (
+        SELECT CAST(k.ring AS INT) AS r,
+               sum(CAST(a.na AS HUGEINT) * b.nb) AS _p
+        FROM _kr k
+        JOIN _ca a ON a.cellid = k.cellid
+        JOIN _cb b ON b.cellid = k.nbr
+        GROUP BY k.ring),
+    _sparse AS MATERIALIZED (
+        SELECT CAST(0 AS INT) AS r,
+               coalesce((SELECT sum(CAST(a.na AS HUGEINT) * b.nb)
+                         FROM _ca a JOIN _cb b USING (cellid)),
+                        CAST(0 AS HUGEINT)) AS _p
+        UNION ALL
+        SELECT r, _p FROM _pr),
+    _all AS MATERIALIZED (
+        SELECT CAST(t.r AS INT) AS r,
+               coalesce(s._p, CAST(0 AS HUGEINT)) AS _p
+        FROM range(0, {kmax + 1}) t(r)
+        LEFT JOIN _sparse s ON s.r = t.r),
+    _tot AS (SELECT (SELECT CAST(sum(na) AS HUGEINT) FROM _ca) AS _sa,
+                    (SELECT CAST(sum(nb) AS HUGEINT) FROM _cb) AS _sb)
+    SELECT r, CAST(_p AS BIGINT) AS pairs_r,
+           CAST(cum AS BIGINT) AS cum_pairs,
+           CAST((cum * {PPM}) // ((SELECT _sa FROM _tot)
+                * (SELECT _sb FROM _tot)) AS BIGINT) AS kx_ppm
+    FROM (SELECT r, _p,
+                 sum(_p) OVER (ORDER BY r
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum
+          FROM _all)
+    """

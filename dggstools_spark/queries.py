@@ -851,6 +851,9 @@ _PROMOTE_EARLY = ["stream_dedup",
 # The r6 batch-38 entry (access_2sfca — two-step floating catchment
 # accessibility, operators/access.py) likewise rides the replica + sf1
 # gates; promotion queue behind batch 37.
+# The r6 batch-39 entry (cross_k — bivariate Ripley colocation between
+# the customer and supplier point sets) likewise rides the replica +
+# sf1 gates; promotion queue behind batch 38.
 # The r6 batch-31 entry (route_heat — great-circle corridor heat via the
 # slerp split) rides the same gates; promotion queue behind batch 30.
 # Tail order below follows VERDICT r5 #7: if a future driver window is

@@ -322,3 +322,51 @@ def _oracle_access_2sfca() -> str:
 
 QUERIES29["access_2sfca"] = q_access_2sfca
 ORACLES29["access_2sfca"] = _oracle_access_2sfca()
+
+
+# --------------------------------------------------------------------------
+# q_cross_k (batch 39): bivariate colocation — are suppliers sited near
+# customers?  Cross-Ripley K between the customer and supplier point
+# sets, binned to XK_RES cells, exact ordered-pair counts by queen-graph
+# ring (operators/pointpat.cross_k).
+# --------------------------------------------------------------------------
+
+XK_RES = 2
+XK_KMAX = 3
+
+
+def _pts_counts(spark: SparkSession, sf_dir: str, table: str,
+                id_col: str) -> DataFrame:
+    pts = synth.with_lonlat(load(spark, sf_dir, table), id_col)
+    return (encode_sql.spark_encode(pts, "lon", "lat", XK_RES)
+            .groupBy("cellid")
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .localCheckpoint(eager=True))  # constraint 2 before kring
+
+
+def _pts_counts_sql(table: str, id_col: str) -> str:
+    src = synth.duckdb_lonlat_select(table, id_col, [id_col])
+    enc = encode_sql.duckdb_encode_select(f"({src})", "lon", "lat",
+                                          XK_RES, [id_col])
+    return (f"SELECT cellid, CAST(count(*) AS BIGINT) AS n"
+            f" FROM ({enc}) GROUP BY cellid")
+
+
+def q_cross_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pointpat import cross_k
+
+    cust = _pts_counts(spark, sf_dir, "customer", "c_custkey")
+    supp = _pts_counts(spark, sf_dir, "supplier", "s_suppkey")
+    return cross_k(cust, supp, XK_RES, XK_KMAX)
+
+
+def _oracle_cross_k() -> str:
+    from .operators.pointpat import cross_k_sql
+
+    return cross_k_sql(_pts_counts_sql("customer", "c_custkey"),
+                       _pts_counts_sql("supplier", "s_suppkey"),
+                       XK_RES, XK_KMAX)
+
+
+QUERIES29["cross_k"] = q_cross_k
+ORACLES29["cross_k"] = _oracle_cross_k()

@@ -94,3 +94,30 @@ def test_flow_accum_matches_path_walk(spark):
     # conservation: total accumulation = total path cells
     assert sum(got.values()) == sum(expect.values())
     assert min(got.values()) >= 1
+
+
+def test_cross_k_hand_counts(spark):
+    from dggstools_spark.operators.pointpat import cross_k
+
+    # A: N44=2, N47=1;  B: N44=3 (same cell), N45=4 (ring 1 of N44;
+    # ring 1 of N47 too — (5,4) vs (4,5) is diagonal)
+    a = spark.createDataFrame([("N44", 2), ("N47", 1)],
+                              "cellid string, n long")
+    b = spark.createDataFrame([("N44", 3), ("N45", 4)],
+                              "cellid string, n long")
+    out = {r.r: (r.pairs_r, r.cum_pairs, r.kx_ppm)
+           for r in cross_k(a, b, 2, 2).collect()}
+    # r0: 2*3 = 6; r1: N44->N45 2*4=8, N47->N44 1*3=3, N47->N45 1*4=4
+    # total pairs = 3 * 7 = 21
+    assert out[0] == (6, 6, 6 * 10**6 // 21)
+    assert out[1] == (15, 21, 1_000_000)
+    assert out[2] == (0, 21, 1_000_000)
+
+
+def test_cross_k_no_colocated_r0_is_zero(spark):
+    from dggstools_spark.operators.pointpat import cross_k
+
+    a = spark.createDataFrame([("N44", 5)], "cellid string, n long")
+    b = spark.createDataFrame([("N00", 2)], "cellid string, n long")
+    out = {r.r: r.pairs_r for r in cross_k(a, b, 2, 2).collect()}
+    assert out == {0: 0, 1: 0, 2: 0}  # B beyond kmax entirely
