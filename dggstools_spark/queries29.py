@@ -370,3 +370,32 @@ def _oracle_cross_k() -> str:
 
 QUERIES29["cross_k"] = q_cross_k
 ORACLES29["cross_k"] = _oracle_cross_k()
+
+
+# --------------------------------------------------------------------------
+# q_kcenter_sample (batch 40): greedy k-center coreset over the
+# embeddings table — the maximally-diverse sample for curation
+# (operators/coreset.py; Gonzalez 2-approximation, deterministic seed +
+# ties, quantized engine-exact cosine distances).
+# --------------------------------------------------------------------------
+
+KC_ROUNDS = 6
+KC_DIM = 64
+
+
+def q_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.coreset import kcenter_select
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kcenter_select(emb, "vec_id", "embedding", KC_ROUNDS, KC_DIM)
+
+
+def _oracle_kcenter_sample() -> str:
+    from .operators.coreset import kcenter_select_sql
+
+    return kcenter_select_sql("SELECT * FROM embeddings", "vec_id",
+                              "embedding", KC_ROUNDS)
+
+
+QUERIES29["kcenter_sample"] = q_kcenter_sample
+ORACLES29["kcenter_sample"] = _oracle_kcenter_sample()
