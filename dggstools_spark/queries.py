@@ -857,6 +857,9 @@ _PROMOTE_EARLY = ["stream_dedup",
 # The r6 batch-40 entry (kcenter_sample — greedy k-center coreset over
 # embeddings, operators/coreset.py) likewise rides the replica + sf1
 # gates; promotion queue behind batch 39.
+# The r6 batch-41 entry (trip_balance — doubly-constrained IPF trip
+# distribution, operators/ipf.py) likewise rides the replica + sf1
+# gates; promotion queue behind batch 40.
 # The r6 batch-31 entry (route_heat — great-circle corridor heat via the
 # slerp split) rides the same gates; promotion queue behind batch 30.
 # Tail order below follows VERDICT r5 #7: if a future driver window is

@@ -399,3 +399,91 @@ def _oracle_kcenter_sample() -> str:
 
 QUERIES29["kcenter_sample"] = q_kcenter_sample
 ORACLES29["kcenter_sample"] = _oracle_kcenter_sample()
+
+
+# --------------------------------------------------------------------------
+# q_trip_balance (batch 41): doubly-constrained trip distribution — the
+# classic transport-planning IPF: seed the OD matrix with EVEN-day
+# moves, rake it to ODD-day origin/destination margins
+# (operators/ipf.py; quantized q6 integers, truncation observable).
+# Top corridors of the balanced matrix.
+# --------------------------------------------------------------------------
+
+IPF_RES = 2
+IPF_ROUNDS = 4
+IPF_K = 20
+
+
+def _moves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = synth.with_lonlat(load(spark, sf_dir, "events"), "event_id")
+    obs = (encode_sql.spark_encode(ev, "lon", "lat", IPF_RES)
+           .select("cellid", "user_id", "event_id",
+                   F.expr("unix_millis(CAST(ts AS TIMESTAMP))")
+                   .alias("tms"))
+           .localCheckpoint(eager=True))  # constraint 2 before the lag
+    w = Window.partitionBy("user_id").orderBy("tms", "event_id")
+    return (obs.withColumn("o", F.lag("cellid").over(w))
+            .filter(F.col("o").isNotNull()
+                    & (F.col("o") != F.col("cellid")))
+            .select("o", F.col("cellid").alias("d"),
+                    F.expr("(tms div 86400000) % 2").alias("_half")))
+
+
+def _moves_sql() -> str:
+    src = synth.duckdb_lonlat_select("events", "event_id",
+                                     ["event_id", "ts", "user_id"])
+    enc = encode_sql.duckdb_encode_select(f"({src})", "lon", "lat",
+                                          IPF_RES,
+                                          ["event_id", "ts", "user_id"])
+    return f"""
+    SELECT o, cellid AS d, (tms // 86400000) % 2 AS _half
+    FROM (SELECT cellid, epoch_ms(ts) AS tms,
+                 lag(cellid) OVER (PARTITION BY user_id
+                     ORDER BY epoch_ms(ts), event_id) AS o
+          FROM ({enc}))
+    WHERE o IS NOT NULL AND o <> cellid"""
+
+
+def q_trip_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.ipf import ipf_balance
+
+    mv = _moves(spark, sf_dir).localCheckpoint(eager=True)
+    seed = (mv.filter("_half = 0").groupBy("o", "d")
+            .agg(F.count("*").cast("bigint").alias("t")))
+    rt = (mv.filter("_half = 1").groupBy("o")
+          .agg(F.count("*").cast("bigint").alias("tgt")))
+    ct = (mv.filter("_half = 1").groupBy(F.col("d"))
+          .agg(F.count("*").cast("bigint").alias("tgt")))
+    bal = ipf_balance(seed, rt, ct, IPF_ROUNDS)
+    rw = Window.orderBy(F.desc("t_q6"), F.asc("o"), F.asc("d"))
+    return (bal.withColumn("rank", F.row_number().over(rw))
+            .filter(F.col("rank") <= IPF_K)
+            .select("o", "d", "t_q6", "rank"))
+
+
+def _oracle_trip_balance() -> str:
+    from .operators.ipf import ipf_balance_ctes
+
+    mv = _moves_sql()
+    seed = (f"SELECT o, d, CAST(count(*) AS BIGINT) AS t"
+            f" FROM _mv WHERE _half = 0 GROUP BY o, d")
+    rt = (f"SELECT o, CAST(count(*) AS BIGINT) AS tgt"
+          f" FROM _mv WHERE _half = 1 GROUP BY o")
+    ct = (f"SELECT d, CAST(count(*) AS BIGINT) AS tgt"
+          f" FROM _mv WHERE _half = 1 GROUP BY d")
+    return f"""
+    WITH _mv AS MATERIALIZED ({mv}),
+    {ipf_balance_ctes(seed, rt, ct, IPF_ROUNDS)}
+    SELECT o, d, t_q6, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+              ORDER BY t_q6 DESC, o, d) AS rank FROM ipf)
+    WHERE rank <= {IPF_K}
+    """
+
+
+QUERIES29["trip_balance"] = q_trip_balance
+ORACLES29["trip_balance"] = _oracle_trip_balance()

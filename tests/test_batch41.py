@@ -1,0 +1,70 @@
+"""Batch 41 (round 6): quantized IPF / Furness balancing.
+
+Checked against an independent Python integer-IPF (same q6 scaling,
+same truncating div, same round structure) and a closed-form 2×2 case
+that converges exactly in one round pair.
+"""
+
+from dggstools_spark.operators.ipf import Q6, ipf_balance
+
+
+def _ref_ipf(seed, rt, ct, rounds):
+    t = {k: v * Q6 for k, v in seed.items()}
+    for _ in range(rounds):
+        rs = {}
+        for (o, d), v in t.items():
+            rs[o] = rs.get(o, 0) + v
+        t = {(o, d): v * (rt[o] * Q6) // rs[o]
+             for (o, d), v in t.items()}
+        cs = {}
+        for (o, d), v in t.items():
+            cs[d] = cs.get(d, 0) + v
+        t = {(o, d): v * (ct[d] * Q6) // cs[d]
+             for (o, d), v in t.items()}
+    return t
+
+
+def _run(spark, seed, rt, ct, rounds):
+    sdf = spark.createDataFrame(
+        [(o, d, v) for (o, d), v in sorted(seed.items())],
+        "o string, d string, t long")
+    rdf = spark.createDataFrame(sorted(rt.items()),
+                                "o string, tgt long")
+    cdf = spark.createDataFrame(sorted(ct.items()),
+                                "d string, tgt long")
+    return {(r.o, r.d): r.t_q6
+            for r in ipf_balance(sdf, rdf, cdf, rounds).collect()}
+
+
+def test_ipf_2x2_exact_one_round(spark):
+    seed = {("a", "x"): 1, ("a", "y"): 1, ("b", "x"): 1, ("b", "y"): 1}
+    rt, ct = {"a": 3, "b": 1}, {"x": 2, "y": 2}
+    got = _run(spark, seed, rt, ct, 1)
+    assert got == {("a", "x"): 1_500_000, ("a", "y"): 1_500_000,
+                   ("b", "x"): 500_000, ("b", "y"): 500_000}
+    # margins met exactly
+    assert got[("a", "x")] + got[("a", "y")] == 3 * Q6
+
+
+def test_ipf_matches_integer_reference(spark):
+    seed = {("a", "x"): 1, ("a", "y"): 2, ("b", "x"): 3,
+            ("b", "y"): 4, ("c", "x"): 5, ("c", "z"): 1}
+    rt, ct = {"a": 10, "b": 5, "c": 7}, {"x": 9, "y": 6, "z": 7}
+    for rounds in (1, 3):
+        assert _run(spark, seed, rt, ct, rounds) == _ref_ipf(
+            seed, rt, ct, rounds)
+
+
+def test_ipf_margins_converge(spark):
+    seed = {("a", "x"): 1, ("a", "y"): 2, ("b", "x"): 3, ("b", "y"): 4}
+    rt, ct = {"a": 6, "b": 4}, {"x": 5, "y": 5}
+    got = _run(spark, seed, rt, ct, 6)
+    rows = {}
+    cols = {}
+    for (o, d), v in got.items():
+        rows[o] = rows.get(o, 0) + v
+        cols[d] = cols.get(d, 0) + v
+    for o, tgt in rt.items():
+        assert abs(rows[o] - tgt * Q6) <= tgt * 10  # within 10 ppm-ish
+    for d, tgt in ct.items():
+        assert abs(cols[d] - tgt * Q6) <= tgt * Q6 // 100
