@@ -487,3 +487,79 @@ def _oracle_trip_balance() -> str:
 
 QUERIES29["trip_balance"] = q_trip_balance
 ORACLES29["trip_balance"] = _oracle_trip_balance()
+
+
+# --------------------------------------------------------------------------
+# q_region_shape (batch 42): shape metrics of the document-footprint
+# regions — region_group's cross-face CC labeling extended with area /
+# rook perimeter / square-normalized isoperimetric compactness
+# (operators/shape.py; within-face perimeter contract).  Top regions by
+# size.
+# --------------------------------------------------------------------------
+
+RS_RES = 2
+RS_K = 15
+
+
+def q_region_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.dedup import dedup_clusters
+    from .operators.shape import region_shape
+    from .operators.spatial_stats import cell_neighbors
+
+    docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id")
+    mask = (encode_sql.spark_encode(docs, "lon", "lat", RS_RES)
+            .select("cellid").distinct().localCheckpoint(eager=True))
+    pairs = (cell_neighbors(mask, RS_RES, cross_face=True)
+             .join(mask.select(F.col("cellid").alias("nbr")), "nbr")
+             .select(F.col("cellid").alias("a_id"),
+                     F.col("nbr").alias("b_id")))
+    cc = dedup_clusters(pairs, node_col="cellid", cluster_col="region")
+    labeled = (mask.join(cc, "cellid", "left")
+               .select("cellid",
+                       F.coalesce("region", F.col("cellid"))
+                       .alias("region"))
+               .localCheckpoint(eager=True))
+    shp = region_shape(labeled, RS_RES)
+    rw = Window.orderBy(F.desc("n_cells"), F.asc("region"))
+    return (shp.withColumn("rank", F.row_number().over(rw))
+            .filter(F.col("rank") <= RS_K)
+            .select("region", "n_cells", "perimeter", "iq_ppm", "rank"))
+
+
+def _oracle_region_shape() -> str:
+    from .operators.shape import region_shape_sql
+    from .operators.spatial_stats import cell_neighbors_sql
+
+    src = synth.duckdb_lonlat_select("documents", "doc_id", ["doc_id"])
+    enc = encode_sql.duckdb_encode_select(f"({src})", "lon", "lat",
+                                          RS_RES, [])
+    nbr = cell_neighbors_sql("SELECT cellid FROM _mask", RS_RES,
+                             cross_face=True)
+    labeled = f"""
+    WITH RECURSIVE _mask AS MATERIALIZED (
+        SELECT DISTINCT cellid FROM ({enc})),
+    edges AS MATERIALIZED (
+        SELECT n.cellid AS x, n.nbr AS y
+        FROM ({nbr}) n JOIN _mask m ON m.cellid = n.nbr),
+    reach(n, lab) AS (
+        SELECT x, x FROM edges
+        UNION
+        SELECT e.x, r.lab FROM edges e JOIN reach r ON r.n = e.y),
+    cc AS MATERIALIZED (
+        SELECT n AS cellid, min(lab) AS region FROM reach GROUP BY n)
+    SELECT m.cellid, coalesce(c.region, m.cellid) AS region
+    FROM _mask m LEFT JOIN cc c USING (cellid)"""
+    shp = region_shape_sql(f"({labeled})", RS_RES)
+    return f"""
+    SELECT region, n_cells, perimeter, iq_ppm, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+              ORDER BY n_cells DESC, region) AS rank
+          FROM ({shp}))
+    WHERE rank <= {RS_K}
+    """
+
+
+QUERIES29["region_shape"] = q_region_shape
+ORACLES29["region_shape"] = _oracle_region_shape()

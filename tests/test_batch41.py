@@ -68,3 +68,42 @@ def test_ipf_margins_converge(spark):
         assert abs(rows[o] - tgt * Q6) <= tgt * 10  # within 10 ppm-ish
     for d, tgt in ct.items():
         assert abs(cols[d] - tgt * Q6) <= tgt * Q6 // 100
+
+
+def test_region_shape_closed_forms(spark):
+    from dggstools_spark.operators.shape import region_shape
+
+    # 2x2 filled square (rows/cols 4-5): area 4, perimeter 8, iq = 1e6
+    sq = [("N44", "S"), ("N45", "S"), ("N47", "S"), ("N48", "S")]
+    # 1x3 horizontal bar at row 0, cols 3-5: area 3, perimeter 8
+    bar = [("N10", "B"), ("N11", "B"), ("N12", "B")]
+    df = spark.createDataFrame(sq + bar, "cellid string, region string")
+    out = {r.region: (r.n_cells, r.perimeter, r.iq_ppm)
+           for r in region_shape(df, 2).collect()}
+    assert out["S"] == (4, 8, 1_000_000)
+    assert out["B"] == (3, 8, 16 * 3 * 10**6 // 64)  # 750_000
+
+
+def test_region_shape_singleton_and_adjacent_regions(spark):
+    from dggstools_spark.operators.shape import region_shape
+
+    # two ADJACENT cells in DIFFERENT regions: the shared edge is
+    # exposed for both (perimeter counts same-region neighbors only)
+    df = spark.createDataFrame(
+        [("N44", "A"), ("N45", "B")], "cellid string, region string")
+    out = {r.region: (r.n_cells, r.perimeter, r.iq_ppm)
+           for r in region_shape(df, 2).collect()}
+    assert out["A"] == (1, 4, 1_000_000)
+    assert out["B"] == (1, 4, 1_000_000)
+
+
+def test_region_shape_seam_edges_exposed(spark):
+    from dggstools_spark.operators.shape import region_shape
+
+    # a corner cell's off-face sides count as exposed (within-face
+    # perimeter contract), so a singleton at the face corner still
+    # has perimeter 4
+    df = spark.createDataFrame([("N00", "C")],
+                               "cellid string, region string")
+    out = region_shape(df, 2).collect()[0]
+    assert (out.n_cells, out.perimeter, out.iq_ppm) == (1, 4, 1_000_000)
