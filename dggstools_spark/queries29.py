@@ -563,3 +563,84 @@ def _oracle_region_shape() -> str:
 
 QUERIES29["region_shape"] = q_region_shape
 ORACLES29["region_shape"] = _oracle_region_shape()
+
+
+# --------------------------------------------------------------------------
+# q_stream_topk (batch 43): streaming heavy hitters — SpaceSaving state
+# crossing micro-batches (streaming/stateful.heavy_hitters_stream), per
+# source, final top words.  Driver gate runs the EXACT regime (capacity
+# >> vocabulary, err = 0, batch-split-independent — the stream_hll
+# gating pattern); the bounded-capacity eviction guarantees ride
+# tests/test_batch43.py.
+# --------------------------------------------------------------------------
+
+HH_CAPACITY = 1 << 20
+HH_K = 10
+
+
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .queries4 import _finish_stream, _stream_tmpdirs
+    from .streaming.stateful import heavy_hitters_stream
+
+    src, ckpt, cleanup = _stream_tmpdirs("stream_topk")
+    try:
+        docs = (load(spark, sf_dir, "documents")
+                .filter(F.col("text").isNotNull())
+                .select("doc_id", "source", "text"))
+        # two files split by id parity -> state genuinely crosses batches
+        docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(src)
+        docs.filter("doc_id % 2 = 1").coalesce(1) \
+            .write.mode("append").parquet(src)
+        stream = (spark.readStream
+                  .schema("doc_id bigint, source string, text string")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        toks = (stream
+                .select("source", F.explode(
+                    F.split(F.lower("text"), " ")).alias("token"))
+                .filter(F.col("token") != ""))
+        hh = heavy_hitters_stream(toks, "source", "token", HH_CAPACITY)
+        try:
+            spark.catalog.dropTempView("dggs_stream_topk")
+        except Exception:
+            pass
+        q = (hh.writeStream.format("memory").queryName("dggs_stream_topk")
+             .outputMode("update").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        _finish_stream(q)
+        tbl = spark.table("dggs_stream_topk")
+        # rename before the self-join: both sides read the same
+        # MemoryPlan and unaliased attributes conflict
+        last = (tbl.groupBy("skey").agg(F.max("version").alias("_mv"))
+                .withColumnRenamed("skey", "_k"))
+        rw = Window.partitionBy("skey").orderBy(
+            F.desc("cnt"), F.asc("token"))
+        return (tbl.join(last, (tbl["skey"] == last["_k"])
+                         & (tbl["version"] == last["_mv"]))
+                .withColumn("rank", F.row_number().over(rw))
+                .filter(F.col("rank") <= HH_K)
+                .select(F.col("skey").alias("source"), "token",
+                        "cnt", "err", "rank"))
+    finally:
+        cleanup()
+
+
+def _oracle_stream_topk() -> str:
+    return f"""
+    WITH _t AS MATERIALIZED (
+        SELECT source, word AS token, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT source,
+                     unnest(string_split(lower(text), ' ')) AS word
+              FROM documents WHERE text IS NOT NULL)
+        WHERE word <> '' GROUP BY source, word)
+    SELECT source, token, cnt, CAST(0 AS BIGINT) AS err,
+           CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY source
+              ORDER BY cnt DESC, token) AS rank FROM _t)
+    WHERE rank <= {HH_K}
+    """
+
+
+QUERIES29["stream_topk"] = q_stream_topk
+ORACLES29["stream_topk"] = _oracle_stream_topk()
