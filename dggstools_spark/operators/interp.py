@@ -38,6 +38,7 @@ from ..dggs.config import DEFAULT_CONFIG, RHEALPixConfig
 
 #: weight scale: wq = round(WQ / d2);  d2 clamped to >= 1 m²
 WQ = 1_000_000_000_000.0
+PPM = 1_000_000
 
 
 def _wq_sql() -> str:
@@ -120,4 +121,53 @@ def idw_interp_sql(obs_sql: str, queries_sql: str, d_m: float, res: int,
            CAST(sum(CAST(wq AS HUGEINT) * v)
                 // CAST(sum(wq) AS HUGEINT) AS BIGINT) AS est
     FROM pw GROUP BY {q_id}
+    """
+
+
+# --------------------------------------------------------------------------
+# Areal interpolation (the classic incompatible-zones transfer): move a
+# value observed on SOURCE zones onto TARGET zones proportionally to
+# shared area — here shared CELL COUNT, since the DGGS grid is the
+# areal-weighting operator (the overlay_counts contract: no geometry
+# math, the grid IS the intersection).
+#
+#     est_q6(b) = Σ_a v(a) · 1e6 · |a ∩ b|  div  |a|
+#
+# — the standard area-weighted estimate, quantized q6 (constraint-13:
+# exact BIGINT terms, associative sum, engine-exact; a float transfer
+# would be agg-order-dependent).  Sources wholly outside every target
+# contribute nothing; the per-source truncation loses < 1 q6-unit per
+# (a, b) pair.
+#
+# Scale shape (100 TB): two rasterizes (bounded bbox-candidate explode
+# per polygon) + one cellid equi-join + three hash aggregates.
+# --------------------------------------------------------------------------
+
+
+def areal_transfer(overlap: DataFrame, sizes: DataFrame,
+                   vals: DataFrame) -> DataFrame:
+    """(b_id, est_q6, n_src): area-weighted transfer.  ``overlap`` =
+    (a_id, b_id, n_ov); ``sizes`` = (a_id, n_src_cells); ``vals`` =
+    (a_id, v BIGINT).  See block comment above."""
+    return (overlap
+            .join(sizes, "a_id").join(vals, "a_id")
+            .withColumn("_t", F.expr(
+                f"(v * {PPM} * n_ov) div n_src_cells"))
+            .groupBy("b_id")
+            .agg(F.sum("_t").cast("bigint").alias("est_q6"),
+                 F.count("*").alias("n_src")))
+
+
+def areal_transfer_sql(overlap_sql: str, sizes_sql: str,
+                       vals_sql: str) -> str:
+    """DuckDB twin of :func:`areal_transfer`."""
+    return f"""
+    SELECT o.b_id,
+           CAST(sum((v.v * {PPM} * o.n_ov) // s.n_src_cells) AS BIGINT)
+               AS est_q6,
+           CAST(count(*) AS BIGINT) AS n_src
+    FROM ({overlap_sql}) o
+    JOIN ({sizes_sql}) s USING (a_id)
+    JOIN ({vals_sql}) v USING (a_id)
+    GROUP BY o.b_id
     """

@@ -866,6 +866,10 @@ _PROMOTE_EARLY = ["stream_dedup",
 # The r6 batch-43 entry (stream_topk — SpaceSaving heavy hitters with
 # state crossing micro-batches, streaming/stateful.py) likewise rides
 # the replica + sf1 gates; promotion queue behind batch 42.
+# The r6 batch-44 entry (areal_interp — incompatible-zones value
+# transfer by shared-cell weighting, operators/interp.areal_transfer)
+# likewise rides the replica + sf1 gates; promotion queue behind
+# batch 43.
 # The r6 batch-31 entry (route_heat — great-circle corridor heat via the
 # slerp split) rides the same gates; promotion queue behind batch 30.
 # Tail order below follows VERDICT r5 #7: if a future driver window is

@@ -644,3 +644,64 @@ def _oracle_stream_topk() -> str:
 
 QUERIES29["stream_topk"] = q_stream_topk
 ORACLES29["stream_topk"] = _oracle_stream_topk()
+
+
+# --------------------------------------------------------------------------
+# q_areal_interp (batch 44): incompatible-zones value transfer — a
+# deterministic "population" on the region-diamond layer is moved onto
+# the nation-diamond layer by shared-cell weighting
+# (operators/interp.areal_transfer; the DGGS grid is the areal operator,
+# overlay_counts contract).
+# --------------------------------------------------------------------------
+
+AI_RES = 4
+
+
+def q_areal_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.interp import areal_transfer
+    from .operators.spatial_join import rasterize_polygons
+    from .queries3 import _safe_diamonds
+    from .queries22 import _b_diamonds
+
+    polys_a = _safe_diamonds(spark, sf_dir) \
+        .withColumnRenamed("poly_id", "a_id")
+    polys_b = _b_diamonds(spark, sf_dir)
+    ca = rasterize_polygons(polys_a, AI_RES, poly_id="a_id")
+    cb = rasterize_polygons(polys_b, AI_RES, poly_id="b_id")
+    overlap = (ca.join(cb, "cellid")
+               .groupBy("a_id", "b_id")
+               .agg(F.count("*").alias("n_ov")))
+    sizes = ca.groupBy("a_id").agg(F.count("*").alias("n_src_cells"))
+    vals = polys_a.select(
+        "a_id", F.expr("CAST((a_id % 7 + 1) * 100 AS BIGINT)").alias("v"))
+    return (areal_transfer(overlap, sizes, vals)
+            .select("b_id", "est_q6", F.col("n_src").cast("bigint")
+                    .alias("n_src")))
+
+
+def _oracle_areal_interp() -> str:
+    from .operators.interp import areal_transfer_sql
+    from .queries3 import _oracle_diamond_ctes
+    from .queries22 import _b_diamond_sql
+
+    a = _oracle_diamond_ctes(AI_RES, p="a")
+    b = _oracle_diamond_ctes(AI_RES, table="nation", key="n_nationkey",
+                             triple=_b_diamond_sql, p="b")
+    core = areal_transfer_sql(
+        "SELECT a.poly_id AS a_id, b.poly_id AS b_id,"
+        " CAST(count(*) AS BIGINT) AS n_ov"
+        " FROM ainside a JOIN binside b ON a.px = b.px AND a.py = b.py"
+        " GROUP BY 1, 2",
+        "SELECT poly_id AS a_id, CAST(count(*) AS BIGINT)"
+        " AS n_src_cells FROM ainside GROUP BY 1",
+        "SELECT DISTINCT poly_id AS a_id,"
+        " CAST((poly_id % 7 + 1) * 100 AS BIGINT) AS v FROM ainside")
+    return f"""
+    WITH {a},
+    {b}
+    SELECT b_id, est_q6, n_src FROM ({core})
+    """
+
+
+QUERIES29["areal_interp"] = q_areal_interp
+ORACLES29["areal_interp"] = _oracle_areal_interp()

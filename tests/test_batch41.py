@@ -107,3 +107,25 @@ def test_region_shape_seam_edges_exposed(spark):
                                "cellid string, region string")
     out = region_shape(df, 2).collect()[0]
     assert (out.n_cells, out.perimeter, out.iq_ppm) == (1, 4, 1_000_000)
+
+
+def test_areal_transfer_hand_worked(spark):
+    from dggstools_spark.operators.interp import areal_transfer
+
+    # source A (10 cells, v=700) overlaps target X with 4 cells and
+    # target Y with 6; source B (4 cells, v=100) overlaps Y with 1
+    overlap = spark.createDataFrame(
+        [("A", "X", 4), ("A", "Y", 6), ("B", "Y", 1)],
+        "a_id string, b_id string, n_ov long")
+    sizes = spark.createDataFrame([("A", 10), ("B", 4)],
+                                  "a_id string, n_src_cells long")
+    vals = spark.createDataFrame([("A", 700), ("B", 100)],
+                                 "a_id string, v long")
+    out = {r.b_id: (r.est_q6, r.n_src)
+           for r in areal_transfer(overlap, sizes, vals).collect()}
+    assert out["X"] == (700 * 10**6 * 4 // 10, 1)          # 280e6
+    assert out["Y"] == (700 * 10**6 * 6 // 10
+                        + 100 * 10**6 * 1 // 4, 2)          # 445e6
+    # pycnophylactic check: A's mass splits exactly across X and Y
+    assert (700 * 10**6 * 4 // 10 + 700 * 10**6 * 6 // 10
+            == 700 * 10**6)
