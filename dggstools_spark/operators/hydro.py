@@ -387,3 +387,115 @@ def flow_accum_ctes(cells_sql: str, res: int, doublings: int,
                  f"SELECT w AS cellid, CAST(count(*) AS BIGINT) AS acc"
                  f" FROM _r{doublings} GROUP BY w)")
     return ",\n".join(parts)
+
+
+# --------------------------------------------------------------------------
+# Viewshed — 8-ray line-of-sight over the cell terrain (the R8 "radial
+# sweep" approximation of classic raster viewshed, public method): from
+# each tower, walk the 8 D8 rays outward; a cell at ray distance k is
+# VISIBLE iff its sight-line slope strictly exceeds every intermediate
+# cell's slope on that ray:
+#
+#     slope_q9(k) = ((z_k − (z_t + tower_h)) · 1e9) div k
+#     visible(k)  = slope_q9(k) > max_{m<k, occupied} slope_q9(m)
+#
+# All integer: the truncated-div slope quantization is deterministic and
+# engine-exact (constraint-13 family; the classic float slope compare is
+# not).  Contracts: WITHIN-FACE rays (planar, like the Horn stencil);
+# cells absent from the table are TRANSPARENT (don't block, can't be
+# seen — the occupied-cell semantics of every operator here); equal
+# quantized slope BLOCKS (strict >).
+#
+# Scale shape (100 TB): towers ≪ cells; the ray lattice is an explicit
+# towers × 8 × R explode (bounded, no shuffle) + one (face,row,col) hash
+# join against the terrain + one prefix-max window per (tower, ray) over
+# ≤ R rows + one aggregate.
+# --------------------------------------------------------------------------
+
+_DIRS8 = [(-1, -1), (-1, 0), (-1, 1), (0, -1),
+          (0, 1), (1, -1), (1, 0), (1, 1)]
+
+
+def viewshed(cells: DataFrame, res: int, towers: DataFrame,
+             radius: int, tower_h: int = 1) -> DataFrame:
+    """(tower, ray, n_cells, n_visible): per-tower per-ray visibility
+    counts over a (cellid, z BIGINT) terrain; ``towers`` = (cellid)
+    rows that must exist in ``cells``.  See the block comment above."""
+    from pyspark.sql.window import Window
+
+    if radius < 1:
+        raise ValueError(f"viewshed: radius must be >= 1, got {radius}")
+    lat = with_lattice(cells.select("cellid", "z"), res)
+    tw = (lat.join(towers.select("cellid"), "cellid")
+          .select(F.col("cellid").alias("tower"),
+                  F.col("face").alias("_tf"),
+                  F.col("row").alias("_tr"), F.col("col").alias("_tc"),
+                  (F.col("z") + tower_h).alias("_tz")))
+    dirs = ", ".join(f"struct({dr} AS dr, {dc} AS dc)"
+                     for dr, dc in _DIRS8)
+    ray = (tw
+           .select("*", F.expr(f"explode(array({dirs}))").alias("o"))
+           .select("*", F.explode(F.expr(
+               f"sequence(1, {radius})")).alias("k"))
+           .withColumn("_f", F.col("_tf"))
+           .withColumn("_r", F.expr("_tr + o.dr * k"))
+           .withColumn("_c", F.expr("_tc + o.dc * k"))
+           .withColumn("ray", F.expr(
+               "(o.dr + 1) * 3 + (o.dc + 1)").cast("int")))
+    tgt = lat.select(F.col("face").alias("_f"), F.col("row").alias("_r"),
+                     F.col("col").alias("_c"), F.col("z").alias("_zk"))
+    w = (Window.partitionBy("tower", "ray").orderBy("k")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    hits = (ray.join(tgt, ["_f", "_r", "_c"])
+            .withColumn("_slope", F.expr(
+                "((_zk - _tz) * 1000000000) div k"))
+            .withColumn("_pmax", F.max("_slope").over(w))
+            .withColumn("_vis", F.expr(
+                "CAST(_pmax IS NULL OR _slope > _pmax AS INT)")))
+    return (hits.groupBy("tower", "ray")
+            .agg(F.count("*").cast("bigint").alias("n_cells"),
+                 F.sum("_vis").cast("bigint").alias("n_visible")))
+
+
+def viewshed_sql(cells_sql: str, res: int, towers_pred: str,
+                 radius: int, tower_h: int = 1) -> str:
+    """DuckDB twin of :func:`viewshed` over ``cells_sql`` → (cellid, z);
+    ``towers_pred`` is a boolean SQL predicate over the terrain row
+    (e.g. a cellid IN (...) list) selecting the towers."""
+    if radius < 1:
+        raise ValueError(
+            f"viewshed_sql: radius must be >= 1, got {radius}")
+    lat = lattice_select_sql(cells_sql, res, value_col="z")
+    dirs = " UNION ALL ".join(
+        f"SELECT {dr} AS dr, {dc} AS dc" for dr, dc in _DIRS8)
+    return f"""
+    WITH _lat AS MATERIALIZED ({lat}),
+    _tw AS MATERIALIZED (
+        SELECT cellid AS tower, face AS _tf, row AS _tr, col AS _tc,
+               v + {tower_h} AS _tz
+        FROM _lat WHERE {towers_pred}),
+    _ray AS MATERIALIZED (
+        SELECT t.tower, t._tf, t._tr + o.dr * g.k AS _r,
+               t._tc + o.dc * g.k AS _c, t._tz,
+               CAST((o.dr + 1) * 3 + (o.dc + 1) AS INT) AS ray,
+               CAST(g.k AS BIGINT) AS k
+        FROM _tw t
+        CROSS JOIN ({dirs}) o
+        CROSS JOIN (SELECT unnest(generate_series(1, {radius})) AS k)
+            g),
+    _hit AS MATERIALIZED (
+        SELECT r.tower, r.ray, r.k,
+               ((l.v - r._tz) * 1000000000) // r.k AS _slope
+        FROM _ray r
+        JOIN _lat l ON l.face = r._tf AND l.row = r._r
+                   AND l.col = r._c)
+    SELECT tower, ray, CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(CAST(_pmax IS NULL OR _slope > _pmax AS INT))
+                AS BIGINT) AS n_visible
+    FROM (SELECT *, max(_slope) OVER (
+              PARTITION BY tower, ray ORDER BY k
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS _pmax
+          FROM _hit)
+    GROUP BY tower, ray
+    """

@@ -870,6 +870,9 @@ _PROMOTE_EARLY = ["stream_dedup",
 # transfer by shared-cell weighting, operators/interp.areal_transfer)
 # likewise rides the replica + sf1 gates; promotion queue behind
 # batch 43.
+# The r6 batch-45 entry (viewshed — 8-ray line-of-sight with quantized
+# integer slope compares, operators/hydro.viewshed) likewise rides the
+# replica + sf1 gates; promotion queue behind batch 44.
 # The r6 batch-31 entry (route_heat — great-circle corridor heat via the
 # slerp split) rides the same gates; promotion queue behind batch 30.
 # Tail order below follows VERDICT r5 #7: if a future driver window is

@@ -705,3 +705,45 @@ def _oracle_areal_interp() -> str:
 
 QUERIES29["areal_interp"] = q_areal_interp
 ORACLES29["areal_interp"] = _oracle_areal_interp()
+
+
+# --------------------------------------------------------------------------
+# q_viewshed (batch 45): 8-ray line-of-sight over the batch-32 terrain
+# from its three highest cells (operators/hydro.viewshed; integer
+# quantized-slope compares, transparent-absent contract).
+# --------------------------------------------------------------------------
+
+VS_RADIUS = 26  # whole res-3 face span
+VS_TOWERS = 3
+
+
+def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.hydro import viewshed
+
+    terr = _terrain(spark, sf_dir).localCheckpoint(eager=True)
+    rw = Window.orderBy(F.desc("z"), F.asc("cellid"))
+    towers = (terr.withColumn("_r", F.row_number().over(rw))
+              .filter(F.col("_r") <= VS_TOWERS).select("cellid"))
+    return viewshed(terr, WS_RES, towers, VS_RADIUS)
+
+
+def _oracle_viewshed() -> str:
+    from .operators.hydro import viewshed_sql
+
+    pred = (f"cellid IN (SELECT cellid FROM"
+            f" (SELECT cellid, row_number() OVER"
+            f" (ORDER BY z DESC, cellid) AS _r FROM _terr)"
+            f" WHERE _r <= {VS_TOWERS})")
+    body = viewshed_sql("SELECT cellid, z FROM _terr", WS_RES, pred,
+                        VS_RADIUS)
+    return f"""
+    WITH _terr AS MATERIALIZED ({_terrain_sql()}),
+    _vs AS MATERIALIZED ({body})
+    SELECT tower, ray, n_cells, n_visible FROM _vs
+    """
+
+
+QUERIES29["viewshed"] = q_viewshed
+ORACLES29["viewshed"] = _oracle_viewshed()

@@ -135,3 +135,51 @@ def test_ripley_k_monotone_and_bounded(spark, sf_dir):
     cums = [r.cum_pairs for r in rows]
     assert cums == sorted(cums)
     assert all(0 <= r.k_ppm <= 1_000_000 for r in rows)
+
+
+def _vs_run(spark, cells, towers, radius, h=1):
+    from dggstools_spark.operators.hydro import viewshed
+
+    cdf = spark.createDataFrame(cells, "cellid string, z long")
+    tdf = spark.createDataFrame([(t,) for t in towers], "cellid string")
+    return {(r.tower, r.ray): (r.n_cells, r.n_visible)
+            for r in viewshed(cdf, 2, tdf, radius, h).collect()}
+
+
+def test_viewshed_hand_worked_ray(spark):
+    # tower N44 (4,4) z=10 -> tz=11; east ray cells (4,5..8):
+    # k1 z5 slope -6e9 vis; k2 z8 slope -1.5e9 vis; k3 z5 slope -2e9
+    # blocked; k4 z20 slope 2.25e9 vis
+    # cell math: (4,6) digits (4//3,6//3)=(1,2)->5, (4%3,6%3)=(1,0)->3
+    out = _vs_run(spark, [("N44", 10), ("N45", 5), ("N53", 8),
+                          ("N54", 5), ("N55", 20)], ["N44"], 8)
+    # east ray = dir (0,1) -> ray id (0+1)*3 + (1+1) = 5
+    # (4,5)=N45 k1, (4,6)=N53 k2, (4,7)=N54 k3, (4,8)=N55 k4
+    assert out[("N44", 5)] == (4, 3)
+
+
+def test_viewshed_absent_cells_transparent(spark):
+    # drop the k2 cell: k3's prefix max is only k1's slope
+    # k1 z5 slope -6e9 vis; k3 z5 slope -2e9 > -6e9 -> NOW visible
+    out = _vs_run(spark, [("N44", 10), ("N45", 5), ("N54", 5)],
+                  ["N44"], 8)
+    assert out[("N44", 5)] == (2, 2)
+
+
+def test_viewshed_equal_quantized_slope_blocks(spark):
+    # k1 z13 slope 2e9; k2 z15 slope (15-11)*1e9 div 2 = 2e9 == -> block
+    out = _vs_run(spark, [("N44", 10), ("N45", 13), ("N53", 15)],
+                  ["N44"], 8)
+    assert out[("N44", 5)] == (2, 1)
+
+
+def test_viewshed_all_eight_rays_from_center(spark):
+    # uniform terrain: every ray's first cell visible, rest blocked?
+    # flat: slope_q9(k) = ((0 - 1) * 1e9) div k = -1e9 div k, increasing
+    # in k (toward 0) -> every cell strictly above the prefix max ->
+    # ALL visible (grazing ascent along flat ground with tower height 1)
+    cells = [(f"N{a}{b}", 5) for a in range(9) for b in range(9)]
+    out = _vs_run(spark, cells, ["N44"], 8)
+    assert len([1 for (t, r) in out if t == "N44"]) == 8
+    for (t, r), (n, v) in out.items():
+        assert n == v  # flat terrain: everything visible from height
