@@ -320,3 +320,82 @@ def mk_stats_ctes(obs_cte: str, key_col: str, t_col: str,
                // (t.n_buckets * (t.n_buckets - 1)) AS tau_ppm
         FROM {p}ties t JOIN {p}s s USING ({key_col})
         WHERE t.n_buckets >= 2)"""
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen slope (public robust estimator): the MEDIAN of all pairwise
+# slopes (y_j − y_i)/(t_j − t_i), i < j — the magnitude sibling of the
+# Mann-Kendall direction test above (MK says WHETHER a monotone trend
+# exists; Theil-Sen says HOW STEEP, robust to ~29% outliers where OLS
+# is not).
+#
+# Exactness: each slope is kept as an exact integer fraction (num, den
+# with den > 0); the median is an ORDER STATISTIC, so no averaging ever
+# happens — the selected value is the exact (num, den) of the lower
+# median pair, ordered by (num/den AS DOUBLE, num, den).  The double
+# ratio is a single IEEE division (bit-identical across engines,
+# ann/ivf discipline) and the integer tie columns make the SELECTED
+# VALUE deterministic even among equal ratios.  slope_q6 = num·1e6 div
+# den reports the quantized magnitude.
+#
+# Scale shape: same bounded per-key pair join as mk_trend + one
+# rank-1-per-key window (WindowGroupLimit) — buckets-per-key is
+# calendar-bounded.
+# --------------------------------------------------------------------------
+
+
+def theilsen(obs: DataFrame, key_col: str, t_col: str,
+             y_col: str) -> DataFrame:
+    """(key, n_pairs, med_num, med_den, slope_q6) for every key with
+    ≥ 2 buckets — see the block comment above."""
+    from pyspark.sql.window import Window
+
+    pb = (obs.groupBy(key_col, t_col)
+          .agg(F.sum(y_col).cast("bigint").alias("y")))
+    a = pb.select(F.col(key_col), F.col(t_col).alias("_ta"),
+                  F.col("y").alias("_ya"))
+    b = pb.select(F.col(key_col), F.col(t_col).alias("_tb"),
+                  F.col("y").alias("_yb"))
+    pairs = (a.join(b, key_col)
+             .filter(F.col("_ta") < F.col("_tb"))
+             .select(key_col,
+                     F.expr("_yb - _ya").alias("num"),
+                     F.expr("_tb - _ta").alias("den")))
+    w = Window.partitionBy(key_col).orderBy(
+        F.expr("CAST(num AS DOUBLE) / den"), "num", "den")
+    return (pairs
+            .withColumn("_rn", F.row_number().over(w))
+            .withColumn("_n", F.count("*").over(
+                Window.partitionBy(key_col)))
+            .filter(F.expr("_rn = (_n + 1) div 2"))
+            .select(key_col, F.col("_n").cast("bigint").alias("n_pairs"),
+                    F.col("num").cast("bigint").alias("med_num"),
+                    F.col("den").cast("bigint").alias("med_den"),
+                    F.expr(f"(num * {PPM}) div den").cast("bigint")
+                    .alias("slope_q6")))
+
+
+def theilsen_sql(obs_sql: str, key_col: str, t_col: str,
+                 y_col: str) -> str:
+    """DuckDB twin of :func:`theilsen` (same double-ratio order, same
+    integer tie columns, same lower-median selection)."""
+    return f"""
+    WITH obs AS MATERIALIZED ({obs_sql}),
+    pb AS MATERIALIZED (
+        SELECT {key_col}, {t_col}, CAST(sum({y_col}) AS BIGINT) AS y
+        FROM obs GROUP BY {key_col}, {t_col}),
+    pr AS MATERIALIZED (
+        SELECT a.{key_col}, b.y - a.y AS num,
+               b.{t_col} - a.{t_col} AS den
+        FROM pb a JOIN pb b ON b.{key_col} = a.{key_col}
+                           AND a.{t_col} < b.{t_col})
+    SELECT {key_col}, CAST(_n AS BIGINT) AS n_pairs,
+           CAST(num AS BIGINT) AS med_num,
+           CAST(den AS BIGINT) AS med_den,
+           CAST((num * {PPM}) // den AS BIGINT) AS slope_q6
+    FROM (SELECT *, row_number() OVER (PARTITION BY {key_col}
+              ORDER BY CAST(num AS DOUBLE) / den, num, den) AS _rn,
+                 count(*) OVER (PARTITION BY {key_col}) AS _n
+          FROM pr)
+    WHERE _rn = (_n + 1) // 2
+    """

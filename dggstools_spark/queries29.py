@@ -747,3 +747,56 @@ def _oracle_viewshed() -> str:
 
 QUERIES29["viewshed"] = q_viewshed
 ORACLES29["viewshed"] = _oracle_viewshed()
+
+
+# --------------------------------------------------------------------------
+# q_theilsen_trend (batch 46): robust trend MAGNITUDE — Theil-Sen
+# median-of-pairwise-slopes per cell over the same daily event counts
+# mk_trend tests for direction (operators/trend.theilsen; exact
+# rational median selection).  Top cells by slope.
+# --------------------------------------------------------------------------
+
+TS_K = 20
+
+
+def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.trend import theilsen
+
+    ev = synth.with_lonlat(load(spark, sf_dir, "events"), "event_id")
+    obs = (encode_sql.spark_encode(ev, "lon", "lat", MK_RES)
+           .select("cellid",
+                   F.expr("unix_millis(CAST(ts AS TIMESTAMP))"
+                          " div 86400000").alias("day"),
+                   F.lit(1).cast("bigint").alias("y"))
+           .localCheckpoint(eager=True))  # constraint 2 (mk_trend rule)
+    ts = theilsen(obs, "cellid", "day", "y")
+    rw = Window.orderBy(F.desc("slope_q6"), F.asc("cellid"))
+    return (ts.withColumn("rank", F.row_number().over(rw))
+            .filter(F.col("rank") <= TS_K)
+            .select("cellid", "n_pairs", "med_num", "med_den",
+                    "slope_q6", "rank"))
+
+
+def _oracle_theilsen_trend() -> str:
+    from .operators.trend import theilsen_sql
+
+    src = synth.duckdb_lonlat_select("events", "event_id",
+                                     ["event_id", "ts"])
+    enc = encode_sql.duckdb_encode_select(f"({src})", "lon", "lat",
+                                          MK_RES, ["ts"])
+    obs = (f"SELECT cellid, epoch_ms(ts) // 86400000 AS day,"
+           f" CAST(1 AS BIGINT) AS y FROM ({enc})")
+    core = theilsen_sql(obs, "cellid", "day", "y")
+    return f"""
+    SELECT cellid, n_pairs, med_num, med_den, slope_q6,
+           CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+              ORDER BY slope_q6 DESC, cellid) AS rank FROM ({core}))
+    WHERE rank <= {TS_K}
+    """
+
+
+QUERIES29["theilsen_trend"] = q_theilsen_trend
+ORACLES29["theilsen_trend"] = _oracle_theilsen_trend()

@@ -121,3 +121,44 @@ def test_cross_k_no_colocated_r0_is_zero(spark):
     b = spark.createDataFrame([("N00", 2)], "cellid string, n long")
     out = {r.r: r.pairs_r for r in cross_k(a, b, 2, 2).collect()}
     assert out == {0: 0, 1: 0, 2: 0}  # B beyond kmax entirely
+
+
+def test_theilsen_hand_worked(spark):
+    from dggstools_spark.operators.trend import theilsen
+
+    # key 'k': (t, y) = (0,0), (1,10), (2,14), (3,100):
+    # slopes: (0,1)=10, (0,2)=7, (0,3)=33.33(100/3), (1,2)=4,
+    #         (1,3)=45, (2,3)=86
+    # sorted: 4, 7, 10, 100/3, 45, 86 -> n=6, lower median rank 3 -> 10
+    obs = spark.createDataFrame(
+        [("k", 0, 0), ("k", 1, 10), ("k", 2, 14), ("k", 3, 100)],
+        "k string, t long, y long")
+    out = {r.k: r for r in theilsen(obs, "k", "t", "y").collect()}
+    r = out["k"]
+    assert (r.n_pairs, r.med_num, r.med_den, r.slope_q6) == (
+        6, 10, 1, 10_000_000)
+
+
+def test_theilsen_robust_to_outlier(spark):
+    from dggstools_spark.operators.trend import theilsen
+
+    # perfect slope 2 with one wild outlier at the end: the median of
+    # pairwise slopes stays 2 (OLS would not)
+    rows = [("k", t, 2 * t) for t in range(6)] + [("k", 6, 1000)]
+    obs = spark.createDataFrame(rows, "k string, t long, y long")
+    r = theilsen(obs, "k", "t", "y").collect()[0]
+    assert r.med_num * 1 == 2 * r.med_den  # slope exactly 2
+    assert r.slope_q6 == 2_000_000
+
+
+def test_theilsen_odd_pair_count_exact_median(spark):
+    from dggstools_spark.operators.trend import theilsen
+
+    # 3 buckets -> 3 pairs (odd): median is the exact middle slope
+    obs = spark.createDataFrame(
+        [("k", 0, 0), ("k", 1, 5), ("k", 3, 6)],
+        "k string, t long, y long")
+    # slopes: (0,1)=5, (0,3)=2, (1,3)=1/2 -> sorted 0.5, 2, 5 -> med 2
+    r = theilsen(obs, "k", "t", "y").collect()[0]
+    assert (r.n_pairs, r.med_num, r.med_den, r.slope_q6) == (
+        3, 6, 3, 2_000_000)
