@@ -52,7 +52,13 @@ def main() -> None:
              "cm_topk", "morph_close", "region_group", "stream_hll",
              "asof_status", "range_events",
              "kring_xface", "cell_diversity", "join_counts",
-             "ann_ivfpq", "route_heat"]
+             "ann_ivfpq", "route_heat",
+             "watershed", "slope_aspect", "ripley_k", "mk_trend",
+             "g_function", "flow_accum", "emerging_hotspots",
+             "flow_communities", "access_2sfca", "cross_k",
+             "kcenter_sample", "trip_balance", "region_shape",
+             "bpe_merges", "bpe_tokenize", "areal_interp", "viewshed",
+             "theilsen_trend", "stream_topk"]
     # queries whose joins must stay broadcast (dimension-sized side): a
     # SortMergeJoin here is plan creep and fails the script.  embed_pairs'
     # bucket self-join and rescale_modes' agg-agg joins legitimately shuffle
