@@ -315,3 +315,161 @@ def cross_k_sql(a_sql: str, b_sql: str, res: int, kmax: int,
                      AS cum
           FROM _all)
     """
+
+
+# --------------------------------------------------------------------------
+# F function (empty-space function) and J function — the remaining two
+# classic point-pattern statistics (with K and G above, the standard
+# quartet).  F(r) is G's dual: the nearest-OCCUPIED distance measured
+# from REFERENCE locations (here: every lattice cell of the faces the
+# pattern touches — deterministic, no random sampling), and
+#
+#     J(r) = (1 − G(r)) / (1 − F(r))
+#
+# is van Lieshout & Baddeley's ratio: J < 1 ⇒ clustering, J ≈ 1 ⇒ CSR,
+# J > 1 ⇒ regularity — prized because it needs no intensity estimate.
+# Both CDFs are exact integer fractions here, so J is RATIONAL:
+#
+#     j_ppm(r) = (g_tot − g_le(r)) · f_tot · 1e6
+#                div ((f_tot − f_le(r)) · g_tot)
+#
+# (NULL where F(r) = 1 — fully saturated empty space).  Censoring
+# beyond kmax stays observable via the *_censored counts.
+#
+# Scale shape: the reference set is faces × 9^res cells — enumerate it
+# relationally (explode over face list × sequence); one kring expansion
+# over the reference seeds + the same semi-join/min-agg as G.  At fine
+# res pass a deterministic reference SAMPLE (hash-filtered cells) —
+# the estimator contract is unchanged.
+# --------------------------------------------------------------------------
+
+
+def _face_lattice(spark, faces: "list[str]", res: int) -> DataFrame:
+    """Every cellid of the given faces at ``res`` (reference set)."""
+    n = 3 ** res
+    fa = ", ".join(f"'{f}'" for f in faces)
+    df = spark.range(1).select(
+        F.explode(F.expr(f"array({fa})")).alias("_face"))
+    df = df.select("_face", F.explode(F.expr(
+        f"sequence(0, {n * n - 1})")).alias("_i"))
+    expr = "_face"
+    for lvl in range(res):
+        w = 3 ** (res - 1 - lvl)
+        expr = (f"concat({expr}, CAST(((_i div {w * n}) % 3) * 3"
+                f" + ((_i div {w}) % 3) AS STRING))")
+    return df.select(F.expr(expr).alias("cellid"))
+
+
+def _face_lattice_sql(faces: "list[str]", res: int) -> str:
+    n = 3 ** res
+    fa = " UNION ALL ".join(f"SELECT '{f}' AS _face" for f in faces)
+    expr = "_face"
+    for lvl in range(res):
+        w = 3 ** (res - 1 - lvl)
+        expr = (f"{expr} || CAST(((_i // {w * n}) % 3) * 3"
+                f" + ((_i // {w}) % 3) AS STRING)")
+    return (f"SELECT {expr} AS cellid FROM ({fa}) f,"
+            f" (SELECT unnest(generate_series(0, {n * n - 1})) AS _i) g")
+
+
+def fj_function(cells: DataFrame, res: int, kmax: int,
+                cross_face: bool = True) -> DataFrame:
+    """(r, f_le, f_tot, g_le, g_tot, j_ppm) for r = 1..kmax over a
+    cell table with a ``cellid`` column — see the block comment above."""
+    if kmax < 1:
+        raise ValueError(f"fj_function: kmax must be >= 1, got {kmax}")
+    occ = cells.select("cellid").distinct().localCheckpoint(eager=True)
+    faces = sorted(r.f for r in occ.select(
+        F.substring("cellid", 1, 1).alias("f")).distinct().collect())
+    ref = _face_lattice(cells.sparkSession, faces, res)
+    occ_nbr = occ.select(F.col("cellid").alias("nbr"))
+    # F: nearest occupied from every reference cell (ring 0 = the cell
+    # itself being occupied)
+    kr_ref = kring_cells(ref, res, kmax, cross_face=cross_face)
+    nn_f = (kr_ref.join(occ_nbr, "nbr")
+            .groupBy("cellid").agg(F.min("ring").alias("nn"))
+            .unionByName(ref.join(occ, "cellid")
+                         .select("cellid", F.lit(0).alias("nn")))
+            .groupBy("cellid").agg(F.min("nn").alias("nn")))
+    f_hist = nn_f.groupBy("nn").agg(F.count("*").alias("_c"))
+    f_tot = ref.agg(F.count("*").alias("f_tot"))
+    # G: nearest OTHER occupied from every occupied cell (as g_function)
+    kr_occ = kring_cells(occ, res, kmax, cross_face=cross_face)
+    nn_g = (kr_occ.join(occ_nbr, "nbr")
+            .groupBy("cellid").agg(F.min("ring").alias("nn")))
+    g_hist = nn_g.groupBy("nn").agg(F.count("*").alias("_c"))
+    g_tot = occ.agg(F.count("*").alias("g_tot"))
+    spine = (cells.sparkSession.range(1, kmax + 1)
+             .select(F.col("id").cast("int").alias("r")))
+    f_le = (spine.join(f_hist, f_hist["nn"] <= spine["r"], "left")
+            .groupBy("r")
+            .agg(F.coalesce(F.sum("_c"), F.lit(0)).alias("f_le")))
+    g_le = (spine.join(g_hist, g_hist["nn"] <= spine["r"], "left")
+            .groupBy("r")
+            .agg(F.coalesce(F.sum("_c"), F.lit(0)).alias("g_le")))
+    return (f_le.join(g_le, "r")
+            .crossJoin(F.broadcast(f_tot))
+            .crossJoin(F.broadcast(g_tot))
+            .select(F.col("r"),
+                    F.col("f_le").cast("bigint").alias("f_le"),
+                    F.col("f_tot").cast("bigint").alias("f_tot"),
+                    F.col("g_le").cast("bigint").alias("g_le"),
+                    F.col("g_tot").cast("bigint").alias("g_tot"),
+                    F.expr("CASE WHEN f_tot > f_le THEN"
+                           " ((g_tot - g_le) * f_tot * 1000000)"
+                           " div ((f_tot - f_le) * g_tot)"
+                           " ELSE NULL END").cast("bigint")
+                    .alias("j_ppm")))
+
+
+def fj_function_sql(source_sql: str, faces: "list[str]", res: int,
+                    kmax: int, cross_face: bool = True) -> str:
+    """DuckDB twin of :func:`fj_function` (``faces`` must match the
+    occupied faces of ``source_sql`` — the query layer derives them
+    identically on both sides)."""
+    if kmax < 1:
+        raise ValueError(
+            f"fj_function_sql: kmax must be >= 1, got {kmax}")
+    ref = _face_lattice_sql(faces, res)
+    kr_ref = kring_cells_sql("(SELECT cellid FROM _ref)", res, kmax,
+                             cross_face=cross_face)
+    kr_occ = kring_cells_sql("(SELECT cellid FROM _occ)", res, kmax,
+                             cross_face=cross_face)
+    return f"""
+    WITH _occ AS MATERIALIZED (
+        SELECT DISTINCT cellid FROM ({source_sql})),
+    _ref AS MATERIALIZED ({ref}),
+    _krr AS MATERIALIZED ({kr_ref}),
+    _nnf AS MATERIALIZED (
+        SELECT cellid, min(nn) AS nn FROM (
+            SELECT k.cellid, min(k.ring) AS nn
+            FROM _krr k JOIN _occ o ON o.cellid = k.nbr
+            GROUP BY k.cellid
+            UNION ALL
+            SELECT r.cellid, 0 AS nn
+            FROM _ref r JOIN _occ o USING (cellid))
+        GROUP BY cellid),
+    _kro AS MATERIALIZED ({kr_occ}),
+    _nng AS MATERIALIZED (
+        SELECT k.cellid, min(k.ring) AS nn
+        FROM _kro k JOIN _occ o ON o.cellid = k.nbr
+        GROUP BY k.cellid),
+    _ft AS (SELECT count(*) AS f_tot FROM _ref),
+    _gt AS (SELECT count(*) AS g_tot FROM _occ)
+    SELECT CAST(t.r AS INT) AS r,
+           CAST(coalesce((SELECT count(*) FROM _nnf
+                          WHERE nn <= t.r), 0) AS BIGINT) AS f_le,
+           CAST(f_tot AS BIGINT) AS f_tot,
+           CAST(coalesce((SELECT count(*) FROM _nng
+                          WHERE nn <= t.r), 0) AS BIGINT) AS g_le,
+           CAST(g_tot AS BIGINT) AS g_tot,
+           CAST(CASE WHEN f_tot > (SELECT count(*) FROM _nnf
+                                   WHERE nn <= t.r) THEN
+               ((g_tot - (SELECT count(*) FROM _nng WHERE nn <= t.r))
+                * f_tot * 1000000)
+               // ((f_tot - (SELECT count(*) FROM _nnf
+                             WHERE nn <= t.r)) * g_tot)
+               ELSE NULL END AS BIGINT) AS j_ppm
+    FROM range(1, {kmax + 1}) t(r)
+    CROSS JOIN _ft CROSS JOIN _gt
+    """

@@ -876,6 +876,10 @@ _PROMOTE_EARLY = ["stream_dedup",
 # The r6 batch-46 entry (theilsen_trend — robust median-of-pairwise-
 # slopes magnitude, operators/trend.theilsen) likewise rides the
 # replica + sf1 gates; promotion queue behind batch 45.
+# The r6 batch-47 entry (fj_function — the F empty-space function and
+# the rational J ratio, completing the K/G/F/J point-pattern quartet)
+# likewise rides the replica + sf1 gates; promotion queue behind
+# batch 46.
 # The r6 batch-31 entry (route_heat — great-circle corridor heat via the
 # slerp split) rides the same gates; promotion queue behind batch 30.
 # Tail order below follows VERDICT r5 #7: if a future driver window is

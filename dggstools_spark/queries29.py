@@ -800,3 +800,46 @@ def _oracle_theilsen_trend() -> str:
 
 QUERIES29["theilsen_trend"] = q_theilsen_trend
 ORACLES29["theilsen_trend"] = _oracle_theilsen_trend()
+
+
+# --------------------------------------------------------------------------
+# q_fj_function (batch 47): the F (empty-space) and J point-pattern
+# functions over the document cells — with ripley_k / g_function /
+# cross_k this completes the classic K/G/F/J quartet
+# (operators/pointpat.fj_function; deterministic whole-face reference
+# set, exact rational J).
+# --------------------------------------------------------------------------
+
+FJ_RES = 2
+FJ_KMAX = 3
+
+
+def _fj_occupied_faces() -> "list[str]":
+    # both engines derive the SAME face list: every face is occupied at
+    # res 2 for the synthetic lon/lat spread (asserted by the oracle
+    # parity itself — a mismatch would change f_tot)
+    return ["N", "O", "P", "Q", "R", "S"]
+
+
+def q_fj_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pointpat import fj_function
+
+    docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id")
+    cells = (encode_sql.spark_encode(docs, "lon", "lat", FJ_RES)
+             .select("cellid").distinct()
+             .localCheckpoint(eager=True))
+    return fj_function(cells, FJ_RES, FJ_KMAX)
+
+
+def _oracle_fj_function() -> str:
+    from .operators.pointpat import fj_function_sql
+
+    src = synth.duckdb_lonlat_select("documents", "doc_id", ["doc_id"])
+    enc = encode_sql.duckdb_encode_select(f"({src})", "lon", "lat",
+                                          FJ_RES, ["doc_id"])
+    occ = f"SELECT DISTINCT cellid FROM ({enc})"
+    return fj_function_sql(occ, _fj_occupied_faces(), FJ_RES, FJ_KMAX)
+
+
+QUERIES29["fj_function"] = q_fj_function
+ORACLES29["fj_function"] = _oracle_fj_function()

@@ -162,3 +162,28 @@ def test_theilsen_odd_pair_count_exact_median(spark):
     r = theilsen(obs, "k", "t", "y").collect()[0]
     assert (r.n_pairs, r.med_num, r.med_den, r.slope_q6) == (
         3, 6, 3, 2_000_000)
+
+
+def test_fj_function_singleton_closed_form(spark):
+    from dggstools_spark.operators.pointpat import fj_function
+
+    # one occupied cell at the face center: F counts the Chebyshev disk
+    # (1, 9, 25 cells at r=0,1,2 over the 81-cell face); G has no other
+    # occupied cell -> g_le = 0, so J = f_tot div (f_tot - f_le)
+    cells = spark.createDataFrame([("N44",)], "cellid string")
+    out = {r.r: r for r in fj_function(cells, 2, 2).collect()}
+    assert (out[1].f_le, out[1].f_tot) == (9, 81)
+    assert (out[2].f_le, out[2].g_le, out[2].g_tot) == (25, 0, 1)
+    assert out[1].j_ppm == 1 * 81 * 10**6 // (72 * 1)   # 1_125_000
+    assert out[2].j_ppm == 81 * 10**6 // 56             # 1_446_428
+
+
+def test_fj_function_clustered_pair_j_zero(spark):
+    from dggstools_spark.operators.pointpat import fj_function
+
+    # two adjacent occupied cells: G(1) = 1 (each sees the other) ->
+    # numerator g_tot - g_le = 0 -> J = 0 (maximal clustering signal)
+    cells = spark.createDataFrame([("N44",), ("N45",)], "cellid string")
+    out = {r.r: r for r in fj_function(cells, 2, 2).collect()}
+    assert out[1].g_le == 2 and out[1].j_ppm == 0
+    assert out[2].j_ppm == 0
