@@ -117,3 +117,71 @@ def access_2sfca_ctes(pop_sql: str, fac_sql: str, res: int, kmax: int,
         JOIN _rel r ON r.cellid = d.cellid
         JOIN _ratio t ON t._fcell = r.nbr
         GROUP BY d.cellid)"""
+
+
+# --------------------------------------------------------------------------
+# Nearest-facility assignment (discrete Voronoi / service territories):
+# every demand cell is labeled with the CLOSEST facility by queen-graph
+# distance (kring rings — cross-face correct), ties to the smallest
+# facility id; same-cell facilities win at ring 0.  The graph-metric
+# sibling of planar Voronoi — deterministic, exact, and composable with
+# region_shape (territory compactness) or zonal rollups.
+#
+# Cells with no facility within kmax are NOT emitted (bounded search —
+# the buffer/catchment contract); report coverage upstream by comparing
+# counts.  Scale shape: one kring expansion over the demand seeds + one
+# hash join to the facility cells + one min-struct argmin — no pairwise
+# distance matrix.
+# --------------------------------------------------------------------------
+
+
+def voronoi_assign(cells: DataFrame, fac: DataFrame, res: int,
+                   kmax: int, cross_face: bool = True) -> DataFrame:
+    """(cellid, fac_id, ring): nearest-facility label for every demand
+    cell within ``kmax`` rings of some facility.  ``cells`` = (cellid);
+    ``fac`` = (fac_id, cellid)."""
+    if kmax < 1:
+        raise ValueError(
+            f"voronoi_assign: kmax must be >= 1, got {kmax}")
+    seeds = cells.select("cellid").distinct()
+    fc = fac.select(F.col("cellid").alias("nbr"), "fac_id")
+    # kring pairs carry rings 1..kmax; the ring-0 self pair is unioned
+    # explicitly (a facility in the demand cell itself wins outright)
+    kr = (kring_cells(seeds, res, kmax, cross_face=cross_face)
+          .select("cellid", "nbr", "ring")
+          .unionByName(seeds.select(
+              "cellid", F.col("cellid").alias("nbr"),
+              F.lit(0).cast("int").alias("ring"))))
+    return (kr.join(fc, "nbr")
+            .groupBy("cellid")
+            .agg(F.min(F.struct(F.col("ring").alias("r"),
+                                F.col("fac_id").alias("f"))).alias("_b"))
+            .select("cellid", F.col("_b.f").alias("fac_id"),
+                    F.col("_b.r").alias("ring")))
+
+
+def voronoi_assign_ctes(cells_sql: str, fac_sql: str, res: int,
+                        kmax: int, cross_face: bool = True) -> str:
+    """DuckDB CTE chain ending in ``vor`` (cellid, fac_id, ring) — the
+    twin of :func:`voronoi_assign`."""
+    if kmax < 1:
+        raise ValueError(
+            f"voronoi_assign_ctes: kmax must be >= 1, got {kmax}")
+    kr = kring_cells_sql("(SELECT cellid FROM _dem)", res, kmax,
+                         cross_face=cross_face)
+    return f"""
+    _dem AS MATERIALIZED (SELECT DISTINCT cellid FROM ({cells_sql})),
+    _fc AS MATERIALIZED (
+        SELECT fac_id, cellid AS nbr FROM ({fac_sql})),
+    _krv AS MATERIALIZED (
+        SELECT cellid, nbr, ring FROM ({kr})
+        UNION ALL
+        SELECT cellid, cellid AS nbr, CAST(0 AS INT) AS ring
+        FROM _dem),
+    vor AS MATERIALIZED (
+        SELECT cellid, fac_id, CAST(ring AS INT) AS ring
+        FROM (SELECT k.cellid, f.fac_id, k.ring,
+                     row_number() OVER (PARTITION BY k.cellid
+                         ORDER BY k.ring, f.fac_id) AS _rn
+              FROM _krv k JOIN _fc f USING (nbr))
+        WHERE _rn = 1)"""

@@ -880,6 +880,10 @@ _PROMOTE_EARLY = ["stream_dedup",
 # the rational J ratio, completing the K/G/F/J point-pattern quartet)
 # likewise rides the replica + sf1 gates; promotion queue behind
 # batch 46.
+# The r6 batch-48 entry (voronoi_territories — nearest-facility
+# graph-Voronoi service territories, operators/access.voronoi_assign)
+# likewise rides the replica + sf1 gates; promotion queue behind
+# batch 47.
 # The r6 batch-31 entry (route_heat — great-circle corridor heat via the
 # slerp split) rides the same gates; promotion queue behind batch 30.
 # Tail order below follows VERDICT r5 #7: if a future driver window is

@@ -843,3 +843,68 @@ def _oracle_fj_function() -> str:
 
 QUERIES29["fj_function"] = q_fj_function
 ORACLES29["fj_function"] = _oracle_fj_function()
+
+
+# --------------------------------------------------------------------------
+# q_voronoi_territories (batch 48): service territories — every document
+# cell labeled with its nearest supplier facility by queen-graph
+# distance (operators/access.voronoi_assign), territories rolled up to
+# (facility, n_cells, sum_ring) and ranked by size.  Unreachable cells
+# (no facility within VT_KMAX) are excluded by the bounded-search
+# contract; coverage is visible as Σ n_cells vs the demand cell count.
+# --------------------------------------------------------------------------
+
+VT_RES = 2
+VT_KMAX = 3
+VT_K = 25
+
+
+def q_voronoi_territories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.access import voronoi_assign
+
+    docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id")
+    dem = (encode_sql.spark_encode(docs, "lon", "lat", VT_RES)
+           .select("cellid").distinct()
+           .localCheckpoint(eager=True))  # constraint 2 before kring
+    sup = synth.with_lonlat(load(spark, sf_dir, "supplier"), "s_suppkey")
+    fac = (encode_sql.spark_encode(sup, "lon", "lat", VT_RES)
+           .select(F.col("s_suppkey").alias("fac_id"), "cellid")
+           .localCheckpoint(eager=True))
+    vor = voronoi_assign(dem, fac, VT_RES, VT_KMAX)
+    terr = (vor.groupBy("fac_id")
+            .agg(F.count("*").cast("bigint").alias("n_cells"),
+                 F.sum("ring").cast("bigint").alias("sum_ring")))
+    rw = Window.orderBy(F.desc("n_cells"), F.asc("fac_id"))
+    return (terr.withColumn("rank", F.row_number().over(rw))
+            .filter(F.col("rank") <= VT_K)
+            .select("fac_id", "n_cells", "sum_ring", "rank"))
+
+
+def _oracle_voronoi_territories() -> str:
+    from .operators.access import voronoi_assign_ctes
+
+    dsrc = synth.duckdb_lonlat_select("documents", "doc_id", ["doc_id"])
+    denc = encode_sql.duckdb_encode_select(f"({dsrc})", "lon", "lat",
+                                           VT_RES, ["doc_id"])
+    dem = f"SELECT DISTINCT cellid FROM ({denc})"
+    ssrc = synth.duckdb_lonlat_select("supplier", "s_suppkey",
+                                      ["s_suppkey"])
+    senc = encode_sql.duckdb_encode_select(f"({ssrc})", "lon", "lat",
+                                           VT_RES, ["s_suppkey"])
+    fac = f"SELECT s_suppkey AS fac_id, cellid FROM ({senc})"
+    return f"""
+    WITH {voronoi_assign_ctes(dem, fac, VT_RES, VT_KMAX)},
+    _terr AS (SELECT fac_id, CAST(count(*) AS BIGINT) AS n_cells,
+                     CAST(sum(ring) AS BIGINT) AS sum_ring
+              FROM vor GROUP BY fac_id)
+    SELECT fac_id, n_cells, sum_ring, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+              ORDER BY n_cells DESC, fac_id) AS rank FROM _terr)
+    WHERE rank <= {VT_K}
+    """
+
+
+QUERIES29["voronoi_territories"] = q_voronoi_territories
+ORACLES29["voronoi_territories"] = _oracle_voronoi_territories()

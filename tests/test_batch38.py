@@ -55,3 +55,32 @@ def test_2sfca_crossface_catchment_reaches_over_seam(spark):
     out = {r.cellid: (r.access_q9, r.n_fac)
            for r in access_2sfca(pop, fac, 2, 1).collect()}
     assert out == {"N00": (9 * 10**9 // 7, 1)}
+
+
+def test_voronoi_hand_worked(spark):
+    from dggstools_spark.operators.access import voronoi_assign
+
+    # facilities: f1 at N44, f2 at N48 ((5,5), diagonal ring 1 of N44)
+    dem = spark.createDataFrame(
+        [("N44",), ("N45",), ("N48",), ("N00",)], "cellid string")
+    fac = spark.createDataFrame(
+        [(1, "N44"), (2, "N48")], "fac_id long, cellid string")
+    out = {r.cellid: (r.fac_id, r.ring)
+           for r in voronoi_assign(dem, fac, 2, 2).collect()}
+    assert out["N44"] == (1, 0)          # own cell wins at ring 0
+    assert out["N48"] == (2, 0)
+    # N45 (4,5): ring 1 of BOTH facilities -> tie to min fac_id
+    assert out["N45"] == (1, 1)
+    # N00 is 4 rings from both -> beyond kmax=2, excluded
+    assert "N00" not in out
+
+
+def test_voronoi_ring0_beats_adjacent_facility(spark):
+    from dggstools_spark.operators.access import voronoi_assign
+
+    dem = spark.createDataFrame([("N44",)], "cellid string")
+    fac = spark.createDataFrame(
+        [(9, "N44"), (1, "N45")], "fac_id long, cellid string")
+    out = voronoi_assign(dem, fac, 2, 1).collect()[0]
+    # facility 9 sits IN the cell: ring 0 beats fac 1's ring 1 despite id
+    assert (out.fac_id, out.ring) == (9, 0)
