@@ -179,3 +179,114 @@ def join_counts_sql(source_sql: str, res: int, class_col: str,
     JOIN _cnt cb ON cb._cls = o.cls_b
     CROSS JOIN _tot t CROSS JOIN _n n
     """
+
+
+# --------------------------------------------------------------------------
+# Segregation statistics between two spatial distributions (public
+# measures, Duncan & Duncan 1955 family), all EXACT RATIONALS:
+#
+#   dissimilarity D = ½ Σ_i |a_i/A − b_i/B|
+#                   = Σ_i |a_i·B − b_i·A| · 1e6 div (2·A·B)   (ppm)
+#       — the share of either group that would have to move for the
+#       distributions to match (0 = identical, 1e6 = disjoint);
+#   location quotient LQ_i = (a_i/A)/(b_i/B)
+#                          = a_i·B·1e6 div (A·b_i)            (ppm)
+#       — per-cell over/under-representation of A relative to B
+#       (cells with b_i = 0 get NULL, reported, never a silent drop).
+#
+# Cross-multiplied integer forms ride DECIMAL(38,0)/HUGEINT so both are
+# hash-exact (constraint-13).  One full-outer cell join + one aggregate
+# (D) / one projection + top-k (LQ).
+# --------------------------------------------------------------------------
+
+
+def dissimilarity(cells_a: DataFrame, cells_b: DataFrame) -> DataFrame:
+    """1 row (n_cells, a_total, b_total, d_ppm) over two (cellid, n)
+    count tables — see the block comment above."""
+    a = cells_a.select("cellid", F.col("n").cast("long").alias("na"))
+    b = cells_b.select(F.col("cellid"), F.col("n").cast("long")
+                       .alias("nb"))
+    j = (a.join(b, "cellid", "full_outer")
+         .select(F.coalesce("na", F.lit(0)).alias("na"),
+                 F.coalesce("nb", F.lit(0)).alias("nb")))
+    tot = j.agg(F.sum("na").alias("_at"), F.sum("nb").alias("_bt"))
+    return (j.crossJoin(F.broadcast(tot))
+            .agg(F.count("*").alias("n_cells"),
+                 F.max("_at").alias("a_total"),
+                 F.max("_bt").alias("b_total"),
+                 F.sum(F.expr(
+                     "abs(CAST(na AS DECIMAL(38,0)) * _bt"
+                     " - CAST(nb AS DECIMAL(38,0)) * _at)"))
+                 .alias("_num"))
+            .select(F.col("n_cells").cast("bigint").alias("n_cells"),
+                    F.col("a_total").cast("bigint").alias("a_total"),
+                    F.col("b_total").cast("bigint").alias("b_total"),
+                    F.expr("CAST((_num * 1000000) div"
+                           " (2 * CAST(a_total AS DECIMAL(38,0))"
+                           " * b_total) AS BIGINT)").alias("d_ppm")))
+
+
+def dissimilarity_sql(a_sql: str, b_sql: str) -> str:
+    """DuckDB twin of :func:`dissimilarity`."""
+    return f"""
+    WITH _a AS MATERIALIZED (
+        SELECT cellid, CAST(n AS BIGINT) AS na FROM ({a_sql})),
+    _b AS MATERIALIZED (
+        SELECT cellid, CAST(n AS BIGINT) AS nb FROM ({b_sql})),
+    _j AS MATERIALIZED (
+        SELECT coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+        FROM _a FULL OUTER JOIN _b USING (cellid)),
+    _t AS (SELECT CAST(sum(na) AS HUGEINT) AS _at,
+                  CAST(sum(nb) AS HUGEINT) AS _bt FROM _j)
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(any_value(_at) AS BIGINT) AS a_total,
+           CAST(any_value(_bt) AS BIGINT) AS b_total,
+           CAST((sum(abs(CAST(na AS HUGEINT) * _bt
+                         - CAST(nb AS HUGEINT) * _at)) * 1000000)
+                // (2 * any_value(_at) * any_value(_bt)) AS BIGINT)
+               AS d_ppm
+    FROM _j CROSS JOIN _t
+    """
+
+
+def location_quotient(cells_a: DataFrame, cells_b: DataFrame,
+                      k: int) -> DataFrame:
+    """(cellid, na, nb, lq_ppm, rank): top-``k`` cells by LQ over two
+    (cellid, n) count tables; cells where B is absent are excluded
+    (LQ undefined) — join semantics make the exclusion explicit."""
+    from pyspark.sql.window import Window
+
+    a = cells_a.select("cellid", F.col("n").cast("long").alias("na"))
+    b = cells_b.select("cellid", F.col("n").cast("long").alias("nb"))
+    tot = (a.agg(F.sum("na").alias("_at"))
+           .crossJoin(b.agg(F.sum("nb").alias("_bt"))))
+    w = Window.orderBy(F.desc("lq_ppm"), F.asc("cellid"))
+    return (a.join(b, "cellid")
+            .crossJoin(F.broadcast(tot))
+            .withColumn("lq_ppm", F.expr(
+                "CAST((CAST(na AS DECIMAL(38,0)) * _bt * 1000000)"
+                " div (CAST(_at AS DECIMAL(38,0)) * nb) AS BIGINT)"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("cellid", "na", "nb", "lq_ppm", "rank"))
+
+
+def location_quotient_sql(a_sql: str, b_sql: str, k: int) -> str:
+    """DuckDB twin of :func:`location_quotient`."""
+    return f"""
+    WITH _a AS MATERIALIZED (
+        SELECT cellid, CAST(n AS BIGINT) AS na FROM ({a_sql})),
+    _b AS MATERIALIZED (
+        SELECT cellid, CAST(n AS BIGINT) AS nb FROM ({b_sql})),
+    _t AS (SELECT (SELECT CAST(sum(na) AS HUGEINT) FROM _a) AS _at,
+                  (SELECT CAST(sum(nb) AS HUGEINT) FROM _b) AS _bt),
+    _lq AS (
+        SELECT cellid, na, nb,
+               CAST((CAST(na AS HUGEINT) * _bt * 1000000)
+                    // (_at * nb) AS BIGINT) AS lq_ppm
+        FROM _a JOIN _b USING (cellid) CROSS JOIN _t)
+    SELECT cellid, na, nb, lq_ppm, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+              ORDER BY lq_ppm DESC, cellid) AS rank FROM _lq)
+    WHERE rank <= {k}
+    """

@@ -884,6 +884,10 @@ _PROMOTE_EARLY = ["stream_dedup",
 # graph-Voronoi service territories, operators/access.voronoi_assign)
 # likewise rides the replica + sf1 gates; promotion queue behind
 # batch 47.
+# The r6 batch-49 pair (segregation/location_quotient — Duncan
+# dissimilarity + per-cell LQ, exact rationals,
+# operators/diversity.py) likewise rides the replica + sf1 gates;
+# promotion queue behind batch 48.
 # The r6 batch-31 entry (route_heat — great-circle corridor heat via the
 # slerp split) rides the same gates; promotion queue behind batch 30.
 # Tail order below follows VERDICT r5 #7: if a future driver window is

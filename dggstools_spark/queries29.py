@@ -908,3 +908,53 @@ def _oracle_voronoi_territories() -> str:
 
 QUERIES29["voronoi_territories"] = q_voronoi_territories
 ORACLES29["voronoi_territories"] = _oracle_voronoi_territories()
+
+
+# --------------------------------------------------------------------------
+# q_segregation / q_location_quotient (batch 49): Duncan dissimilarity
+# index and per-cell location quotients between the customer and
+# supplier distributions — exact-rational segregation statistics
+# (operators/diversity.dissimilarity / location_quotient), reusing the
+# cross_k count tables.
+# --------------------------------------------------------------------------
+
+LQ_K = 20
+
+
+def q_segregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.diversity import dissimilarity
+
+    cust = _pts_counts(spark, sf_dir, "customer", "c_custkey")
+    supp = _pts_counts(spark, sf_dir, "supplier", "s_suppkey")
+    return dissimilarity(cust, supp)
+
+
+def _oracle_segregation() -> str:
+    from .operators.diversity import dissimilarity_sql
+
+    return dissimilarity_sql(_pts_counts_sql("customer", "c_custkey"),
+                             _pts_counts_sql("supplier", "s_suppkey"))
+
+
+QUERIES29["segregation"] = q_segregation
+ORACLES29["segregation"] = _oracle_segregation()
+
+
+def q_location_quotient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.diversity import location_quotient
+
+    cust = _pts_counts(spark, sf_dir, "customer", "c_custkey")
+    supp = _pts_counts(spark, sf_dir, "supplier", "s_suppkey")
+    return location_quotient(cust, supp, LQ_K)
+
+
+def _oracle_location_quotient() -> str:
+    from .operators.diversity import location_quotient_sql
+
+    return location_quotient_sql(
+        _pts_counts_sql("customer", "c_custkey"),
+        _pts_counts_sql("supplier", "s_suppkey"), LQ_K)
+
+
+QUERIES29["location_quotient"] = q_location_quotient
+ORACLES29["location_quotient"] = _oracle_location_quotient()

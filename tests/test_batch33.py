@@ -187,3 +187,41 @@ def test_fj_function_clustered_pair_j_zero(spark):
     out = {r.r: r for r in fj_function(cells, 2, 2).collect()}
     assert out[1].g_le == 2 and out[1].j_ppm == 0
     assert out[2].j_ppm == 0
+
+
+def test_dissimilarity_closed_forms(spark):
+    from dggstools_spark.operators.diversity import dissimilarity
+
+    # identical distributions -> D = 0
+    a = spark.createDataFrame([("X", 2), ("Y", 6)],
+                              "cellid string, n long")
+    r = dissimilarity(a, a).collect()[0]
+    assert (r.d_ppm, r.n_cells, r.a_total, r.b_total) == (0, 2, 8, 8)
+    # disjoint distributions -> D = 1e6
+    b = spark.createDataFrame([("Z", 5)], "cellid string, n long")
+    r = dissimilarity(a, b).collect()[0]
+    assert r.d_ppm == 1_000_000 and r.n_cells == 3
+    # hand-worked: A = (4, 4), B = (2, 6): D = 0.5*(|1/2-1/4|+|1/2-3/4|)
+    #            = 0.25 -> 250_000 ppm
+    a2 = spark.createDataFrame([("X", 4), ("Y", 4)],
+                               "cellid string, n long")
+    b2 = spark.createDataFrame([("X", 2), ("Y", 6)],
+                               "cellid string, n long")
+    assert dissimilarity(a2, b2).collect()[0].d_ppm == 250_000
+
+
+def test_location_quotient_hand_worked(spark):
+    from dggstools_spark.operators.diversity import location_quotient
+
+    # A = (6, 2) of 8, B = (2, 6) of 8: LQ(X) = (6/8)/(2/8) = 3,
+    # LQ(Y) = (2/8)/(6/8) = 1/3; B-absent cell excluded
+    a = spark.createDataFrame([("X", 6), ("Y", 2), ("W", 1)],
+                              "cellid string, n long")
+    b = spark.createDataFrame([("X", 2), ("Y", 6)],
+                              "cellid string, n long")
+    out = {r.cellid: (r.lq_ppm, r.rank)
+           for r in location_quotient(a, b, 10).collect()}
+    # totals: A = 9, B = 8: LQ(X) = (6/9)/(2/8) = 8/3 -> 2_666_666
+    assert out["X"] == (2_666_666, 1)
+    assert out["Y"] == (2 * 8 * 10**6 // (9 * 6), 2)  # 296_296
+    assert "W" not in out
