@@ -69,57 +69,73 @@ def init_seq(words: DataFrame) -> DataFrame:
                 f" THEN substring(word, pos, 1) ELSE '{EOW}' END")))
 
 
-def _merge_round(seq: DataFrame) -> "tuple[DataFrame, DataFrame]":
-    """One BPE round over (word, freq, pos, sym): returns
-    (best — 1 row (l, r, pair_count), merged seq reindexed)."""
+def _with_nxt(seq: DataFrame) -> DataFrame:
+    """Add ``_nxt`` = lead(sym) within the word — the adjacent-pair
+    column.  Threaded through every checkpoint (r7 optimization) so the
+    per-round best-pair read is a plain hash aggregate over the
+    materialized table instead of a fresh window shuffle."""
     from pyspark.sql.window import Window
 
     wp = Window.partitionBy("word").orderBy("pos")
-    pairs = (seq.withColumn("_nxt", F.lead("sym").over(wp))
-             .filter(F.col("_nxt").isNotNull()))
-    best = (pairs.groupBy("sym", "_nxt")
+    return seq.withColumn("_nxt", F.lead("sym").over(wp))
+
+
+def _best_pair(seq_nxt: DataFrame) -> "list":
+    """argmax pair of a (word, freq, pos, sym, _nxt) table — 1-row
+    collect (driver control flow, not a hot-path collect)."""
+    return (seq_nxt.filter(F.col("_nxt").isNotNull())
+            .groupBy("sym", "_nxt")
             .agg(F.sum("freq").alias("c"))
             .agg(F.min(F.struct((-F.col("c")).alias("nc"),
                                 F.col("sym").alias("l"),
                                 F.col("_nxt").alias("r"))).alias("_b"))
             .select(F.col("_b.l").alias("l"), F.col("_b.r").alias("r"),
                     (-F.col("_b.nc")).cast("bigint").alias("pair_count"))
-            .localCheckpoint(eager=True))
-    return best, apply_pair(seq, best.select("l", "r"))
+            .collect())
 
 
-def apply_pair(seq: DataFrame, pair: DataFrame) -> DataFrame:
-    """Apply ONE merge (the 1-row broadcast ``pair`` frame (l, r)) to a
-    (word, freq, pos, sym) table: greedy left-to-right non-overlapping
-    rewrite (islands of consecutive matches, odd ranks merge), reindexed
-    and checkpointed.  Shared by training (best pair per round) and
-    tokenization of new text (:func:`bpe_apply`, fixed learned pairs)."""
+def apply_pair(seq_nxt: DataFrame, left: str, right: str) -> DataFrame:
+    """Apply ONE merge (the literal pair ``left``/``right``) to a
+    (word, freq, pos, sym, _nxt) table: greedy left-to-right
+    non-overlapping rewrite (islands of consecutive matches, odd ranks
+    merge), reindexed, with ``_nxt`` recomputed for the next round.
+
+    r7 optimizations (values unchanged, oracle-verified): the pair is a
+    literal (no per-round broadcast crossJoin); the odd-rank-in-island
+    selection uses a running max of island-START positions over the SAME
+    (word, pos) window as every other step — the old
+    first(pos) OVER (word, _grp) needed a second hash partitioning,
+    i.e. one extra Exchange per round; and the result is LAZY (callers
+    choose where to cut lineage)."""
     from pyspark.sql.window import Window
 
     wp = Window.partitionBy("word").orderBy("pos")
-    merged = (seq
-              .crossJoin(F.broadcast(pair))
-              .withColumn("_nxt", F.lead("sym").over(wp))
-              .withColumn("_m", F.expr(
-                  "CAST(coalesce(sym = l AND _nxt = r, FALSE) AS INT)"))
-              # islands of consecutive matches; odd ranks merge
-              .withColumn("_mrn", F.sum("_m").over(
-                  wp.rowsBetween(Window.unboundedPreceding, 0)))
-              .withColumn("_grp", F.expr(
-                  "CASE WHEN _m = 1 THEN pos - _mrn ELSE NULL END"))
+    run = wp.rowsBetween(Window.unboundedPreceding, 0)
+    merged = (seq_nxt
+              .withColumn("_m", F.coalesce(
+                  (F.col("sym") == F.lit(left))
+                  & (F.col("_nxt") == F.lit(right)),
+                  F.lit(False)).cast("int"))
+              # island start = a match not preceded by a match; the
+              # running max of start positions is the CURRENT island's
+              # start, so (pos - start) % 2 = 0 selects the odd ranks —
+              # exactly first(pos) over (word, island) without the
+              # second hash partitioning
+              .withColumn("_pm", F.coalesce(
+                  F.lag("_m").over(wp), F.lit(0)))
+              .withColumn("_lsp", F.max(F.expr(
+                  "CASE WHEN _m = 1 AND _pm = 0 THEN pos END"))
+                  .over(run))
               .withColumn("_sel", F.expr(
-                  "_m = 1 AND (pos - first(pos) OVER ("
-                  "PARTITION BY word, _grp ORDER BY pos)) % 2 = 0"))
+                  "_m = 1 AND (pos - _lsp) % 2 = 0"))
               .withColumn("_psel", F.lag("_sel").over(wp))
               .filter(~F.coalesce("_psel", F.lit(False)))
               .select("word", "freq", "pos",
                       F.expr("CASE WHEN _sel THEN concat(sym, _nxt)"
                              " ELSE sym END").alias("sym")))
-    return (merged
-            .withColumn("pos", F.row_number().over(
-                Window.partitionBy("word").orderBy("pos"))
-            .cast("bigint"))
-            .localCheckpoint(eager=True))
+    reindexed = merged.withColumn("pos", F.row_number().over(
+        Window.partitionBy("word").orderBy("pos")).cast("bigint"))
+    return _with_nxt(reindexed)
 
 
 def bpe_apply(new_df: DataFrame, text_col: str,
@@ -127,16 +143,17 @@ def bpe_apply(new_df: DataFrame, text_col: str,
     """Tokenize NEW text under already-learned merges: apply every
     (round-ordered) merge pair to the new corpus's word table with the
     identical greedy rewrite — the runtime tokenizer.  Returns the final
-    (word, freq, pos, sym) symbolization.  The R driver-side pair reads
-    mirror bpe_train's control loop (R 1-row actions)."""
-    seq = init_seq(word_table(new_df, text_col)).localCheckpoint(
-        eager=True)
-    spark = new_df.sparkSession
+    (word, freq, pos, sym) symbolization.  ``merges`` is the
+    vocabulary-sized learned table (driver-local by construction); the
+    whole R-round rewrite chain is LAZY — every round repartitions by
+    the same word key, so the chain runs as ONE job with a single
+    Exchange followed by R in-partition sort+window cascades (r7: the
+    old per-round eager localCheckpoint issued R blocking jobs)."""
+    seq = _with_nxt(init_seq(word_table(new_df, text_col))) \
+        .localCheckpoint(eager=True)
     for row in merges.orderBy("round").collect():
-        pair = spark.createDataFrame(
-            [(row.left, row.right)], "l string, r string")
-        seq = apply_pair(seq, pair)
-    return seq
+        seq = apply_pair(seq, row.left, row.right)
+    return seq.drop("_nxt")
 
 
 def bpe_train(df: DataFrame, text_col: str,
@@ -147,23 +164,31 @@ def bpe_train(df: DataFrame, text_col: str,
     with round 1..rounds; seq = the final (word, freq, pos, sym)
     symbolization of every word under those merges.  Raises if the
     corpus runs out of adjacent pairs before ``rounds`` merges (fix the
-    config, don't silently under-train)."""
+    config, don't silently under-train).
+
+    Per round: one 1-row aggregate read of the checkpointed table (the
+    argmax is driver control flow — inherent to exact BPE) and one
+    window-cascade job materializing the rewritten table (the
+    checkpoint doubles as the lineage cut, CLAUDE.md constraint 2
+    family)."""
     if rounds < 1:
         raise ValueError(f"bpe_train: rounds must be >= 1, got {rounds}")
     spark = df.sparkSession
-    seq = init_seq(word_table(df, text_col)).localCheckpoint(eager=True)
+    seq = _with_nxt(init_seq(word_table(df, text_col))) \
+        .localCheckpoint(eager=True)
     rows = []
     for rnd in range(1, rounds + 1):
-        best, seq = _merge_round(seq)
-        b = best.collect()
+        b = _best_pair(seq)
         # a global agg over zero pair rows yields one all-NULL row
         if not b or b[0].l is None:
             raise ValueError(
                 f"bpe_train: no adjacent pairs left at round {rnd}")
         rows.append((rnd, b[0].l, b[0].r, b[0].pair_count))
+        seq = apply_pair(seq, b[0].l, b[0].r) \
+            .localCheckpoint(eager=True)
     merges = spark.createDataFrame(
         rows, "round int, left string, right string, pair_count bigint")
-    return merges, seq
+    return merges, seq.drop("_nxt")
 
 
 # --------------------------------------------------------------------------

@@ -497,23 +497,31 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
 
     # deterministic integer-arithmetic planes (operators/similarity.py) —
     # portable to the DuckDB oracle, unlike Spark's murmur3 hash().
-    # NOTE: norms here are deliberately per PAIR, not per vector — adding a
-    # norm column to this scan project (which already carries the wide flat
-    # signature) pushed the generated stage past janino's 64KB method limit
-    # and the whole stage fell back to interpreted evaluation (measured
-    # 128 s vs 25 s at sf1; SCALE.md round-4 study).  The ann_topk/ivf
-    # operators use per-vector norms because their scan stages stay under
-    # the limit.
+    # NOTE (r7, closes the standing janino traces — VERDICT r6 #5): the
+    # per-vector norm rides the scan project as the compact HOF fold
+    # (nrm_spark dim=None — ~25 expression nodes), NOT the flat sum: a
+    # FLAT norm next to the wide flat signature pushed the scan stage
+    # past janino's 64KB method limit (measured 128 s vs 25 s at sf1;
+    # SCALE.md round-4 study).  With norms pre-join, the join's verify
+    # condition carries only the lone flat dot — the constraint-15
+    # rerank shape that compiles — where the old per-pair norms put
+    # ~3x the flat terms into the BroadcastHashJoin stage and tripped
+    # the 64KB fallback every sweep (known-acceptable but noisy).
+    # HOF and flat folds are bit-identical doubles (same seed, same
+    # index order — similarity.dot_spark contract), so cos_ppm is
+    # unchanged.
     sig = df.select(
         id_col, vec_col,
         F.expr(signature_spark(vec_col, n_planes, dim)).alias("bucket"),
+        F.expr(nrm_spark(vec_col, None)).alias("_nrm"),
     )
     sig = _cap_hot_keys(sig, "bucket", max_bucket)
-    a = sig.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"), "bucket")
-    b = sig.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"), "bucket")
+    a = sig.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"),
+                   F.col("_nrm").alias("_anrm"), "bucket")
+    b = sig.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"),
+                   F.col("_nrm").alias("_bnrm"), "bucket")
     pairs = a.join(b, "bucket").filter(F.col("a_id") < F.col("b_id"))
-    cos = (dot_spark("a_vec", "b_vec", dim) + " / (" + nrm_spark("a_vec", dim)
-           + " * " + nrm_spark("b_vec", dim) + ")")
+    cos = dot_spark("a_vec", "b_vec", dim) + " / (_anrm * _bnrm)"
     return (
         pairs.withColumn("cos_ppm", F.round(F.expr(cos) * 1e6).cast("bigint"))
         .filter(F.col("cos_ppm") >= int(threshold * 1e6))

@@ -383,18 +383,30 @@ def fj_function(cells: DataFrame, res: int, kmax: int,
         F.substring("cellid", 1, 1).alias("f")).distinct().collect())
     ref = _face_lattice(cells.sparkSession, faces, res)
     occ_nbr = occ.select(F.col("cellid").alias("nbr"))
-    # F: nearest occupied from every reference cell (ring 0 = the cell
-    # itself being occupied)
-    kr_ref = kring_cells(ref, res, kmax, cross_face=cross_face)
-    nn_f = (kr_ref.join(occ_nbr, "nbr")
-            .groupBy("cellid").agg(F.min("ring").alias("nn"))
-            .unionByName(ref.join(occ, "cellid")
-                         .select("cellid", F.lit(0).alias("nn")))
+    # ONE kring expansion serves both CDFs (r7 optimization): ring is a
+    # graph distance, hence SYMMETRIC (the adjacency relation is
+    # symmetric — topology.edge_table is an involution), so the
+    # occupied-seeded pairs (o, x, ring) read backwards give every
+    # reference cell x its distance to each occupied cell within kmax.
+    # The old second expansion over the FULL face lattice (the reference
+    # set, ≫ occupied cells in general) is thereby removed.  The
+    # relation feeds both F and G, so one lineage cut materializes it.
+    kr_occ = kring_cells(occ, res, kmax, cross_face=cross_face) \
+        .localCheckpoint(eager=True)
+    # F: nearest occupied from every reference cell = min ring over the
+    # REVERSED occupied-seeded pairs, restricted to the face lattice
+    # (nbr's face ∈ faces ⇔ nbr ∈ ref — the lattice enumerates whole
+    # faces); ring 0 = the reference cell itself being occupied
+    # (occ ⊆ ref by construction: occupied cells define the face list).
+    nn_f = (kr_occ.filter(
+                F.substring("nbr", 1, 1).isin(list(faces)))
+            .groupBy(F.col("nbr").alias("cellid"))
+            .agg(F.min("ring").alias("nn"))
+            .unionByName(occ.select("cellid", F.lit(0).alias("nn")))
             .groupBy("cellid").agg(F.min("nn").alias("nn")))
     f_hist = nn_f.groupBy("nn").agg(F.count("*").alias("_c"))
     f_tot = ref.agg(F.count("*").alias("f_tot"))
     # G: nearest OTHER occupied from every occupied cell (as g_function)
-    kr_occ = kring_cells(occ, res, kmax, cross_face=cross_face)
     nn_g = (kr_occ.join(occ_nbr, "nbr")
             .groupBy("cellid").agg(F.min("ring").alias("nn")))
     g_hist = nn_g.groupBy("nn").agg(F.count("*").alias("_c"))

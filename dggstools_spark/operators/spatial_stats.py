@@ -74,9 +74,32 @@ def face_sql() -> str:
     return "instr('NOPQRS', substring(cellid, 1, 1)) - 1"
 
 
+def _rowcol_terms_ascii(res: int) -> "tuple[str, str]":
+    """Spark-side twin of _rowcol_terms reading digits via ascii()-48
+    instead of CAST(substring AS BIGINT) — identical values for the
+    '0'..'8' digit alphabet, but TOTAL under ANSI mode: a lazily
+    composed plan (kring_cells r7) can push a later level's decode
+    predicate into the same Filter as an earlier level's range check,
+    and subexpression elimination then evaluates the decode on builder
+    outputs carrying chr(48+negative) placeholder digits that the range
+    check is about to drop — CAST throws there, ascii() just yields a
+    negative that fails the range check as intended.  DuckDB twins keep
+    the original text (frozen oracle SQL)."""
+    row_terms, col_terms = [], []
+    for i in range(1, res + 1):
+        digit = f"(ascii(substring(cellid, {i + 1}, 1)) - 48)"
+        w = 3 ** (res - i)
+        row_terms.append(f"(({digit}) div 3) * {w}")
+        col_terms.append(f"(({digit}) % 3) * {w}")
+    # BIGINT like the CAST-based original — with_lattice's row/col reach
+    # query outputs (schema-hashed by the oracle gate)
+    return (f"CAST({' + '.join(row_terms)} AS BIGINT)",
+            f"CAST({' + '.join(col_terms)} AS BIGINT)")
+
+
 def with_lattice(cells: DataFrame, res: int) -> DataFrame:
     """Add (face, row, col) lattice coordinates to a same-res cell table."""
-    row_sql, col_sql = _rowcol_terms(res, "div")
+    row_sql, col_sql = _rowcol_terms_ascii(res)
     return (cells
             .withColumn("face", F.expr(face_sql()).cast("int"))
             .withColumn("row", F.expr(row_sql))
@@ -139,35 +162,21 @@ def _offsets_sql(include_self: bool) -> str:
 
 def _xface_contrib(lat: DataFrame, res: int) -> DataFrame:
     """Cross-face neighbor contributions (face, row, col, nv) for every
-    seam cell of ``lat`` (face, row, col, v) — see block comment above."""
-    from ..dggs.topology import edge_table_rows
+    seam cell of ``lat`` (face, row, col, v) — see block comment above.
 
-    E = 3 ** res
-    tt = lat.sparkSession.createDataFrame(
-        edge_table_rows(),
-        "face int, edge int, face2 int, edge2 int, flip int")
+    r7: the 24-row gluing table is compiled into the _nbr_slot_exprs
+    CASE expressions (seam slots only) instead of a per-call driver
+    createDataFrame + broadcast join (~0.3-0.4 s fixed latency each);
+    identical (edge, dt) → target mapping, A/B-verified against the
+    join form on the full res-1..3 lattices."""
+    seam = _nbr_slot_exprs(res, True)[len(_NEIGHBOR_OFFSETS):]
     return (lat
-            .select("face", "row", "col", F.col("v").alias("nv"))
-            .withColumn("edge", F.explode(F.expr(
-                f"filter(array(IF(row = 0, 0, NULL),"
-                f" IF(col = {E - 1}, 1, NULL),"
-                f" IF(row = {E - 1}, 2, NULL),"
-                f" IF(col = 0, 3, NULL)), x -> x IS NOT NULL)")))
-            .join(F.broadcast(tt), ["face", "edge"])
-            .withColumn("t2", F.expr(
-                f"IF(flip = 1, {E - 1} - (CASE WHEN edge IN (0, 2)"
-                f" THEN col ELSE row END),"
-                f" CASE WHEN edge IN (0, 2) THEN col ELSE row END)"))
-            .withColumn("dt", F.explode(F.expr("array(-1, 0, 1)")))
-            .withColumn("t3", F.expr("t2 + dt"))
-            .filter(F.expr(f"t3 >= 0 AND t3 <= {E - 1}"))
-            .select(F.col("face2").alias("face"),
-                    F.expr(f"CAST(CASE WHEN edge2 = 0 THEN 0"
-                           f" WHEN edge2 = 2 THEN {E - 1}"
-                           f" ELSE t3 END AS BIGINT)").alias("row"),
-                    F.expr(f"CAST(CASE WHEN edge2 IN (0, 2) THEN t3"
-                           f" WHEN edge2 = 1 THEN {E - 1}"
-                           f" ELSE 0 END AS BIGINT)").alias("col"),
+            .select(F.col("v").alias("nv"), F.explode(F.expr(
+                "filter(array(" + ", ".join(seam)
+                + "), x -> x IS NOT NULL)")).alias("_x"))
+            .select(F.col("_x.f").alias("face"),
+                    F.col("_x.r").alias("row"),
+                    F.col("_x.c").alias("col"),
                     "nv"))
 
 
@@ -584,33 +593,27 @@ def cell_neighbors(cells: DataFrame, res: int,
     a face seam (dggs/topology's kernel-derived gluing).  Input cellids
     must be unique and same-res.
 
-    Correctness lean: adjacency is SYMMETRIC, and _xface_contrib emits,
+    Correctness lean: adjacency is SYMMETRIC, and the seam slots emit,
     for each seam cell c, exactly the glued positions c touches — which
     are therefore c's cross-face neighbors; the involution assert in
     topology.edge_table guarantees the reverse direction would produce
-    the mirrored pairs.  Scale: offsets explode + the O(sqrt(cells)) seam
-    branch, zero joins beyond the broadcast 24-row gluing table."""
+    the mirrored pairs.  Scale/r7: the whole enumeration is ONE slot
+    explode (_nbr_slot_exprs — the 24-row gluing table compiled into
+    CASE expressions), zero joins: the former broadcast-join seam
+    branch paid a driver createDataFrame + BroadcastExchange per call
+    (~0.3-0.4 s fixed latency; A/B-verified identical pairs + across
+    flags on the full res-1..3 lattices)."""
     lat = with_lattice(cells.select("cellid"), res)
-    E = 3 ** res
-    interior = (lat
-                .select("cellid", "face", "row", "col",
-                        F.expr(_offsets_sql(False)).alias("o"))
-                .withColumn("row2", F.expr("row + o.dr"))
-                .withColumn("col2", F.expr("col + o.dc"))
-                .filter(F.expr(f"row2 >= 0 AND row2 <= {E - 1}"
-                               f" AND col2 >= 0 AND col2 <= {E - 1}"))
-                .select("cellid",
-                        F.expr(cellid_from_rowcol_sql(
-                            res, "div", row="row2", col="col2"))
-                        .alias("nbr"),
-                        F.lit(0).alias("across")))
-    if not cross_face:
-        return interior
-    x = (_xface_contrib(lat.withColumn("v", F.col("cellid")), res)
-         .select(F.col("nv").alias("cellid"),
-                 F.expr(cellid_from_rowcol_sql(res, "div")).alias("nbr"),
-                 F.lit(1).alias("across")))
-    return interior.unionByName(x)
+    slots = _nbr_slot_exprs(res, cross_face)
+    return (lat
+            .select("cellid", F.explode(F.expr(
+                "filter(array(" + ", ".join(slots)
+                + "), x -> x IS NOT NULL)")).alias("_x"))
+            .select("cellid",
+                    F.expr(cellid_from_rowcol_sql(
+                        res, "div", face="_x.f", row="_x.r",
+                        col="_x.c")).alias("nbr"),
+                    F.col("_x.a").alias("across")))
 
 
 def cell_neighbors_sql(source_sql: str, res: int,
@@ -753,6 +756,81 @@ def erode_cells_sql(source_sql: str, res: int,
     """
 
 
+def _nbr_slot_exprs(res: int, cross_face: bool) -> "list[str]":
+    """SQL slot expressions enumerating every queen-neighbor POSITION of
+    a lattice cell (face, row, col) as nullable structs
+    (f INT, r BIGINT, c BIGINT, a INT) — a = 1 for seam-glued targets.
+    The 24-row gluing table (dggs/topology.edge_table — STATIC, kernel
+    derived) is compiled into 6-way CASE expressions instead of a
+    broadcast join: the join form cost one driver createDataFrame + one
+    BroadcastExchange per invocation (~0.3-0.4 s fixed latency each —
+    measured: the 3-level kring walk spent 1.2 s of its 1.4 s in the
+    three 24-row broadcasts), and the expression form is a pure
+    projection the whole-stage pipeline absorbs."""
+    from ..dggs.topology import edge_table_rows
+
+    E = 3 ** res
+    slots = []
+    for dr, dc in _NEIGHBOR_OFFSETS:
+        slots.append(
+            f"IF(row + {dr} >= 0 AND row + {dr} <= {E - 1}"
+            f" AND col + {dc} >= 0 AND col + {dc} <= {E - 1},"
+            f" named_struct('f', face,"
+            f" 'r', CAST(row + {dr} AS BIGINT),"
+            f" 'c', CAST(col + {dc} AS BIGINT),"
+            f" 'a', 0), NULL)")
+    if not cross_face:
+        return slots
+    tbl = {(f, e): (f2, e2, fl)
+           for f, e, f2, e2, fl in edge_table_rows()}
+    edge_cond = {0: "row = 0", 1: f"col = {E - 1}",
+                 2: f"row = {E - 1}", 3: "col = 0"}
+    for e in range(4):
+        t = "col" if e in (0, 2) else "row"
+        f2c = ("CASE face " + " ".join(
+            f"WHEN {f} THEN {tbl[(f, e)][0]}" for f in range(6)) + " END")
+        flips = {f: tbl[(f, e)][2] for f in range(6)}
+        flip_faces = [f for f, fl in flips.items() if fl == 1]
+        t2 = (f"IF(face IN ({', '.join(map(str, flip_faces))}),"
+              f" {E - 1} - {t}, {t})") if flip_faces else t
+        e2c = ("CASE face " + " ".join(
+            f"WHEN {f} THEN {tbl[(f, e)][1]}" for f in range(6)) + " END")
+        for d in (-1, 0, 1):
+            t3 = f"({t2} + {d})"
+            row2 = (f"CASE WHEN ({e2c}) = 0 THEN 0"
+                    f" WHEN ({e2c}) = 2 THEN {E - 1}"
+                    f" ELSE {t3} END")
+            col2 = (f"CASE WHEN ({e2c}) IN (0, 2) THEN {t3}"
+                    f" WHEN ({e2c}) = 1 THEN {E - 1}"
+                    f" ELSE 0 END")
+            slots.append(
+                f"IF(({edge_cond[e]}) AND {t3} >= 0 AND {t3} <= {E - 1},"
+                f" named_struct('f', CAST({f2c} AS INT),"
+                f" 'r', CAST({row2} AS BIGINT),"
+                f" 'c', CAST({col2} AS BIGINT),"
+                f" 'a', 1), NULL)")
+    return slots
+
+
+def _coord_neighbors(lat: DataFrame, res: int,
+                     cross_face: bool) -> DataFrame:
+    """One queen step on NUMERIC lattice coordinates: ``lat`` =
+    (v, face, row, col) → every neighbor position (v, face, row, col),
+    payload ``v`` carried through.  The coordinate twin of
+    :func:`cell_neighbors` (same neighbor set, _nbr_slot_exprs form)
+    minus the per-step cellid string build/decode — kring composes k of
+    these, and string round-trips between levels made the composed plan
+    explode (see kring_cells)."""
+    slots = _nbr_slot_exprs(res, cross_face)
+    return (lat
+            .select("v", F.explode(F.expr(
+                "filter(array(" + ", ".join(slots)
+                + "), x -> x IS NOT NULL)")).alias("_x"))
+            .select("v", F.col("_x.f").alias("face"),
+                    F.col("_x.r").alias("row"),
+                    F.col("_x.c").alias("col")))
+
+
 def kring_cells(cells: DataFrame, res: int, k: int,
                 cross_face: bool = True) -> DataFrame:
     """(cellid, nbr, ring): every grid cell within queen GRAPH distance
@@ -769,39 +847,45 @@ def kring_cells(cells: DataFrame, res: int, k: int,
     cells (min-distance by construction: a cell first reached in round r
     has ring r).
 
-    Scale shape (100 TB): each of the k rounds is one lattice neighbor
-    enumeration over the current frontier (offsets explode + the
-    O(sqrt) seam branch, broadcast 24-row gluing table) + one hash
-    equi-join back to the seeds + one anti-join; frontier size is
-    O(seeds·k) after dedup, not O(seeds·9^k).  ``localCheckpoint`` per
-    round cuts the re-inlined cellid-fold lineage (CLAUDE.md
-    constraint 2 family — the loop would otherwise stack k copies of
-    the digit fold into one janino stage)."""
+    Scale shape (100 TB, r7 rewrite): the walk runs on NUMERIC lattice
+    coordinates — seeds are decoded to (face, row, col) once
+    (checkpointed: one eager job that also cuts the encode lineage,
+    CLAUDE.md constraint 2), each of the k levels is the offsets
+    explode + the O(sqrt) seam branch (broadcast 24-row gluing table)
+    + a distinct over (seed, face, row, col), and the nbr cellid
+    STRING is built exactly once from the min-ring aggregate at the
+    end.  Level size is O(seeds·k²) after dedup, never O(seeds·9^k).
+    The whole expansion is LAZY: a single min(ring) aggregate over the
+    per-level walk relations replaces the old per-round anti-join +
+    eager ``localCheckpoint`` (the k-round BFS issued k blocking jobs
+    of tiny shuffles; min walk length = graph distance, since a walk
+    of exactly r steps exists iff one of length dist does and no
+    shorter walk exists below dist).  Keeping the levels numeric is
+    what makes the lazy form cheap — a string-level composition
+    re-inlined build→decode→build digit expressions per level and
+    measured SLOWER than the BFS it replaced (plan text grew to
+    ~170 KB; codegen/planning dominated these cell-table queries)."""
     if k < 1:
         raise ValueError(f"kring_cells: k must be >= 1, got {k}")
-    e1 = (cell_neighbors(cells.select("cellid").distinct(), res,
-                         cross_face)
-          .select("cellid", "nbr").distinct()
-          .localCheckpoint(eager=True))
-    reach = e1.withColumn("ring", F.lit(1).cast("int"))
-    frontier = e1
+    lat0 = (with_lattice(cells.select("cellid").distinct(), res)
+            .select(F.col("cellid").alias("v"), "face", "row", "col")
+            .localCheckpoint(eager=True))
+    cur = _coord_neighbors(lat0, res, cross_face).distinct()
+    levels = [cur.withColumn("ring", F.lit(1).cast("int"))]
     for r in range(2, k + 1):
-        hop = (cell_neighbors(
-                   frontier.select(F.col("nbr").alias("cellid"))
-                           .distinct(),
-                   res, cross_face)
-               .select(F.col("cellid").alias("_mid"), "nbr"))
-        new = (frontier.select("cellid", F.col("nbr").alias("_mid"))
-               .join(hop, "_mid")
-               .select("cellid", "nbr").distinct()
-               .join(reach.select("cellid", "nbr"),
-                     ["cellid", "nbr"], "left_anti")
-               .filter(F.col("nbr") != F.col("cellid"))
-               .localCheckpoint(eager=True))
-        reach = reach.unionByName(
-            new.withColumn("ring", F.lit(r).cast("int")))
-        frontier = new
-    return reach
+        cur = _coord_neighbors(cur, res, cross_face).distinct()
+        levels.append(cur.withColumn("ring", F.lit(r).cast("int")))
+    allr = levels[0]
+    for lv in levels[1:]:
+        allr = allr.unionByName(lv)
+    best = (allr.groupBy("v", "face", "row", "col")
+            .agg(F.min("ring").alias("ring")))
+    return (best
+            .select(F.col("v").alias("cellid"),
+                    F.expr(cellid_from_rowcol_sql(res, "div"))
+                    .alias("nbr"),
+                    "ring")
+            .filter(F.col("nbr") != F.col("cellid")))
 
 
 def kring_cells_sql(source_sql: str, res: int, k: int,
