@@ -150,7 +150,7 @@ def bpe_apply(new_df: DataFrame, text_col: str,
     Exchange followed by R in-partition sort+window cascades (r7: the
     old per-round eager localCheckpoint issued R blocking jobs)."""
     seq = _with_nxt(init_seq(word_table(new_df, text_col))) \
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     for row in merges.orderBy("round").collect():
         seq = apply_pair(seq, row.left, row.right)
     return seq.drop("_nxt")
@@ -175,7 +175,7 @@ def bpe_train(df: DataFrame, text_col: str,
         raise ValueError(f"bpe_train: rounds must be >= 1, got {rounds}")
     spark = df.sparkSession
     seq = _with_nxt(init_seq(word_table(df, text_col))) \
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     rows = []
     for rnd in range(1, rounds + 1):
         b = _best_pair(seq)
@@ -184,8 +184,11 @@ def bpe_train(df: DataFrame, text_col: str,
             raise ValueError(
                 f"bpe_train: no adjacent pairs left at round {rnd}")
         rows.append((rnd, b[0].l, b[0].r, b[0].pair_count))
+        # eager=False: the next round's 1-row best-pair read (or the
+        # caller's action) materializes the rewrite — same lineage cut,
+        # one fewer blocking job per round
         seq = apply_pair(seq, b[0].l, b[0].r) \
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
     merges = spark.createDataFrame(
         rows, "round int, left string, right string, pair_count bigint")
     return merges, seq.drop("_nxt")

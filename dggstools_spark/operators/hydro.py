@@ -186,15 +186,21 @@ def watershed(cells: DataFrame, res: int, doublings: int,
     if doublings < 1:
         raise ValueError(f"watershed: doublings must be >= 1,"
                          f" got {doublings}")
+    # eager=False (r7): the doubling count is FIXED (no driver-side
+    # decisions between rounds), so the checkpoints only need to cut
+    # lineage and dedup the self-join's two references — the non-eager
+    # form does both via its persist while deferring the whole chain to
+    # the caller's single action (the eager form issued one blocking
+    # job per doubling).
     p = (flow_dir(cells, res, cross_face)
          .select("cellid", F.col("nxt").alias("p"))
-         .localCheckpoint(eager=True))
+         .localCheckpoint(eager=False))
     for _ in range(doublings):
         step = p.select(F.col("cellid").alias("_m"),
                         F.col("p").alias("_p2"))
         p = (p.join(step, p["p"] == step["_m"])
              .select("cellid", F.col("_p2").alias("p"))
-             .localCheckpoint(eager=True))
+             .localCheckpoint(eager=False))
     return p.select("cellid", F.col("p").alias("pit"))
 
 
@@ -351,17 +357,18 @@ def flow_accum(cells: DataFrame, res: int, doublings: int,
         raise ValueError(f"flow_accum: doublings must be >= 1,"
                          f" got {doublings}")
     fd = flow_dir(cells, res, cross_face)
+    # eager=False: fixed doubling count — see watershed
     r = (fd.select(F.col("cellid").alias("u"), F.col("cellid").alias("w"))
          .unionByName(fd.select(F.col("cellid").alias("u"),
                                 F.col("nxt").alias("w")))
          .distinct()
-         .localCheckpoint(eager=True))
+         .localCheckpoint(eager=False))
     for _ in range(doublings):
         mid = r.select(F.col("u").alias("_m"), F.col("w").alias("_w2"))
         r = (r.join(mid, r["w"] == mid["_m"])
              .select("u", F.col("_w2").alias("w"))
              .distinct()
-             .localCheckpoint(eager=True))
+             .localCheckpoint(eager=False))
     return (r.groupBy(F.col("w").alias("cellid"))
             .agg(F.count("*").alias("acc")))
 

@@ -151,8 +151,15 @@ def areal_transfer(overlap: DataFrame, sizes: DataFrame,
     (a_id, v BIGINT).  See block comment above."""
     return (overlap
             .join(sizes, "a_id").join(vals, "a_id")
+            # DECIMAL(38,0) product (ADVICE r6, constraint-13 widening
+            # discipline): v * 1e6 * n_ov can exceed BIGINT at 100 TB
+            # scale / fine res; div still returns BIGINT, so the schema
+            # and all in-range values are unchanged.  Spark side only —
+            # the DuckDB twin's SQL text is fingerprint-frozen this
+            # round (its HUGEINT sum already absorbs the same range).
             .withColumn("_t", F.expr(
-                f"(v * {PPM} * n_ov) div n_src_cells"))
+                f"(CAST(v AS DECIMAL(38,0)) * {PPM} * n_ov)"
+                f" div n_src_cells"))
             .groupBy("b_id")
             .agg(F.sum("_t").cast("bigint").alias("est_q6"),
                  F.count("*").alias("n_src")))

@@ -75,8 +75,13 @@ def st_gi(obs: DataFrame, res: int) -> DataFrame:
             .agg(F.count("*").alias("n_window"),
                  F.sum("nv").alias("focal_sum"))
             .join(tot, "day")
+            # DECIMAL(38,0) numerator (ADVICE r6): focal_sum * per-day
+            # total * 1e6 can exceed BIGINT for large per-day cell
+            # populations; div returns BIGINT, values/schema unchanged
+            # in range (Spark side only — DuckDB twin text frozen)
             .withColumn("ratio_ppm", F.expr(
-                f"(focal_sum * _tn * {PPM}) div (n_window * _tv)"))
+                f"(CAST(focal_sum AS DECIMAL(38,0)) * _tn * {PPM})"
+                f" div (n_window * _tv)"))
             .select("cellid", "day", "v", "n_window", "focal_sum",
                     F.col("ratio_ppm").cast("bigint").alias("ratio_ppm"),
                     "on_seam"))

@@ -731,7 +731,8 @@ def erode_cells(cells: DataFrame, res: int,
     enumeration; erode→dilate = opening (despeckle), dilate→erode =
     closing (hole fill)."""
     pairs = cell_neighbors(cells, res, cross_face) \
-        .localCheckpoint(eager=True)  # used twice (required + present)
+        .localCheckpoint(eager=False)  # used twice (required + present);
+    # eager=False: the persist dedups both uses inside the one action
     req = pairs.groupBy("cellid").agg(F.count("*").alias("_req"))
     pres = (pairs.join(cells.select(F.col("cellid").alias("nbr")), "nbr")
             .groupBy("cellid").agg(F.count("*").alias("_n")))
