@@ -558,8 +558,14 @@ def dedup_clusters(pairs: DataFrame, a: str = "a_id", b: str = "b_id",
     edges = e.unionByName(
         e.select(F.col("_y").alias("_x"), F.col("_x").alias("_y"))
     ).distinct().localCheckpoint(eager=True)
+    # labels init is non-eager (r7): the first iteration's checkpoint
+    # job materializes it — one fewer blocking job
     labels = edges.select(F.col("_x").alias("_n")).distinct() \
-        .withColumn("_lab", F.col("_n")).localCheckpoint(eager=True)
+        .withColumn("_lab", F.col("_n")).localCheckpoint(eager=False)
+
+    # (r7 note: a two-rounds-per-checkpoint variant was A/B-measured
+    # SLOWER — the doubled in-job plan outweighed the saved job; kept
+    # the single round per action.)
     converged = False
     for _ in range(max_iters):
         nbr_min = (edges.join(

@@ -870,11 +870,22 @@ def kring_cells(cells: DataFrame, res: int, k: int,
         raise ValueError(f"kring_cells: k must be >= 1, got {k}")
     lat0 = (with_lattice(cells.select("cellid").distinct(), res)
             .select(F.col("cellid").alias("v"), "face", "row", "col")
-            .localCheckpoint(eager=True))
-    cur = _coord_neighbors(lat0, res, cross_face).distinct()
+            .localCheckpoint(eager=False))
+    # per-level dedup only for deep rings: at k <= 3 the un-deduped walk
+    # cascade is <= 9^3 rows per seed feeding the final min(ring)'s
+    # MAP-SIDE partial aggregate (which bounds the shuffle at
+    # O(seeds·k²) regardless), and skipping the k distinct exchanges
+    # measured ~25% faster warm / ~2x faster cold; from k = 4 the 9^k
+    # map-side blowup wins and the distincts pay for themselves
+    dedup = k >= 4
+    cur = _coord_neighbors(lat0, res, cross_face)
+    if dedup:
+        cur = cur.distinct()
     levels = [cur.withColumn("ring", F.lit(1).cast("int"))]
     for r in range(2, k + 1):
-        cur = _coord_neighbors(cur, res, cross_face).distinct()
+        cur = _coord_neighbors(cur, res, cross_face)
+        if dedup:
+            cur = cur.distinct()
         levels.append(cur.withColumn("ring", F.lit(r).cast("int")))
     allr = levels[0]
     for lv in levels[1:]:
