@@ -41,6 +41,26 @@ def _docs_cells(spark: SparkSession, sf_dir: str, res: int,
         *(keep or []), "cellid")
 
 
+def _docs_cells_udf(spark: SparkSession, sf_dir: str, res: int,
+                    keep: list[str] | None = None) -> DataFrame:
+    """_docs_cells via the numpy-kernel Arrow UDF encode (r7, VERDICT r6
+    #3): the expression encoder's collapsed projection generated a
+    7,734-byte stage method — 266 B under the 8,000-byte HotSpot JIT
+    cliff (CLAUDE.md constraint 16) — in the two AUID queries, where any
+    edit would silently drop the stage to volcano.  The kernel and
+    expression paths are value-identical on this exact input family:
+    cell_counts (UDF) and cell_counts_expr (expression) are the same
+    logical query over the same derived lon/lat and both hash-match one
+    DuckDB oracle at every gated SF.  Kernel-encoding removes the giant
+    expression from the plan entirely (no near-cliff stage left)."""
+    from .functions.encode import cellid_from_lonlat_udf
+
+    docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id")
+    enc = cellid_from_lonlat_udf(res)
+    cols = [F.col(c) for c in (keep or [])]
+    return docs.select(*cols, enc("lon", "lat").alias("cellid"))
+
+
 def _oracle_docs_cells(res: int, keep: list[str]) -> str:
     src = synth.duckdb_lonlat_select("documents", "doc_id", ["doc_id"] + keep)
     return encode_sql.duckdb_encode_select(f"({src})", "lon", "lat", res, keep)
