@@ -160,9 +160,16 @@ def g_function(cells: DataFrame, res: int, kmax: int,
     nn = (kr.join(occ.select(F.col("cellid").alias("nbr")), "nbr")
           .groupBy("cellid")
           .agg(F.min("ring").alias("nn_ring")))
-    hist = nn.groupBy("nn_ring").agg(F.count("*").alias("_c"))
+    # hist carries everything both consumers need (the kmax-row
+    # histogram and, as Σ_c, the uncensored count) — cut it once
+    # (eager=False: persist-dedups the two references inside the one
+    # action) so the LAZY kring expansion (r7) isn't traversed twice
+    hist = nn.groupBy("nn_ring").agg(F.count("*").alias("_c")) \
+        .localCheckpoint(eager=False)
     tot = (occ.agg(F.count("*").alias("n_total"))
-           .crossJoin(nn.agg(F.count("*").alias("_nn"))))
+           .crossJoin(hist.agg(
+               F.coalesce(F.sum("_c"), F.lit(0)).cast("bigint")
+               .alias("_nn"))))
     spine = (cells.sparkSession.range(1, kmax + 1)
              .select(F.col("id").cast("int").alias("r")))
     return (spine

@@ -17,7 +17,7 @@ from typing import Callable
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .functions import encode_sql
+from .functions import encode, encode_sql
 from .queries3 import CELL_RES, load
 from .queries16 import _cells, _cells_sql
 from .sources import synth
@@ -35,7 +35,7 @@ PYR_LEVELS = (3, 4, 5)
 
 def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id")
-    enc = encode_sql.spark_encode(docs, "lon", "lat", CELL_RES)
+    enc = encode.kernel_encode(docs, CELL_RES)
     levels = ", ".join(str(r) for r in PYR_LEVELS)
     return (enc
             .select(F.explode(F.expr(f"array({levels})")).alias("res"),

@@ -375,7 +375,9 @@ def q_span_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lon") + F.expr(f"((doc_id * 13 + j * 7) % 1000) / 1000.0 * 0.02 - 0.01")).alias("slon"),
         (F.col("lat") + F.expr(f"((doc_id * 29 + j * 11) % 1000) / 1000.0 * 0.02 - 0.01")).alias("slat"),
     )
-    enc = encode_sql.spark_encode(spans, "slon", "slat", SPAN_RES)
+    from .functions.encode import kernel_encode
+
+    enc = kernel_encode(spans, SPAN_RES, lon="slon", lat="slat")
     return enc.groupBy("cellid", "kind").agg(F.count("*").alias("n_spans"))
 
 

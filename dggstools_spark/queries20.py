@@ -102,12 +102,12 @@ TREND_K = 20
 
 
 def q_cell_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions import encode_sql
+    from .functions import encode, encode_sql
     from .operators.trend import trend_topk
     from .sources import synth
 
     ev = synth.with_lonlat(load(spark, sf_dir, "events"), "event_id")
-    obs = (encode_sql.spark_encode(ev, "lon", "lat", TREND_RES)
+    obs = (encode.kernel_encode(ev, TREND_RES)
            .select("cellid",
                    F.expr("unix_millis(CAST(ts AS TIMESTAMP))"
                           " div 86400000").alias("day"),
@@ -119,7 +119,7 @@ def q_cell_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_cell_trends() -> str:
-    from .functions import encode_sql
+    from .functions import encode, encode_sql
     from .operators.trend import trend_topk_sql
     from .sources import synth
 

@@ -29,12 +29,12 @@ ORACLES21: "dict[str, str]" = {}
 
 
 def q_cell_trends_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions import encode_sql
+    from .functions import encode, encode_sql
     from .operators.trend import trend_topk_dense
     from .sources import synth
 
     ev = synth.with_lonlat(load(spark, sf_dir, "events"), "event_id")
-    obs = (encode_sql.spark_encode(ev, "lon", "lat", TREND_RES)
+    obs = (encode.kernel_encode(ev, TREND_RES)
            .select("cellid",
                    F.expr("unix_millis(CAST(ts AS TIMESTAMP))"
                           " div 86400000").alias("day"),
@@ -44,7 +44,7 @@ def q_cell_trends_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_cell_trends_dense() -> str:
-    from .functions import encode_sql
+    from .functions import encode, encode_sql
     from .operators.trend import trend_topk_dense_sql
     from .sources import synth
 
@@ -73,12 +73,12 @@ FLOWS_K = 30
 
 
 def q_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions import encode_sql
+    from .functions import encode, encode_sql
     from .operators.flows import od_flows
     from .sources import synth
 
     ev = synth.with_lonlat(load(spark, sf_dir, "events"), "event_id")
-    obs = (encode_sql.spark_encode(ev, "lon", "lat", FLOWS_RES)
+    obs = (encode.kernel_encode(ev, FLOWS_RES)
            .select("cellid", "user_id", "event_id",
                    F.expr("unix_millis(CAST(ts AS TIMESTAMP))")
                    .alias("tms"))
@@ -87,7 +87,7 @@ def q_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_od_flows() -> str:
-    from .functions import encode_sql
+    from .functions import encode, encode_sql
     from .operators.flows import od_flows_sql
     from .sources import synth
 
@@ -118,19 +118,19 @@ NBRS_RES = 2
 
 
 def q_cell_nbrs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions import encode_sql
+    from .functions import encode, encode_sql
     from .operators.spatial_stats import cell_neighbors
     from .sources import synth
 
     ev = synth.with_lonlat(load(spark, sf_dir, "events"), "event_id")
-    cells = (encode_sql.spark_encode(ev, "lon", "lat", NBRS_RES)
+    cells = (encode.kernel_encode(ev, NBRS_RES)
              .select("cellid").distinct()
              .localCheckpoint(eager=True))
     return cell_neighbors(cells, NBRS_RES, cross_face=True)
 
 
 def _oracle_cell_nbrs() -> str:
-    from .functions import encode_sql
+    from .functions import encode, encode_sql
     from .operators.spatial_stats import cell_neighbors_sql
     from .sources import synth
 

@@ -52,7 +52,7 @@ def _epoch_b_sql(cellid: str, cellid_shift: str) -> str:
 
 
 def _cm_cellids() -> "tuple[str, str, str]":
-    from .functions import encode_sql
+    from .functions import encode, encode_sql
 
     row = "100 + (p_partkey % 81)"
     col = "50 + CAST(floor(p_partkey / 81.0) AS BIGINT)"
@@ -170,12 +170,12 @@ CV_RES = 2
 
 
 def q_cell_visitors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions import encode_sql
+    from .functions import encode, encode_sql
     from .operators.sketch import hll_distinct
     from .sources import synth
 
     ev = synth.with_lonlat(load(spark, sf_dir, "events"), "event_id")
-    obs = (encode_sql.spark_encode(ev, "lon", "lat", CV_RES)
+    obs = (encode.kernel_encode(ev, CV_RES)
            .select("cellid",
                    F.expr("CAST(user_id AS STRING)").alias("uid"))
            .localCheckpoint(eager=True))
@@ -191,7 +191,7 @@ def q_cell_visitors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_cell_visitors() -> str:
-    from .functions import encode_sql
+    from .functions import encode, encode_sql
     from .operators.sketch import hll_distinct_sql
     from .sources import synth
 
@@ -288,7 +288,7 @@ _CD_SRC = "cellid IN ('Q00', 'Q88')"
 
 
 def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions import encode_sql
+    from .functions import encode, encode_sql
     from .operators.graph import cost_distance
 
     cellid = encode_sql.rowcol_cellid_sql(
@@ -301,7 +301,7 @@ def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_cost_distance() -> str:
-    from .functions import encode_sql
+    from .functions import encode, encode_sql
     from .operators.graph import cost_distance_sql
 
     cellid = encode_sql.rowcol_cellid_sql(
@@ -431,19 +431,19 @@ MO_RES = 2
 
 
 def q_morph_close(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions import encode_sql
+    from .functions import encode, encode_sql
     from .operators.spatial_stats import dilate_cells, erode_cells
     from .sources import synth
 
     docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id")
-    mask = (encode_sql.spark_encode(docs, "lon", "lat", MO_RES)
+    mask = (encode.kernel_encode(docs, MO_RES)
             .select("cellid").distinct().localCheckpoint(eager=True))
     dl = dilate_cells(mask, MO_RES).localCheckpoint(eager=True)
     return erode_cells(dl, MO_RES)
 
 
 def _oracle_morph_close() -> str:
-    from .functions import encode_sql
+    from .functions import encode, encode_sql
     from .operators.spatial_stats import (cell_neighbors_sql,
                                           erode_cells_sql)
     from .sources import synth
@@ -481,13 +481,13 @@ RG_RES = 2
 
 
 def q_region_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions import encode_sql
+    from .functions import encode, encode_sql
     from .operators.dedup import dedup_clusters
     from .operators.spatial_stats import cell_neighbors
     from .sources import synth
 
     docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id")
-    mask = (encode_sql.spark_encode(docs, "lon", "lat", RG_RES)
+    mask = (encode.kernel_encode(docs, RG_RES)
             .select("cellid").distinct().localCheckpoint(eager=True))
     pairs = (cell_neighbors(mask, RG_RES, cross_face=True)
              .join(mask.select(F.col("cellid").alias("nbr")), "nbr")
@@ -503,7 +503,7 @@ def q_region_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_region_group() -> str:
-    from .functions import encode_sql
+    from .functions import encode, encode_sql
     from .operators.spatial_stats import cell_neighbors_sql
     from .sources import synth
 

@@ -32,18 +32,18 @@ JC_RES = 2
 
 
 def q_cell_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions import encode_sql
+    from .functions import encode, encode_sql
     from .operators.diversity import class_diversity
     from .sources import synth
 
     ev = synth.with_lonlat(load(spark, sf_dir, "events"), "event_id")
-    obs = (encode_sql.spark_encode(ev, "lon", "lat", CD_RES)
+    obs = (encode.kernel_encode(ev, CD_RES)
            .select("cellid", "event_type"))
     return class_diversity(obs, "cellid", "event_type")
 
 
 def _oracle_cell_diversity() -> str:
-    from .functions import encode_sql
+    from .functions import encode, encode_sql
     from .operators.diversity import class_diversity_sql
     from .sources import synth
 
@@ -59,14 +59,14 @@ ORACLES26["cell_diversity"] = _oracle_cell_diversity()
 
 
 def q_kring_xface(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions import encode_sql
+    from .functions import encode, encode_sql
     from .operators.spatial_stats import kring_cells
     from .sources import synth
 
     docs = synth.with_lonlat(
         load(spark, sf_dir, "documents").filter(F.expr(_KR_SEED_PRED)),
         "doc_id")
-    seeds = (encode_sql.spark_encode(docs, "lon", "lat", KR_RES)
+    seeds = (encode.kernel_encode(docs, KR_RES)
              .select("cellid").distinct()
              .localCheckpoint(eager=True))  # constraint 2: the lattice
     # decode + k-ring joins reference cellid many times — cut the
@@ -75,7 +75,7 @@ def q_kring_xface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_kring_xface() -> str:
-    from .functions import encode_sql
+    from .functions import encode, encode_sql
     from .operators.spatial_stats import kring_cells_sql
     from .sources import synth
 
@@ -96,12 +96,12 @@ ORACLES26["kring_xface"] = _oracle_kring_xface()
 # (the cluster_keep argmax idiom — integer counts, engine-exact ties)
 
 def q_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions import encode_sql
+    from .functions import encode, encode_sql
     from .operators.diversity import join_counts
     from .sources import synth
 
     ev = synth.with_lonlat(load(spark, sf_dir, "events"), "event_id")
-    per = (encode_sql.spark_encode(ev, "lon", "lat", JC_RES)
+    per = (encode.kernel_encode(ev, JC_RES)
            .groupBy("cellid", "event_type")
            .agg(F.count("*").alias("_n")))
     lab = (per.groupBy("cellid")
@@ -112,7 +112,7 @@ def q_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_join_counts() -> str:
-    from .functions import encode_sql
+    from .functions import encode, encode_sql
     from .operators.diversity import join_counts_sql
     from .sources import synth
 

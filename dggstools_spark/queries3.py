@@ -36,9 +36,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _docs_cells(spark: SparkSession, sf_dir: str, res: int,
                 keep: list[str] | None = None) -> DataFrame:
+    # kernel-UDF encode (r7) — see functions/encode.kernel_encode for
+    # the value-identity argument; every consumer is oracle-gated
+    from .functions.encode import kernel_encode
+
     docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id")
-    return encode_sql.spark_encode(docs, "lon", "lat", res).select(
-        *(keep or []), "cellid")
+    return kernel_encode(docs, res).select(*(keep or []), "cellid")
 
 
 def _docs_cells_udf(spark: SparkSession, sf_dir: str, res: int,
