@@ -130,16 +130,19 @@ def tile_key_expr(cellkey_col: str, res: int, tile_res: int,
 
 def kernel_encode(df, res: int, lon: str = "lon", lat: str = "lat",
                   cfg: RHEALPixConfig = DEFAULT_CONFIG):
-    """``encode_sql.spark_encode`` twin via the numpy-kernel Arrow UDF:
-    adds ``cellid`` at ``res``, keeping every input column.
+    """``encode_sql.spark_encode``-shaped cellid encode via the
+    numpy-kernel Arrow UDF: adds ``cellid`` at ``res``, keeping every
+    input column.
 
-    Value-identical to the expression encoder: the kernel is asserted
-    equal to the shared DuckDB/Spark snippet formula on adversarial
-    seam/corner-jitter points (tests/test_adversarial_encode.py, res
-    1/3/5) and the cell_counts (UDF) / cell_counts_expr (expression)
-    oracle pair hash-matches at every gated SF.  r7 motivation: the
-    expression encoder's ~50k-node collapsed projection costs ~0.3-0.5 s
-    of planning+codegen per query and generates 6.1-7.7 KB stage methods
-    (constraint-16 territory); the kernel path measured ~2x faster per
-    encode at sf0.1 and scales as a vectorized Arrow batch op."""
+    WARNING — NOT oracle-parity-safe (r7 measured finding): the kernel
+    and the shared expression/DuckDB formula diverge on points lying
+    EXACTLY on a cell boundary (sf0.1 events event_id 51277,
+    lon = 40.0 exactly: kernel 'Q140…' vs formula 'Q132…' at res ≥ 2).
+    An r7 swap of ~35 oracle-checked query paths onto this helper
+    measured ~2x faster per encode but flipped six events-encode
+    hashes at sf0.1 and was fully reverted; the adversarial parity
+    test (tests/test_adversarial_encode.py) jitters ±EPS around
+    corners and cannot catch exact-boundary inputs.  Use only where
+    the UDF path is the declared contract (cell_counts, flagship) or
+    no oracle hash is at stake."""
     return df.withColumn("cellid", cellid_from_lonlat_udf(res, cfg)(lon, lat))

@@ -131,7 +131,7 @@ def _oracle_cells_by_revenue() -> str:
 
 def q_cellid_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = synth.with_lonlat(load(spark, sf_dir, "orders"), "o_orderkey")
-    cells = encode.kernel_encode(orders, 4).select("cellid").distinct()
+    cells = encode_sql.spark_encode(orders, "lon", "lat", 4).select("cellid").distinct()
     k = DEFAULT_CONFIG.n_side ** 2 - 1
     exploded = cells.withColumn("child", F.expr(
         f"explode(transform(sequence(0, {k}), d -> concat(cellid, CAST(d AS STRING))))"))
@@ -231,7 +231,7 @@ FROM (
 
 def q_prefix_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id")
-    cells = encode.kernel_encode(docs, 6).select("cellid")
+    cells = encode_sql.spark_encode(docs, "lon", "lat", 6).select("cellid")
     outs = []
     for lvl in (2, 4):
         outs.append(
@@ -392,7 +392,7 @@ AREA_RES = 4
 
 def q_area_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id")
-    cells = encode.kernel_encode(docs, AREA_RES).select("source", "cellid")
+    cells = encode_sql.spark_encode(docs, "lon", "lat", AREA_RES).select("source", "cellid")
     area_m2 = DEFAULT_CONFIG.cell_area(AREA_RES)
     return cells.groupBy("source").agg(
         F.countDistinct("cellid").alias("n_cells"),

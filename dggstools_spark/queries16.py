@@ -29,7 +29,7 @@ ORACLES16: "dict[str, str]" = {}
 
 def _cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id")
-    cells = (encode.kernel_encode(docs, CELL_RES)
+    cells = (encode_sql.spark_encode(docs, "lon", "lat", CELL_RES)
              .groupBy("cellid")
              .agg(F.count("*").alias("v")))
     # constraint-2 lineage cut: focal/moran reference this frame on BOTH

@@ -35,7 +35,7 @@ PYR_LEVELS = (3, 4, 5)
 
 def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id")
-    enc = encode.kernel_encode(docs, CELL_RES)
+    enc = encode_sql.spark_encode(docs, "lon", "lat", CELL_RES)
     levels = ", ".join(str(r) for r in PYR_LEVELS)
     return (enc
             .select(F.explode(F.expr(f"array({levels})")).alias("res"),

@@ -215,17 +215,8 @@ def q_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     # general two-table case, metrics.rmse_bias, is fine: its inputs are
     # materialized tables, not shared deep expression lineages.)
     docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id")
-    # kernel-UDF encode (r7): the expression encoder's collapsed res-6
-    # projection generated a 7,537-byte stage method — 463 B under the
-    # 8,000-byte JIT cliff (constraint 16); the numpy-kernel path is
-    # value-identical on this input family (cell_counts vs
-    # cell_counts_expr hash-match one oracle) and removes the near-cliff
-    # stage entirely (re-audited: max 492 B).
-    from .functions.encode import cellid_from_lonlat_udf
-
-    enc6 = cellid_from_lonlat_udf(6)
-    cells = docs.select(
-        "doc_id", enc6("lon", "lat").alias("cellid"),
+    cells = encode_sql.spark_encode(docs, "lon", "lat", 6).select(
+        "doc_id", "cellid",
         ((F.col("doc_id") * 31) % 97).cast("double").alias("v1"),
         (((F.col("doc_id") * 31) % 97) + ((F.col("doc_id") * 17) % 7) - 3)
         .cast("double").alias("v2"),
@@ -375,9 +366,7 @@ def q_span_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lon") + F.expr(f"((doc_id * 13 + j * 7) % 1000) / 1000.0 * 0.02 - 0.01")).alias("slon"),
         (F.col("lat") + F.expr(f"((doc_id * 29 + j * 11) % 1000) / 1000.0 * 0.02 - 0.01")).alias("slat"),
     )
-    from .functions.encode import kernel_encode
-
-    enc = kernel_encode(spans, SPAN_RES, lon="slon", lat="slat")
+    enc = encode_sql.spark_encode(spans, "slon", "slat", SPAN_RES)
     return enc.groupBy("cellid", "kind").agg(F.count("*").alias("n_spans"))
 
 

@@ -107,7 +107,7 @@ def q_cell_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources import synth
 
     ev = synth.with_lonlat(load(spark, sf_dir, "events"), "event_id")
-    obs = (encode.kernel_encode(ev, TREND_RES)
+    obs = (encode_sql.spark_encode(ev, "lon", "lat", TREND_RES)
            .select("cellid",
                    F.expr("unix_millis(CAST(ts AS TIMESTAMP))"
                           " div 86400000").alias("day"),

@@ -34,7 +34,7 @@ def q_cell_trends_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources import synth
 
     ev = synth.with_lonlat(load(spark, sf_dir, "events"), "event_id")
-    obs = (encode.kernel_encode(ev, TREND_RES)
+    obs = (encode_sql.spark_encode(ev, "lon", "lat", TREND_RES)
            .select("cellid",
                    F.expr("unix_millis(CAST(ts AS TIMESTAMP))"
                           " div 86400000").alias("day"),
@@ -78,7 +78,7 @@ def q_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources import synth
 
     ev = synth.with_lonlat(load(spark, sf_dir, "events"), "event_id")
-    obs = (encode.kernel_encode(ev, FLOWS_RES)
+    obs = (encode_sql.spark_encode(ev, "lon", "lat", FLOWS_RES)
            .select("cellid", "user_id", "event_id",
                    F.expr("unix_millis(CAST(ts AS TIMESTAMP))")
                    .alias("tms"))
@@ -123,7 +123,7 @@ def q_cell_nbrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources import synth
 
     ev = synth.with_lonlat(load(spark, sf_dir, "events"), "event_id")
-    cells = (encode.kernel_encode(ev, NBRS_RES)
+    cells = (encode_sql.spark_encode(ev, "lon", "lat", NBRS_RES)
              .select("cellid").distinct()
              .localCheckpoint(eager=True))
     return cell_neighbors(cells, NBRS_RES, cross_face=True)

@@ -104,7 +104,7 @@ def _flow_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources import synth
 
     ev = synth.with_lonlat(load(spark, sf_dir, "events"), "event_id")
-    return (encode.kernel_encode(ev, FLOWS_RES)
+    return (encode_sql.spark_encode(ev, "lon", "lat", FLOWS_RES)
             .select("cellid", "user_id", "event_id",
                     F.expr("unix_millis(CAST(ts AS TIMESTAMP))")
                     .alias("tms"))

@@ -175,7 +175,7 @@ def q_cell_visitors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources import synth
 
     ev = synth.with_lonlat(load(spark, sf_dir, "events"), "event_id")
-    obs = (encode.kernel_encode(ev, CV_RES)
+    obs = (encode_sql.spark_encode(ev, "lon", "lat", CV_RES)
            .select("cellid",
                    F.expr("CAST(user_id AS STRING)").alias("uid"))
            .localCheckpoint(eager=True))
@@ -436,7 +436,7 @@ def q_morph_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources import synth
 
     docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id")
-    mask = (encode.kernel_encode(docs, MO_RES)
+    mask = (encode_sql.spark_encode(docs, "lon", "lat", MO_RES)
             .select("cellid").distinct().localCheckpoint(eager=True))
     dl = dilate_cells(mask, MO_RES).localCheckpoint(eager=True)
     return erode_cells(dl, MO_RES)
@@ -487,7 +487,7 @@ def q_region_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources import synth
 
     docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id")
-    mask = (encode.kernel_encode(docs, RG_RES)
+    mask = (encode_sql.spark_encode(docs, "lon", "lat", RG_RES)
             .select("cellid").distinct().localCheckpoint(eager=True))
     pairs = (cell_neighbors(mask, RG_RES, cross_face=True)
              .join(mask.select(F.col("cellid").alias("nbr")), "nbr")

@@ -37,7 +37,7 @@ def q_cell_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources import synth
 
     ev = synth.with_lonlat(load(spark, sf_dir, "events"), "event_id")
-    obs = (encode.kernel_encode(ev, CD_RES)
+    obs = (encode_sql.spark_encode(ev, "lon", "lat", CD_RES)
            .select("cellid", "event_type"))
     return class_diversity(obs, "cellid", "event_type")
 
@@ -66,7 +66,7 @@ def q_kring_xface(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = synth.with_lonlat(
         load(spark, sf_dir, "documents").filter(F.expr(_KR_SEED_PRED)),
         "doc_id")
-    seeds = (encode.kernel_encode(docs, KR_RES)
+    seeds = (encode_sql.spark_encode(docs, "lon", "lat", KR_RES)
              .select("cellid").distinct()
              .localCheckpoint(eager=True))  # constraint 2: the lattice
     # decode + k-ring joins reference cellid many times — cut the
@@ -101,7 +101,7 @@ def q_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources import synth
 
     ev = synth.with_lonlat(load(spark, sf_dir, "events"), "event_id")
-    per = (encode.kernel_encode(ev, JC_RES)
+    per = (encode_sql.spark_encode(ev, "lon", "lat", JC_RES)
            .groupBy("cellid", "event_type")
            .agg(F.count("*").alias("_n")))
     lab = (per.groupBy("cellid")

@@ -47,7 +47,7 @@ def _terrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.hydro import elev_spark
 
     docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id")
-    cells = (encode.kernel_encode(docs, WS_RES)
+    cells = (encode_sql.spark_encode(docs, "lon", "lat", WS_RES)
              .select("cellid").distinct()
              .localCheckpoint(eager=True))
     return cells.withColumn("z", F.expr(elev_spark(WS_RES)))
@@ -117,7 +117,7 @@ def q_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.pointpat import ripley_k
 
     docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id")
-    cells = (encode.kernel_encode(docs, RK_RES)
+    cells = (encode_sql.spark_encode(docs, "lon", "lat", RK_RES)
              .groupBy("cellid")
              .agg(F.count("*").alias("n"))
              .localCheckpoint(eager=True))  # constraint 2: kring +

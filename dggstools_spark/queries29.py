@@ -42,7 +42,7 @@ def q_mk_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.trend import mk_trend
 
     ev = synth.with_lonlat(load(spark, sf_dir, "events"), "event_id")
-    obs = (encode.kernel_encode(ev, MK_RES)
+    obs = (encode_sql.spark_encode(ev, "lon", "lat", MK_RES)
            .select("cellid",
                    F.expr("unix_millis(CAST(ts AS TIMESTAMP))"
                           " div 86400000").alias("day"),
@@ -72,7 +72,7 @@ def q_g_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.pointpat import g_function
 
     docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id")
-    cells = (encode.kernel_encode(docs, GF_RES)
+    cells = (encode_sql.spark_encode(docs, "lon", "lat", GF_RES)
              .select("cellid").distinct()
              .localCheckpoint(eager=True))
     return g_function(cells, GF_RES, GF_KMAX)
@@ -137,7 +137,7 @@ def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.spacetime import emerging_hotspots
 
     ev = synth.with_lonlat(load(spark, sf_dir, "events"), "event_id")
-    obs = (encode.kernel_encode(ev, EH_RES)
+    obs = (encode_sql.spark_encode(ev, "lon", "lat", EH_RES)
            .select("cellid",
                    F.expr("unix_millis(CAST(ts AS TIMESTAMP))"
                           " div 86400000").alias("day"))
@@ -186,7 +186,7 @@ def _flow_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     ev = synth.with_lonlat(load(spark, sf_dir, "events"), "event_id")
-    obs = (encode.kernel_encode(ev, LPA_RES)
+    obs = (encode_sql.spark_encode(ev, "lon", "lat", LPA_RES)
            .select("cellid", "user_id", "event_id",
                    F.expr("unix_millis(CAST(ts AS TIMESTAMP))")
                    .alias("tms"))
@@ -280,12 +280,12 @@ def q_access_2sfca(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.access import access_2sfca
 
     docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id")
-    pop = (encode.kernel_encode(docs, AC_RES)
+    pop = (encode_sql.spark_encode(docs, "lon", "lat", AC_RES)
            .groupBy("cellid")
            .agg(F.count("*").cast("bigint").alias("pop"))
            .localCheckpoint(eager=True))  # constraint 2 before kring
     sup = synth.with_lonlat(load(spark, sf_dir, "supplier"), "s_suppkey")
-    fac = (encode.kernel_encode(sup, AC_RES)
+    fac = (encode_sql.spark_encode(sup, "lon", "lat", AC_RES)
            .select(F.col("s_suppkey").alias("fac_id"), "cellid",
                    F.expr("CAST(s_suppkey % 50 + 1 AS BIGINT)")
                    .alias("cap"))
@@ -338,7 +338,7 @@ XK_KMAX = 3
 def _pts_counts(spark: SparkSession, sf_dir: str, table: str,
                 id_col: str) -> DataFrame:
     pts = synth.with_lonlat(load(spark, sf_dir, table), id_col)
-    return (encode.kernel_encode(pts, XK_RES)
+    return (encode_sql.spark_encode(pts, "lon", "lat", XK_RES)
             .groupBy("cellid")
             .agg(F.count("*").cast("bigint").alias("n"))
             .localCheckpoint(eager=True))  # constraint 2 before kring
@@ -418,7 +418,7 @@ def _moves(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     ev = synth.with_lonlat(load(spark, sf_dir, "events"), "event_id")
-    obs = (encode.kernel_encode(ev, IPF_RES)
+    obs = (encode_sql.spark_encode(ev, "lon", "lat", IPF_RES)
            .select("cellid", "user_id", "event_id",
                    F.expr("unix_millis(CAST(ts AS TIMESTAMP))")
                    .alias("tms"))
@@ -509,7 +509,7 @@ def q_region_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.spatial_stats import cell_neighbors
 
     docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id")
-    mask = (encode.kernel_encode(docs, RS_RES)
+    mask = (encode_sql.spark_encode(docs, "lon", "lat", RS_RES)
             .select("cellid").distinct().localCheckpoint(eager=True))
     pairs = (cell_neighbors(mask, RS_RES, cross_face=True)
              .join(mask.select(F.col("cellid").alias("nbr")), "nbr")
@@ -765,7 +765,7 @@ def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.trend import theilsen
 
     ev = synth.with_lonlat(load(spark, sf_dir, "events"), "event_id")
-    obs = (encode.kernel_encode(ev, MK_RES)
+    obs = (encode_sql.spark_encode(ev, "lon", "lat", MK_RES)
            .select("cellid",
                    F.expr("unix_millis(CAST(ts AS TIMESTAMP))"
                           " div 86400000").alias("day"),
@@ -825,7 +825,7 @@ def q_fj_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.pointpat import fj_function
 
     docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id")
-    cells = (encode.kernel_encode(docs, FJ_RES)
+    cells = (encode_sql.spark_encode(docs, "lon", "lat", FJ_RES)
              .select("cellid").distinct()
              .localCheckpoint(eager=True))
     return fj_function(cells, FJ_RES, FJ_KMAX)
@@ -865,11 +865,11 @@ def q_voronoi_territories(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.access import voronoi_assign
 
     docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id")
-    dem = (encode.kernel_encode(docs, VT_RES)
+    dem = (encode_sql.spark_encode(docs, "lon", "lat", VT_RES)
            .select("cellid").distinct()
            .localCheckpoint(eager=True))  # constraint 2 before kring
     sup = synth.with_lonlat(load(spark, sf_dir, "supplier"), "s_suppkey")
-    fac = (encode.kernel_encode(sup, VT_RES)
+    fac = (encode_sql.spark_encode(sup, "lon", "lat", VT_RES)
            .select(F.col("s_suppkey").alias("fac_id"), "cellid")
            .localCheckpoint(eager=True))
     vor = voronoi_assign(dem, fac, VT_RES, VT_KMAX)

@@ -36,26 +36,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _docs_cells(spark: SparkSession, sf_dir: str, res: int,
                 keep: list[str] | None = None) -> DataFrame:
-    # kernel-UDF encode (r7) — see functions/encode.kernel_encode for
-    # the value-identity argument; every consumer is oracle-gated
-    from .functions.encode import kernel_encode
-
     docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id")
-    return kernel_encode(docs, res).select(*(keep or []), "cellid")
+    return encode_sql.spark_encode(docs, "lon", "lat", res).select(
+        *(keep or []), "cellid")
 
 
 def _docs_cells_udf(spark: SparkSession, sf_dir: str, res: int,
                     keep: list[str] | None = None) -> DataFrame:
-    """_docs_cells via the numpy-kernel Arrow UDF encode (r7, VERDICT r6
-    #3): the expression encoder's collapsed projection generated a
-    7,734-byte stage method — 266 B under the 8,000-byte HotSpot JIT
-    cliff (CLAUDE.md constraint 16) — in the two AUID queries, where any
-    edit would silently drop the stage to volcano.  The kernel and
-    expression paths are value-identical on this exact input family:
-    cell_counts (UDF) and cell_counts_expr (expression) are the same
-    logical query over the same derived lon/lat and both hash-match one
-    DuckDB oracle at every gated SF.  Kernel-encoding removes the giant
-    expression from the plan entirely (no near-cliff stage left)."""
+    """_docs_cells via the numpy-kernel Arrow UDF encode.
+
+    WARNING — NOT oracle-parity-safe (r7 measured finding, DO NOT swap
+    oracle-checked queries onto this path): the kernel and the shared
+    expression/DuckDB formula DIVERGE on inputs that land EXACTLY on a
+    cell boundary — sf0.1 events has one (lon = 40.0 exactly →
+    kernel 'Q14…' vs formula 'Q13…' at res ≥ 2), which flipped six
+    events-encode queries' hashes when r7 briefly swapped them (the
+    adversarial parity test jitters ±EPS around corners but never
+    exactly 0, and sf0.01 happened to contain no boundary point).
+    cell_counts uses the UDF path by CONTRACT (its oracle has always
+    matched on the gated data), but any NEW swap risks a hash flip at
+    an unseen scale factor.  Kept for non-oracle/UX use only."""
     from .functions.encode import cellid_from_lonlat_udf
 
     docs = synth.with_lonlat(load(spark, sf_dir, "documents"), "doc_id")

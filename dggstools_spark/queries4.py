@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .dggs.config import DEFAULT_CONFIG
 from .functions import encode_sql
-from .queries3 import _docs_cells, _docs_cells_udf, _oracle_docs_cells, load
+from .queries3 import _docs_cells, _oracle_docs_cells, load
 
 
 # --------------------------------------------------------------------------
@@ -257,9 +257,7 @@ def q_auid_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .dggs import auids as auids_core
 
-    # kernel-UDF encode (r7): removes the 7,734-byte near-cliff encode
-    # stage — see queries3._docs_cells_udf
-    cells = _docs_cells_udf(spark, sf_dir, AUID_RT_RES, keep=["source"])
+    cells = _docs_cells(spark, sf_dir, AUID_RT_RES, keep=["source"])
 
     schema = StructType([
         StructField("group_key", StringType()),

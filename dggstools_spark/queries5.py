@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .dggs.config import DEFAULT_CONFIG
 from .operators import auid as auid_ops
-from .queries3 import _docs_cells, _docs_cells_udf, _oracle_docs_cells
+from .queries3 import _docs_cells, _oracle_docs_cells
 
 
 # --------------------------------------------------------------------------
@@ -138,9 +138,7 @@ def q_auid_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .dggs import auids as auids_core
 
-    # kernel-UDF encode (r7): removes the 7,734-byte near-cliff encode
-    # stage — see queries3._docs_cells_udf
-    cells = _docs_cells_udf(spark, sf_dir, AG_RES, keep=["source"])
+    cells = _docs_cells(spark, sf_dir, AG_RES, keep=["source"])
     n_side = DEFAULT_CONFIG.n_side
 
     schema = StructType([
