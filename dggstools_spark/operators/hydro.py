@@ -186,21 +186,20 @@ def watershed(cells: DataFrame, res: int, doublings: int,
     if doublings < 1:
         raise ValueError(f"watershed: doublings must be >= 1,"
                          f" got {doublings}")
-    # eager=False (r7): the doubling count is FIXED (no driver-side
-    # decisions between rounds), so the checkpoints only need to cut
-    # lineage and dedup the self-join's two references — the non-eager
-    # form does both via its persist while deferring the whole chain to
-    # the caller's single action (the eager form issued one blocking
-    # job per doubling).
+    # (r7 note: eager=False across the 8 chained doublings measured a
+    # small win in isolation (2.68->2.47) but blew up to 16-37 s inside
+    # a full 155-query sweep at steal 0 — deep chains of un-materialized
+    # persists thrash under a long-lived JVM's heap pressure where the
+    # small eager jobs stay flat.  Kept EAGER: sweep-stability first.)
     p = (flow_dir(cells, res, cross_face)
          .select("cellid", F.col("nxt").alias("p"))
-         .localCheckpoint(eager=False))
+         .localCheckpoint(eager=True))
     for _ in range(doublings):
         step = p.select(F.col("cellid").alias("_m"),
                         F.col("p").alias("_p2"))
         p = (p.join(step, p["p"] == step["_m"])
              .select("cellid", F.col("_p2").alias("p"))
-             .localCheckpoint(eager=False))
+             .localCheckpoint(eager=True))
     return p.select("cellid", F.col("p").alias("pit"))
 
 
@@ -357,18 +356,18 @@ def flow_accum(cells: DataFrame, res: int, doublings: int,
         raise ValueError(f"flow_accum: doublings must be >= 1,"
                          f" got {doublings}")
     fd = flow_dir(cells, res, cross_face)
-    # eager=False: fixed doubling count — see watershed
+    # eager per round — see the watershed r7 note (sweep-stability)
     r = (fd.select(F.col("cellid").alias("u"), F.col("cellid").alias("w"))
          .unionByName(fd.select(F.col("cellid").alias("u"),
                                 F.col("nxt").alias("w")))
          .distinct()
-         .localCheckpoint(eager=False))
+         .localCheckpoint(eager=True))
     for _ in range(doublings):
         mid = r.select(F.col("u").alias("_m"), F.col("w").alias("_w2"))
         r = (r.join(mid, r["w"] == mid["_m"])
              .select("u", F.col("_w2").alias("w"))
              .distinct()
-             .localCheckpoint(eager=False))
+             .localCheckpoint(eager=True))
     return (r.groupBy(F.col("w").alias("cellid"))
             .agg(F.count("*").alias("acc")))
 
