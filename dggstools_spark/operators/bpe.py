@@ -23,18 +23,21 @@ semantics expressed relationally.  Everything is integer/string algebra:
 the whole result is hash-exact.
 
 Relational shapes per round (CLAUDE.md constraint 12: the relational
-explode + window form, never nested higher-order functions):
-- pair counts: one lead() window over (word, pos) + one hash aggregate;
-- best pair: min(struct(-count, l, r)) — a 1-row frame; the driver
-  reads it (R one-row actions — control flow, not a hot-path collect,
-  same discipline as plans/lineage key lists);
-- merge application: match flag → island id (pos − row_number over
-  matches) → odd-rank selection → rebuild with lead()/lag() and
-  row_number reindex.  Three windows over the same (word, pos)
-  partitioning (one Exchange, reused), all on the vocab-sized table.
-- ``localCheckpoint`` per round cuts the R-deep lineage (constraint 2
-  family — the unrolled plan would otherwise stack R window stages
-  into one janino compilation unit).
+explode + window form, never nested higher-order functions; r7 shapes):
+- the adjacent-pair column ``_nxt`` = lead(sym) is THREADED through
+  every checkpoint, so per-round pair counts are a plain hash
+  aggregate over the materialized table (no per-round window shuffle);
+- best pair: min(struct(-count, l, r)) — a 1-row driver read (R
+  one-row actions — control flow, not a hot-path collect);
+- merge application (apply_pair): match flag → running max of
+  island-START positions → odd-rank selection → lag-suppress →
+  row_number reindex — EVERY window over the same (word, pos)
+  partitioning (one Exchange per round; the old island-id form needed
+  a second (word, island) partitioning), with the pair applied as
+  literals (no broadcast crossJoin);
+- train rounds checkpoint eager=False (the next round's 1-row read
+  materializes them — lineage cut without a blocking job);
+  ``bpe_apply`` chains all R rounds lazily into ONE job.
 
 Reference parity: no counterpart (the reference has no text pipeline);
 extends the vocab/oov family (operators/vocab.py) with the actual
