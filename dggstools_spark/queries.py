@@ -20,7 +20,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .dggs.config import DEFAULT_CONFIG, MEAN_AREAL_DISTORTION
-from .functions import encode, encode_sql, text as T
+from .functions import encode_sql, text as T
 from .functions.encode import cellid_from_lonlat_udf
 from .sources import synth
 

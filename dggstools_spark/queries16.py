@@ -19,7 +19,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .functions import encode, encode_sql
+from .functions import encode_sql
 from .queries3 import CELL_RES, load
 from .sources import synth
 

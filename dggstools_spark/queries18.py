@@ -17,7 +17,7 @@ from typing import Callable
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .functions import encode, encode_sql
+from .functions import encode_sql
 from .queries3 import CELL_RES, load
 from .queries16 import _cells, _cells_sql
 from .sources import synth

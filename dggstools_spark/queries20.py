@@ -102,7 +102,7 @@ TREND_K = 20
 
 
 def q_cell_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions import encode, encode_sql
+    from .functions import encode_sql
     from .operators.trend import trend_topk
     from .sources import synth
 
@@ -119,7 +119,7 @@ def q_cell_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_cell_trends() -> str:
-    from .functions import encode, encode_sql
+    from .functions import encode_sql
     from .operators.trend import trend_topk_sql
     from .sources import synth
 

@@ -29,7 +29,7 @@ ORACLES21: "dict[str, str]" = {}
 
 
 def q_cell_trends_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions import encode, encode_sql
+    from .functions import encode_sql
     from .operators.trend import trend_topk_dense
     from .sources import synth
 
@@ -44,7 +44,7 @@ def q_cell_trends_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_cell_trends_dense() -> str:
-    from .functions import encode, encode_sql
+    from .functions import encode_sql
     from .operators.trend import trend_topk_dense_sql
     from .sources import synth
 
@@ -73,7 +73,7 @@ FLOWS_K = 30
 
 
 def q_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions import encode, encode_sql
+    from .functions import encode_sql
     from .operators.flows import od_flows
     from .sources import synth
 
@@ -87,7 +87,7 @@ def q_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_od_flows() -> str:
-    from .functions import encode, encode_sql
+    from .functions import encode_sql
     from .operators.flows import od_flows_sql
     from .sources import synth
 
@@ -118,7 +118,7 @@ NBRS_RES = 2
 
 
 def q_cell_nbrs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions import encode, encode_sql
+    from .functions import encode_sql
     from .operators.spatial_stats import cell_neighbors
     from .sources import synth
 
@@ -130,7 +130,7 @@ def q_cell_nbrs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_cell_nbrs() -> str:
-    from .functions import encode, encode_sql
+    from .functions import encode_sql
     from .operators.spatial_stats import cell_neighbors_sql
     from .sources import synth
 

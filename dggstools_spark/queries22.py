@@ -100,7 +100,7 @@ TRIPS_K = 40
 
 
 def _flow_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions import encode, encode_sql
+    from .functions import encode_sql
     from .sources import synth
 
     ev = synth.with_lonlat(load(spark, sf_dir, "events"), "event_id")
@@ -112,7 +112,7 @@ def _flow_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _flow_obs_sql() -> str:
-    from .functions import encode, encode_sql
+    from .functions import encode_sql
     from .sources import synth
 
     src = synth.duckdb_lonlat_select("events", "event_id",
@@ -150,7 +150,7 @@ ORACLES22["user_trips"] = _oracle_user_trips()
 
 
 def q_mean_center(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions import encode, encode_sql
+    from .functions import encode_sql
     from .operators.spatial_stats import mean_center
     from .sources import synth
 
@@ -162,7 +162,7 @@ def q_mean_center(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_mean_center() -> str:
-    from .functions import encode, encode_sql
+    from .functions import encode_sql
     from .operators.spatial_stats import mean_center_sql
     from .sources import synth
 

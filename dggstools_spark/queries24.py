@@ -52,7 +52,7 @@ def _epoch_b_sql(cellid: str, cellid_shift: str) -> str:
 
 
 def _cm_cellids() -> "tuple[str, str, str]":
-    from .functions import encode, encode_sql
+    from .functions import encode_sql
 
     row = "100 + (p_partkey % 81)"
     col = "50 + CAST(floor(p_partkey / 81.0) AS BIGINT)"
@@ -170,7 +170,7 @@ CV_RES = 2
 
 
 def q_cell_visitors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions import encode, encode_sql
+    from .functions import encode_sql
     from .operators.sketch import hll_distinct
     from .sources import synth
 
@@ -191,7 +191,7 @@ def q_cell_visitors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_cell_visitors() -> str:
-    from .functions import encode, encode_sql
+    from .functions import encode_sql
     from .operators.sketch import hll_distinct_sql
     from .sources import synth
 
@@ -288,7 +288,7 @@ _CD_SRC = "cellid IN ('Q00', 'Q88')"
 
 
 def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions import encode, encode_sql
+    from .functions import encode_sql
     from .operators.graph import cost_distance
 
     cellid = encode_sql.rowcol_cellid_sql(
@@ -301,7 +301,7 @@ def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_cost_distance() -> str:
-    from .functions import encode, encode_sql
+    from .functions import encode_sql
     from .operators.graph import cost_distance_sql
 
     cellid = encode_sql.rowcol_cellid_sql(
@@ -431,7 +431,7 @@ MO_RES = 2
 
 
 def q_morph_close(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions import encode, encode_sql
+    from .functions import encode_sql
     from .operators.spatial_stats import dilate_cells, erode_cells
     from .sources import synth
 
@@ -443,7 +443,7 @@ def q_morph_close(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_morph_close() -> str:
-    from .functions import encode, encode_sql
+    from .functions import encode_sql
     from .operators.spatial_stats import (cell_neighbors_sql,
                                           erode_cells_sql)
     from .sources import synth
@@ -481,7 +481,7 @@ RG_RES = 2
 
 
 def q_region_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions import encode, encode_sql
+    from .functions import encode_sql
     from .operators.dedup import dedup_clusters
     from .operators.spatial_stats import cell_neighbors
     from .sources import synth
@@ -503,7 +503,7 @@ def q_region_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_region_group() -> str:
-    from .functions import encode, encode_sql
+    from .functions import encode_sql
     from .operators.spatial_stats import cell_neighbors_sql
     from .sources import synth
 

@@ -32,7 +32,7 @@ JC_RES = 2
 
 
 def q_cell_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions import encode, encode_sql
+    from .functions import encode_sql
     from .operators.diversity import class_diversity
     from .sources import synth
 
@@ -43,7 +43,7 @@ def q_cell_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_cell_diversity() -> str:
-    from .functions import encode, encode_sql
+    from .functions import encode_sql
     from .operators.diversity import class_diversity_sql
     from .sources import synth
 
@@ -59,7 +59,7 @@ ORACLES26["cell_diversity"] = _oracle_cell_diversity()
 
 
 def q_kring_xface(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions import encode, encode_sql
+    from .functions import encode_sql
     from .operators.spatial_stats import kring_cells
     from .sources import synth
 
@@ -75,7 +75,7 @@ def q_kring_xface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_kring_xface() -> str:
-    from .functions import encode, encode_sql
+    from .functions import encode_sql
     from .operators.spatial_stats import kring_cells_sql
     from .sources import synth
 
@@ -96,7 +96,7 @@ ORACLES26["kring_xface"] = _oracle_kring_xface()
 # (the cluster_keep argmax idiom — integer counts, engine-exact ties)
 
 def q_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions import encode, encode_sql
+    from .functions import encode_sql
     from .operators.diversity import join_counts
     from .sources import synth
 
@@ -112,7 +112,7 @@ def q_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_join_counts() -> str:
-    from .functions import encode, encode_sql
+    from .functions import encode_sql
     from .operators.diversity import join_counts_sql
     from .sources import synth
 

@@ -23,7 +23,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .functions import encode, encode_sql
+from .functions import encode_sql
 from .queries3 import load
 from .queries28 import WS_RES, _terrain, _terrain_sql
 from .sources import synth
